@@ -1,0 +1,123 @@
+"""Document tokenization: extracted text -> analysis columns + index terms.
+
+Combines the reference's document path (document_processor.py:139-259) with the
+index-side settings (settings_manager.py:26-111):
+
+  * Thai detection / ratio / mixed flags per document (:174-190);
+  * Thai runs are segmented with the dictionary trie + compound second pass
+    (thai_segmenter.py:84-239 semantics); non-Thai spans between runs are
+    tokenized as class runs (latin words, numbers);
+  * the U+200B separator string form of a document (`tokenized_content`) is
+    derivable from the token list exactly as token_processor.py:196-265 builds
+    it — kept as a function, not a stored column;
+  * index terms = tokens minus whitespace, punctuation-only tokens and the
+    index stop-word list (settings_manager.py:65-69); latin tokens lowercased.
+
+`DocumentTokenizer` is deterministic and stateless after __init__ — safe to
+instantiate once per Ray actor and call per batch, and to use directly as the
+single-node oracle.
+"""
+
+from __future__ import annotations
+
+from ..config import (
+    THAI_COMPOUND_SEPARATOR,
+    THAI_WORD_SEPARATOR,
+    EngineConfig,
+)
+from .charclass import (
+    THAI_RUN,
+    classify_token,
+    contains_thai,
+    is_mixed_content,
+    thai_ratio,
+)
+from .segmenter import ThaiSegmenter
+
+
+class DocumentTokenizer:
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        base, custom = self.config.dictionary_words()
+        self.segmenter = ThaiSegmenter(base, custom)
+        self.stop_words = self.config.stop_words if self.config.remove_stop_words else frozenset()
+
+    # ---------------- tokenization ----------------
+
+    def tokenize(self, text: str) -> list[str]:
+        """Full token stream of a document (whitespace tokens excluded; all
+        content tokens kept, stop words included — stop filtering happens at
+        index-term derivation, as in the reference where stopWords is an index
+        setting, not a tokenizer behaviour)."""
+        if not text:
+            return []
+        if not contains_thai(text):
+            # Non-Thai document: plain class-run tokenization (the reference
+            # SKIPs Thai processing entirely, document_processor.py:178-183;
+            # terms still need to be searchable in our engine).
+            return [t for t in self.segmenter.segment_text(text) if t.strip()]
+        tokens: list[str] = []
+        pos = 0
+        for m in THAI_RUN.finditer(text):
+            if m.start() > pos:
+                tokens.extend(
+                    t for t in self.segmenter.segment_text(text[pos : m.start()]) if t.strip()
+                )
+            run_tokens = self.segmenter.segment_text(m.group())
+            tokens.extend(self.segmenter.enhance_tokens(run_tokens))
+            pos = m.end()
+        if pos < len(text):
+            tokens.extend(t for t in self.segmenter.segment_text(text[pos:]) if t.strip())
+        return tokens
+
+    def index_terms(self, tokens: list[str]) -> list[str]:
+        """Tokens -> searchable terms: drop whitespace/punct-only and stop
+        words; lowercase latin terms."""
+        out: list[str] = []
+        lower = self.config.lowercase_latin
+        stop = self.stop_words
+        for t in tokens:
+            ts = t.strip()
+            if not ts:
+                continue
+            if classify_token(ts) == "punct":
+                continue
+            if ts in stop:
+                continue
+            out.append(ts.lower() if lower else ts)
+        return out
+
+    def analyze(self, text: str) -> dict:
+        """One document -> analysis row (columns of the `docs` table)."""
+        tokens = self.tokenize(text)
+        terms = self.index_terms(tokens)
+        return {
+            "tokens": tokens,
+            "terms": terms,
+            "token_count": len(terms),
+            "thai_ratio": thai_ratio(text),
+            "mixed": is_mixed_content(text),
+            "has_thai": contains_thai(text),
+        }
+
+    # ---------------- derived separator form ----------------
+
+    def tokenized_content(self, tokens: list[str]) -> str:
+        """U+200B separator string form (token_processor.py:196-265): Thai token
+        -> token + U+200B; english/numeric token -> ' token '; others verbatim.
+        Compound sub-splitting is already materialized in the token list, so the
+        double-separator compound form is represented by the parts each carrying
+        their own separator (the searchable term stream is identical)."""
+        parts: list[str] = []
+        for t in tokens:
+            k = classify_token(t)
+            if k == "thai":
+                parts.append(t + THAI_WORD_SEPARATOR)
+            elif k in ("english", "numeric"):
+                parts.append(f" {t} ")
+            else:
+                parts.append(t)
+        return "".join(parts)
+
+
+SEPARATORS = [" ", "\t", "\n", "\r", THAI_WORD_SEPARATOR, THAI_COMPOUND_SEPARATOR]
