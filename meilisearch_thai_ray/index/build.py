@@ -1,0 +1,265 @@
+"""Distributed index build: pages parquet -> docs parquet -> sharded inverted index.
+
+Ray-Data-first topology (SURVEY.md §3.1 'Ray shape'):
+
+  phase "docs":   read_parquet(pages, columns=[url, html, lang])
+                    -> map_batches(ExtractTokenize actor pool)   [html dropped here]
+                    -> write_parquet(<out>/docs)
+  phase "stats":  read docs(token_count) -> count + sum -> meta.json (N, avgdl)
+                    [the one true barrier: block-max metadata needs avgdl]
+  phase "shards": read docs(doc_id, terms, token_count)
+                    -> map_batches(PostingsFlat)                 [partial agg + salt]
+                    -> groupby("part").map_groups(encode)        [the shuffle]
+                    -> atomic per-part parquet + manifest lineage row
+
+Each phase is skipped on resume when its `.done` marker exists; part files are
+written tmp->rename so resumes never trust torn output (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import EngineConfig
+from ..kernel.extract import EXTRACTOR_VERSION
+from ..sources.pages import read_pages
+from ..stages.extract_tokenize import ExtractTokenize
+from ..stages.postings import PostingsFlat
+from ..state.manifest import BuildManifest, atomic_write_parquet
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int32()),
+        ("salt", pa.int32()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("docs_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary()),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max", pa.list_(pa.float64())),
+    ]
+)
+
+
+def _encode_part(group: pa.Table, *, out_dir: str, avgdl: float, k1: float,
+                 b: float, block: int, num_salts: int) -> pa.Table:
+    """Encode every term segment of one salted partition and write it atomically.
+
+    Returns one summary row (the dataset result is build metrics, tiny)."""
+    from .codec import encode_segment
+
+    t0 = time.time()
+    part = int(group["part"][0].as_py())
+    shard, salt = divmod(part, num_salts)
+    shard_dir = os.path.join(out_dir, "shards", f"shard={shard:05d}")
+    os.makedirs(shard_dir, exist_ok=True)
+    path = os.path.join(shard_dir, f"salt-{salt:04d}.parquet")
+
+    summary = {
+        "part": [part], "shard": [shard], "salt": [salt],
+        "n_terms": [0], "n_postings": [0], "bytes": [0], "wall_s": [0.0],
+        "skipped": [False],
+    }
+    if os.path.exists(path):  # idempotent resume: atomic file => complete
+        summary["skipped"] = [True]
+        return pa.table(summary)
+
+    import polars as pl
+
+    df = pl.from_arrow(group.select(["term", "doc_id", "tf", "dl"])).sort(
+        ["term", "doc_id"]
+    )
+    terms = np.asarray(df["term"].to_list(), dtype=object)
+    doc_ids = df["doc_id"].to_numpy().astype(np.uint64)
+    tfs = df["tf"].to_numpy().astype(np.uint64)
+    dls = df["dl"].to_numpy().astype(np.uint64)
+
+    n = len(terms)
+    bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1 if n > 1 else np.empty(0, np.int64)
+    starts = np.concatenate(([0], bounds)).astype(np.int64)
+    ends = np.concatenate((bounds, [n])).astype(np.int64)
+
+    rows: dict[str, list] = {k.name: [] for k in SEGMENT_SCHEMA}
+    total_bytes = 0
+    for s, e in zip(starts, ends):
+        seg = encode_segment(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b, block)
+        rows["shard"].append(shard)
+        rows["salt"].append(salt)
+        rows["term"].append(terms[s])
+        rows["df"].append(seg["n_docs"])
+        rows["cf"].append(seg["cf"])
+        rows["n_docs"].append(seg["n_docs"])
+        rows["docs_bin"].append(seg["docs_bin"])
+        rows["tfs_bin"].append(seg["tfs_bin"])
+        rows["dls_bin"].append(seg["dls_bin"])
+        rows["block_last"].append(seg["block_last"])
+        rows["block_max"].append(seg["block_max"])
+        total_bytes += len(seg["docs_bin"]) + len(seg["tfs_bin"]) + len(seg["dls_bin"])
+
+    out = pa.table({k: rows[k] for k in rows}, schema=SEGMENT_SCHEMA)
+    atomic_write_parquet(out, path)
+    summary.update(
+        n_terms=[len(starts)], n_postings=[n], bytes=[total_bytes],
+        wall_s=[time.time() - t0],
+    )
+    return pa.table(summary)
+
+
+def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
+               batch_size: int = 256, concurrency=None) -> str:
+    """Phase 'docs'. Returns the docs parquet directory."""
+    docs_dir = os.path.join(out_dir, "docs")
+    manifest = BuildManifest(out_dir)
+    if manifest.phase_done("docs"):
+        return docs_dir
+    t0 = time.time()
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (2, max(2, ncpu - 2))
+    ds = read_pages(pages_path)
+    docs = ds.map_batches(
+        ExtractTokenize,
+        fn_constructor_args=(config,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    docs.write_parquet(docs_dir)
+    os.makedirs(docs_dir, exist_ok=True)  # zero-row corpus: sink writes nothing
+    manifest.record_partition(
+        "docs",
+        {
+            "partition": "all",
+            "input": pages_path,
+            "dictionary_hash": config.dictionary_hash(),
+            "extractor_version": EXTRACTOR_VERSION,
+            "wall_s": time.time() - t0,
+        },
+    )
+    manifest.mark_phase_done("docs")
+    return docs_dir
+
+
+def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
+    """Phase 'stats': N, avgdl -> meta.json (the global barrier, tiny aggregate)."""
+    meta_path = os.path.join(out_dir, "meta.json")
+    manifest = BuildManifest(out_dir)
+    if manifest.phase_done("stats"):
+        with open(meta_path) as f:
+            return json.load(f)
+    has_files = any(f.endswith(".parquet") for f in os.listdir(docs_dir))
+    if has_files:
+        ds = ray.data.read_parquet(docs_dir, columns=["token_count"])
+        n_docs = ds.count()
+        sum_dl = ds.sum("token_count") or 0
+    else:
+        n_docs, sum_dl = 0, 0
+    meta = {
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "k1": config.k1,
+        "b": config.b,
+        "posting_block": config.posting_block,
+        "num_shards": config.num_shards,
+        "num_salts": getattr(config, "num_salts", 1),
+        "dictionary_hash": config.dictionary_hash(),
+        "extractor_version": EXTRACTOR_VERSION,
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    manifest.mark_phase_done("stats")
+    return meta
+
+
+def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, *,
+                 num_salts: int = 1, batch_size: int = 4096) -> list[dict]:
+    """Phase 'shards': the posting shuffle + encode."""
+    manifest = BuildManifest(out_dir)
+    if manifest.phase_done("shards"):
+        return manifest.partitions("shards")
+    if meta["n_docs"] == 0:  # zero-row corpus: nothing to shuffle
+        os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+        manifest.mark_phase_done("shards", {"wall_s": 0.0})
+        return []
+    t0 = time.time()
+    import functools
+
+    docs = ray.data.read_parquet(
+        docs_dir, columns=["doc_id", "terms", "token_count"]
+    )
+    postings = docs.map_batches(
+        PostingsFlat,
+        fn_constructor_args=(config.num_shards, num_salts),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(2, 8),
+        num_cpus=1,
+    )
+    encode = functools.partial(
+        _encode_part,
+        out_dir=out_dir,
+        avgdl=meta["avgdl"],
+        k1=config.k1,
+        b=config.b,
+        block=config.posting_block,
+        num_salts=num_salts,
+    )
+    summaries = (
+        postings.groupby("part")
+        .map_groups(encode, batch_format="pyarrow")
+        .take_all()
+    )
+    for row in summaries:
+        manifest.record_partition(
+            "shards",
+            {
+                "partition": int(row["part"]),
+                "shard": int(row["shard"]),
+                "salt": int(row["salt"]),
+                "n_terms": int(row["n_terms"]),
+                "n_postings": int(row["n_postings"]),
+                "bytes": int(row["bytes"]),
+                "wall_s": float(row["wall_s"]),
+                "skipped": bool(row["skipped"]),
+            },
+        )
+    manifest.mark_phase_done("shards", {"wall_s": time.time() - t0})
+    return manifest.partitions("shards")
+
+
+def build_index(pages_path: str, out_dir: str, config: EngineConfig | None = None, *,
+                num_salts: int = 1, batch_size: int = 256) -> dict:
+    """Full build (all phases, resumable). Returns meta dict."""
+    config = config or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    docs_dir = build_docs(pages_path, out_dir, config, batch_size=batch_size)
+    meta = compute_stats(docs_dir, out_dir, config)
+    meta["num_salts"] = num_salts
+    build_shards(docs_dir, out_dir, config, meta, num_salts=num_salts)
+    # persist the actual salt count used (query reader needs it)
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        m = json.load(f)
+    if m.get("num_salts") != num_salts:
+        m["num_salts"] = num_salts
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, meta_path)
+    return m

@@ -1,0 +1,253 @@
+"""Query engine: shard reader + BM25 top-k (exhaustive and block-max WAND).
+
+Scoring is Lucene-style BM25 (k1=1.2, b=0.75; kernel/bm25.py). Guarantees:
+
+  * rank identity with the single-node oracle: scores accumulate per document
+    term-at-a-time in sorted-term order on BOTH sides (np.add.at adds in array
+    order), and every float64 expression mirrors the kernel's operation order —
+    scores are bit-identical, ties broken by (-score, doc_id);
+  * block-max WAND (score_topk(mode="wand")) prunes with per-block
+    idf-independent upper bounds (idf * block_max_tfn) and returns EXACTLY the
+    exhaustive top-k (asserted in tests) — per-doc evaluation also sums in
+    sorted-term order;
+  * salted segments of one term are doc-disjoint (doc_id % num_salts), so
+    total df = sum of segment dfs, and per-term posting traversal concatenates
+    segments in salt order.
+
+Reference query-side semantics (variants/boosts, search_proxy/services/*) are
+layered on top in pipelines/search_proxy.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..kernel.bm25 import idf as _idf
+from ..kernel.tokenize import DocumentTokenizer
+from .codec import decode_segment, tfn_scores
+
+
+class _Segment:
+    __slots__ = ("doc_ids", "tfn", "block_last", "block_max", "n")
+
+    def __init__(self, doc_ids, tfn, block_last, block_max):
+        self.doc_ids = doc_ids
+        self.tfn = tfn
+        self.block_last = block_last
+        self.block_max = block_max
+        self.n = len(doc_ids)
+
+
+class SearchEngine:
+    """Loads a built index directory; serves BM25 top-k.
+
+    Per-shard lazy loading with an LRU-ish cache — at cluster scale one engine
+    instance per index-server actor holds only the shards routed to it.
+    """
+
+    def __init__(self, index_dir: str, config: EngineConfig | None = None,
+                 tokenizer: DocumentTokenizer | None = None):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.index_dir = index_dir
+        self.k1 = self.meta["k1"]
+        self.b = self.meta["b"]
+        self.avgdl = self.meta["avgdl"]
+        self.n_docs = self.meta["n_docs"]
+        self.num_shards = self.meta["num_shards"]
+        self.block = self.meta["posting_block"]
+        self._shard_cache: dict[int, dict[str, list]] = {}
+        self._config = config or EngineConfig(num_shards=self.num_shards)
+        self._tokenizer = tokenizer  # built lazily (trie cost)
+
+    # ------------- loading -------------
+
+    def _shard_tables(self, shard: int):
+        d = os.path.join(self.index_dir, "shards", f"shard={shard:05d}")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    def _load_shard(self, shard: int) -> dict[str, list]:
+        cached = self._shard_cache.get(shard)
+        if cached is not None:
+            return cached
+        terms: dict[str, list] = {}
+        for path in self._shard_tables(shard):
+            t = pq.read_table(path)
+            cols = {c: t[c].to_pylist() for c in
+                    ("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
+                     "block_last", "block_max")}
+            for i, term in enumerate(cols["term"]):
+                terms.setdefault(term, []).append(
+                    (cols["n_docs"][i], cols["docs_bin"][i], cols["tfs_bin"][i],
+                     cols["dls_bin"][i], cols["block_last"][i], cols["block_max"][i])
+                )
+        if len(self._shard_cache) > 64:
+            self._shard_cache.clear()
+        self._shard_cache[shard] = terms
+        return terms
+
+    def segments(self, term: str) -> list[_Segment]:
+        from ..functions.hashing import fnv1a64
+
+        shard = fnv1a64(term) % self.num_shards
+        raw = self._load_shard(shard).get(term)
+        if not raw:
+            return []
+        segs = []
+        for n_docs, docs_bin, tfs_bin, dls_bin, block_last, block_max in raw:
+            doc_ids, tfs, dls = decode_segment(docs_bin, tfs_bin, dls_bin, n_docs)
+            tfn = tfn_scores(tfs, dls, self.avgdl, self.k1, self.b)
+            segs.append(_Segment(doc_ids, tfn,
+                                 np.asarray(block_last, dtype=np.int64),
+                                 np.asarray(block_max, dtype=np.float64)))
+        return segs
+
+    def df(self, term: str) -> int:
+        return sum(s.n for s in self.segments(term))
+
+    # ------------- query tokenization -------------
+
+    @property
+    def tokenizer(self) -> DocumentTokenizer:
+        if self._tokenizer is None:
+            self._tokenizer = DocumentTokenizer(self._config)
+        return self._tokenizer
+
+    def query_terms(self, query: str) -> list[str]:
+        tok = self.tokenizer
+        return tok.index_terms(tok.tokenize(query))
+
+    # ------------- scoring -------------
+
+    def score_topk(self, terms: list[str], k: int = 10,
+                   mode: str = "exhaustive") -> list[tuple[int, float]]:
+        """terms: raw query term list (duplicates = weights). -> [(doc_id, score)]
+        sorted by (-score, doc_id)."""
+        weights = Counter(terms)
+        ordered = sorted(weights)
+        loaded = []
+        for term in ordered:
+            segs = self.segments(term)
+            if not segs:
+                continue
+            df = sum(s.n for s in segs)
+            idf_t = _idf(self.n_docs, df)
+            loaded.append((term, float(weights[term]), idf_t, segs))
+        if not loaded:
+            return []
+        if mode == "wand":
+            return self._score_wand(loaded, k)
+        return self._score_exhaustive(loaded, k)
+
+    def _score_exhaustive(self, loaded, k: int) -> list[tuple[int, float]]:
+        id_chunks, contrib_chunks = [], []
+        for _term, w, idf_t, segs in loaded:
+            for seg in segs:  # salt order; doc-disjoint within the term
+                id_chunks.append(seg.doc_ids)
+                contrib_chunks.append(w * (idf_t * seg.tfn))
+        all_ids = np.concatenate(id_chunks)
+        all_contrib = np.concatenate(contrib_chunks)
+        # np.add.at accumulates in array order == sorted-term order per doc
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, all_contrib)
+        if uniq.size <= k:
+            order = np.lexsort((uniq, -acc))
+        else:
+            # exact selection under ties: keep every doc scoring >= kth value,
+            # then order by (-score, doc_id)
+            kth = np.partition(acc, uniq.size - k)[uniq.size - k]
+            sel = np.flatnonzero(acc >= kth)
+            order = sel[np.lexsort((uniq[sel], -acc[sel]))]
+        return [(int(uniq[i]), float(acc[i])) for i in order[:k]]
+
+    def _score_wand(self, loaded, k: int) -> list[tuple[int, float]]:
+        """Block-max WAND (document-at-a-time with pivoting and block skips).
+
+        Cursor list = one per (term, salt) segment, tagged with its term index
+        so full evaluation sums contributions in sorted-term order (float
+        identity with the exhaustive path). Pruning uses strict < so ties are
+        never dropped; heap replacement respects the (-score, doc_id) order.
+        """
+        INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+        cursors = []  # [pos, seg, ub, w_idf, term_idx]
+        for t_idx, (_term, w, idf_t, segs) in enumerate(loaded):
+            w_idf = w * idf_t
+            for seg in segs:
+                if seg.n:
+                    cursors.append([0, seg, w_idf * float(seg.block_max.max()),
+                                    w_idf, t_idx])
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of k best
+
+        def threshold():
+            return heap[0][0] if len(heap) >= k else -1.0
+
+        def cur_doc(c):
+            return c[1].doc_ids[c[0]] if c[0] < c[1].n else INF
+
+        while True:
+            live = [c for c in cursors if c[0] < c[1].n]
+            if not live:
+                break
+            live.sort(key=cur_doc)
+            theta = threshold()
+            # pivot: first position where cumulative UB can beat theta
+            acc_ub = 0.0
+            pivot_i = -1
+            for i, c in enumerate(live):
+                acc_ub += c[2]
+                if acc_ub > theta or (acc_ub == theta and theta >= 0.0):
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break  # nothing can enter the heap
+            pivot_doc = cur_doc(live[pivot_i])
+            if cur_doc(live[0]) == pivot_doc:
+                # refine with block maxima before full evaluation
+                block_ub = 0.0
+                hit = []
+                for c in live:
+                    if cur_doc(c) != pivot_doc:
+                        break
+                    seg = c[1]
+                    bi = int(np.searchsorted(seg.block_last, np.int64(pivot_doc)))
+                    block_ub += c[3] * float(seg.block_max[bi])
+                    hit.append(c)
+                if block_ub > theta or len(heap) < k or block_ub == theta:
+                    hit.sort(key=lambda c: c[4])  # sorted-term order
+                    score = 0.0
+                    for c in hit:
+                        score += c[3] * c[1].tfn[c[0]]
+                    self._heap_push(heap, k, score, int(pivot_doc))
+                for c in hit:
+                    c[0] += 1
+            else:
+                # advance all cursors before pivot to >= pivot_doc (block skip)
+                for c in live[:pivot_i]:
+                    seg = c[1]
+                    c[0] += int(np.searchsorted(seg.doc_ids[c[0]:], pivot_doc))
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+        return [(doc, float(s)) for s, doc in out]
+
+    @staticmethod
+    def _heap_push(heap, k, score, doc_id):
+        """Maintain k best by (-score, doc_id): min-heap on (score, -doc_id)."""
+        item = (score, -doc_id)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    # ------------- public search -------------
+
+    def search(self, query: str, k: int = 10, mode: str = "exhaustive"):
+        return self.score_topk(self.query_terms(query), k=k, mode=mode)

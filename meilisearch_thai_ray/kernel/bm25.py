@@ -26,7 +26,10 @@ def idf(n_docs: int, df: int) -> float:
 
 def bm25_term_score(tf: float, dl: float, avgdl: float, idf_t: float,
                     k1: float = BM25_K1, b: float = BM25_B) -> float:
-    return idf_t * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    # parenthesized as idf * (tfn) so the float64 operation order is identical
+    # to the engine's two-step idf * tfn computation (index/codec.py tfn_scores)
+    # => oracle and distributed scores are bit-identical, not just approximately
+    return idf_t * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
 
 
 class BM25Oracle:

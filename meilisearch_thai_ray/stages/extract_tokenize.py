@@ -1,0 +1,74 @@
+"""Stage 1: pages batch -> docs batch (extraction + Thai tokenization).
+
+The one genuinely stateful, CPU-dominant stage (reference analog: the per-doc
+pipeline at document_processor.py:139-259 run under asyncio; here it is an
+actor pool — dictionary trie built ONCE per actor in __init__, reference
+analog thai_segmenter.py:66-76 / module singletons at tokenize.py:26-50).
+
+Use:  pages.map_batches(ExtractTokenize, fn_constructor_args=(config,),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(2, N), num_cpus=1)
+
+The fat `html` binary column is consumed here and does NOT appear in the
+output — it never travels past this stage (memory note in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..functions.hashing import doc_ids_from_urls
+from ..kernel.extract import html_to_text
+from ..kernel.tokenize import DocumentTokenizer
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("terms", pa.list_(pa.string())),
+        ("token_count", pa.int32()),
+        ("thai_ratio", pa.float32()),
+        ("mixed", pa.bool_()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+class ExtractTokenize:
+    def __init__(self, config: EngineConfig | None = None):
+        self.tokenizer = DocumentTokenizer(config or EngineConfig())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+        texts: list[str] = []
+        terms: list[list[str]] = []
+        counts: list[int] = []
+        ratios: list[float] = []
+        mixed: list[bool] = []
+        analyze = self.tokenizer.analyze
+        for h in htmls:
+            text = html_to_text(h)
+            a = analyze(text)
+            texts.append(text)
+            terms.append(a["terms"])
+            counts.append(a["token_count"])
+            ratios.append(a["thai_ratio"])
+            mixed.append(a["mixed"])
+        doc_ids = doc_ids_from_urls(urls).astype("int64")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "terms": pa.array(terms, pa.list_(pa.string())),
+                "token_count": pa.array(counts, pa.int32()),
+                "thai_ratio": pa.array(ratios, pa.float32()),
+                "mixed": pa.array(mixed, pa.bool_()),
+                "lang": pa.array(langs, pa.string()),
+            },
+            schema=DOCS_SCHEMA,
+        )

@@ -1,0 +1,82 @@
+"""Stage 2: docs batches -> flat posting rows (term, doc_id, tf, dl, part).
+
+Per-batch PARTIAL aggregation (polars explode + group_by) collapses repeated
+terms to (doc, term, tf) before the all-to-all shuffle — the combiner pattern
+from SURVEY.md §4 'Skew'. Routing key `part` = shard(term) * num_salts +
+doc_id % num_salts: the salt splits a Zipf-head term's postings across
+`num_salts` groups so no single groupby key exceeds worker memory
+(north_rule: 'salted to defuse Zipfian term skew'). Segments of one term are
+doc-disjoint (doc_id mod), so query-time union is concatenation, and total df
+is the sum of segment dfs.
+
+Stateful: the term -> shard hash cache persists across batches (actor pool).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a64
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+        ("part", pa.int32()),
+    ]
+)
+
+
+class PostingsFlat:
+    def __init__(self, num_shards: int, num_salts: int = 1):
+        self.num_shards = num_shards
+        self.num_salts = num_salts
+        self._shard_cache: dict[str, int] = {}
+
+    def _shards_for(self, terms: list[str]) -> np.ndarray:
+        cache = self._shard_cache
+        ns = self.num_shards
+        out = np.empty(len(terms), dtype=np.int64)
+        for i, t in enumerate(terms):
+            s = cache.get(t)
+            if s is None:
+                s = fnv1a64(t) % ns
+                cache[t] = s
+            out[i] = s
+        if len(cache) > 2_000_000:  # bound actor memory on huge vocabularies
+            cache.clear()
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "terms", "token_count"]))
+        agg = (
+            df.explode("terms")
+            .drop_nulls("terms")
+            .rename({"terms": "term"})
+            .group_by(["term", "doc_id"])
+            .agg(pl.len().alias("tf"), pl.first("token_count").alias("dl"))
+        )
+        if agg.height == 0:
+            return POSTINGS_SCHEMA.empty_table()
+        terms = agg["term"].to_list()
+        doc_ids = agg["doc_id"].to_numpy()
+        shards = self._shards_for(terms)
+        salts = doc_ids % self.num_salts if self.num_salts > 1 else np.zeros(
+            len(doc_ids), dtype=np.int64
+        )
+        part = shards * self.num_salts + salts
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(agg["tf"].to_numpy().astype(np.int32), pa.int32()),
+                "dl": pa.array(agg["dl"].to_numpy().astype(np.int32), pa.int32()),
+                "part": pa.array(part.astype(np.int32), pa.int32()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )

@@ -1,0 +1,157 @@
+"""End-to-end distributed build tests: byte-identity, rank-identity, resume.
+
+Mirrors SURVEY.md §5 'Our test plan': (2) per-url byte-identity of extracted
+text vs the oracle kernel; (3) rank-identity of distributed BM25 top-k vs the
+single-node oracle; (4) kill/resume -> byte-identical shards."""
+
+import hashlib
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from meilisearch_thai_ray.config import EngineConfig
+from meilisearch_thai_ray.fixtures.pages import generate_pages, write_pages_parquet
+from meilisearch_thai_ray.fixtures.queries import QUERY_FIXTURES
+from meilisearch_thai_ray.index.build import build_index, build_shards
+from meilisearch_thai_ray.index.search import SearchEngine
+from meilisearch_thai_ray.kernel import DocumentTokenizer, html_to_text
+from meilisearch_thai_ray.kernel.bm25 import BM25Oracle
+
+N_PAGES = 300
+CFG = EngineConfig(num_shards=4)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    pages_dir = str(root / "pages")
+    out = str(root / "index")
+    write_pages_parquet(pages_dir, N_PAGES, rows_per_file=64)
+    meta = build_index(pages_dir, out, CFG, num_salts=2, batch_size=64)
+    return pages_dir, out, meta
+
+
+@pytest.fixture(scope="module")
+def docs_table(built):
+    _, out, _ = built
+    return pads.dataset(os.path.join(out, "docs")).to_table()
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_table):
+    return BM25Oracle(
+        list(zip(docs_table["doc_id"].to_pylist(), docs_table["terms"].to_pylist()))
+    )
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return DocumentTokenizer(CFG)
+
+
+def test_extraction_byte_identity(built, docs_table):
+    """Distributed extracted text == kernel html_to_text, byte-for-byte per url."""
+    pages = generate_pages(N_PAGES)
+    kernel_text = {
+        pages["url"][i].as_py(): html_to_text(pages["html"][i].as_py())
+        for i in range(N_PAGES)
+    }
+    urls = docs_table["url"].to_pylist()
+    texts = docs_table["text"].to_pylist()
+    assert len(urls) == N_PAGES
+    for u, t in zip(urls, texts):
+        assert t == kernel_text[u], f"extraction mismatch for {u}"
+    # generator ground truth agrees too
+    gen_text = {pages["url"][i].as_py(): pages["text"][i].as_py() for i in range(N_PAGES)}
+    for u, t in zip(urls, texts):
+        assert t == gen_text[u]
+
+
+def test_tokenization_identity(built, docs_table, tok):
+    """Distributed terms == kernel tokenize+index_terms per url."""
+    for i in range(docs_table.num_rows):
+        text = docs_table["text"][i].as_py()
+        expect = tok.index_terms(tok.tokenize(text))
+        assert docs_table["terms"][i].as_py() == expect
+        assert docs_table["token_count"][i].as_py() == len(expect)
+
+
+def test_stats_match_oracle(built, oracle):
+    _, out, meta = built
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl, abs=1e-12)
+
+
+def test_df_matches_oracle(built, oracle):
+    _, out, _ = built
+    eng = SearchEngine(out)
+    for term in ["อาหาร", "เทคโนโลยี", "machine", "สาหร่ายวากาเมะ", "nonexistentterm"]:
+        assert eng.df(term) == oracle.df(term), term
+
+
+def test_rank_identity_all_fixture_queries(built, oracle, tok):
+    """Top-10 doc_ids AND float64 scores identical: oracle == exhaustive == WAND."""
+    _, out, _ = built
+    eng = SearchEngine(out)
+    nonempty = 0
+    for q in QUERY_FIXTURES:
+        terms = tok.index_terms(tok.tokenize(q["query"]))
+        o = oracle.top_k(terms, 10)
+        e = eng.score_topk(terms, 10, mode="exhaustive")
+        w = eng.score_topk(terms, 10, mode="wand")
+        assert e == o, f"exhaustive mismatch for {q['qid']}"
+        assert w == o, f"wand mismatch for {q['qid']}"
+        nonempty += bool(o)
+    assert nonempty >= 25  # the fixture set must actually exercise the index
+
+
+def test_empty_and_stop_only_queries(built):
+    _, out, _ = built
+    eng = SearchEngine(out)
+    assert eng.search("zzzzqqqq") == []
+    assert eng.search("และหรือแต่") == []  # stop words only -> no terms
+    assert eng.search("") == []
+
+
+def _hash_tree(d: str) -> dict[str, str]:
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, d)] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_resume_byte_identical(built):
+    """Kill-after-partial-build simulation: delete the phase marker and one
+    part file; resume must rewrite ONLY the missing partition with identical
+    bytes and leave the rest untouched."""
+    _, out, meta = built
+    shards_dir = os.path.join(out, "shards")
+    before = _hash_tree(shards_dir)
+    # simulate a crash mid-phase
+    os.remove(os.path.join(out, "_manifest", "shards.done"))
+    victim = sorted(before)[0]
+    os.remove(os.path.join(shards_dir, victim))
+    parts = build_shards(os.path.join(out, "docs"), out, CFG, meta, num_salts=2)
+    after = _hash_tree(shards_dir)
+    assert after == before
+    # lineage recorded the resumed run too (rows appended per partition)
+    assert any(not p.get("skipped") for p in parts)
+    resumed = [p for p in parts if p["ts"] >= max(q["ts"] for q in parts) - 60]
+    assert resumed
+
+
+def test_scores_survive_salt_change(built, oracle, tok):
+    """Same corpus built with different salting (num_salts=1) must produce the
+    exact same scores — partitioning must not leak into results."""
+    pages_dir, _, _ = built
+    out2 = os.path.join(os.path.dirname(pages_dir), "index_salt1")
+    shutil.rmtree(out2, ignore_errors=True)
+    build_index(pages_dir, out2, CFG, num_salts=1, batch_size=96)
+    eng = SearchEngine(out2)
+    for q in QUERY_FIXTURES[:12]:
+        terms = tok.index_terms(tok.tokenize(q["query"]))
+        assert eng.score_topk(terms, 10) == oracle.top_k(terms, 10), q["qid"]
