@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship Thai pipeline over /root/testdata/sf0.001 — documents ->
+Common-Crawl-shaped pages -> distributed extract/tokenize -> salted posting
+shuffle -> sharded inverted index -> fixture-query BM25/WAND evaluation.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() / oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2; SQL-expressible ones are verified against DuckDB at sf=0.01
+(column names and float rounding aligned on both sides), the rest get
+rows-only checks (Thai/rank-identity paths are verified against the Python
+kernel oracle in `python -m pytest -x -q` instead).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +21,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows >= 0."""
+    from meilisearch_thai_ray.pipelines.flagship import flagship_search
+
+    return flagship_search("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
+    from meilisearch_thai_ray.pipelines import flagship
+    from meilisearch_thai_ray.pipelines import simple_text as st
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SQL-verified (oracle_sql present) ---
+        "m1_token_stats": st.doc_token_stats,
+        "a6_corpus_stats": st.corpus_stats,
+        "a6_term_df": st.term_df,
+        "j4_bm25_topk": st.bm25_topk,
+        "d2_exact_dedup": st.exact_dedup,
+        "d3_fingerprint": st.doc_fingerprint,
+        "m8_quality_score": st.doc_quality,
+        "m17_filter_dsl": st.filter_docs,
+        "k1_topk_docs": st.topk_docs,
+        "a1_lang_stats": st.lang_stats,
+        "a4_events_hourly": st.events_hourly,
+        "ann_cosine_topk": st.ann_cosine_topk,
+        "q1_lineitem_agg": st.lineitem_agg,
+        "mm_feature_extract": st.mm_features,
+        # --- rows-only (not SQL-expressible) ---
+        "d2_minhash_pairs": dp.minhash_pairs,
+        "d2_simhash_sigs": dp.simhash_sigs,
+        "m13_lang_id": dp.lang_id,
+        "thai_flagship_search": flagship.flagship_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from meilisearch_thai_ray.pipelines.simple_text import SQL
+
+    return dict(SQL)

@@ -1,0 +1,132 @@
+"""Benchmark driver: headline = full distributed Thai index build + BM25 query
+latency; plus the per-operator pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "query_p50_ms": ...}
+
+--scaling: runs the headline twice in fresh processes (RAY_GRAFT_CPUS=8 and
+32) on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+PAGES_DIR = f"/tmp/meili_ray_bench/pages_{BENCH_DOCS}"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.fixtures.pages import write_pages_parquet
+    from meilisearch_thai_ray.fixtures.queries import QUERY_FIXTURES
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.search import SearchEngine
+
+    timings: dict[str, float] = {}
+
+    # ---- corpus (cached across runs; warm the page cache with one read) ----
+    write_pages_parquet(PAGES_DIR, BENCH_DOCS, rows_per_file=2000)
+    import pyarrow.dataset as pads
+
+    pads.dataset(PAGES_DIR).head(1)
+
+    # ---- headline: full index build (fresh output every run) ----
+    out = f"/tmp/meili_ray_bench/index_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(num_shards=32)
+    t0 = time.perf_counter()
+    build_index(PAGES_DIR, out, cfg, num_salts=2, batch_size=512)
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = build_sec
+
+    # ---- query latency over the built index ----
+    eng = SearchEngine(out)
+    lat = []
+    for _ in range(3):
+        for q in QUERY_FIXTURES:
+            t0 = time.perf_counter()
+            eng.search(q["query"], k=10, mode="wand")
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_ms = lat[len(lat) // 2] * 1000
+    timings["query_batch"] = sum(lat)
+
+    # ---- per-operator pipelines over the sf dir ----
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["a6_term_df", "j4_bm25_topk", "d2_exact_dedup", "m8_quality_score",
+                 "a4_events_hourly", "ann_cosine_topk", "q1_lineitem_agg",
+                 "d2_minhash_pairs", "m13_lang_id"]:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = time.perf_counter() - t0
+
+    result = {
+        "metric": f"thai_index_build_{BENCH_DOCS}_docs",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(BENCH_DOCS / build_sec, 1),
+        "query_p50_ms": round(p50_ms, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same build at 8 and 32 CPUs in fresh processes (N vs 4N stand-in)."""
+    env_base = dict(os.environ)
+
+    def one(ncpu: int) -> dict:
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

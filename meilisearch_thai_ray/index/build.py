@@ -25,6 +25,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..config import EngineConfig
@@ -124,8 +125,6 @@ def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
         return docs_dir
     t0 = time.time()
     if concurrency is None:
-        import ray
-
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         concurrency = (2, max(2, ncpu - 2))
     ds = read_pages(pages_path)
@@ -203,12 +202,13 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
     docs = ray.data.read_parquet(
         docs_dir, columns=["doc_id", "terms", "token_count"]
     )
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
     postings = docs.map_batches(
         PostingsFlat,
         fn_constructor_args=(config.num_shards, num_salts),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(2, 8),
+        concurrency=(2, max(2, ncpu // 2)),  # leave CPUs for read + shuffle stages
         num_cpus=1,
     )
     encode = functools.partial(

@@ -1,0 +1,85 @@
+"""Near-duplicate detection pipelines (rows-only oracle: not SQL-expressible).
+
+minhash_pairs: documents -> MinHash band rows (actor pool) -> groupby(band,
+band_hash) -> candidate pairs -> exact n-gram Jaccard verification.
+The verification side table (doc texts for candidate ids) is fetched with a
+targeted filtered read — candidates are a tiny fraction of the corpus, and at
+cluster scale this read is a semi-join via broadcast candidate-id set.
+
+simhash_sigs: per-doc 64-bit SimHash + 16-bit bands for bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.dedup import MinHasher, SimHasher, jaccard, lsh_candidate_pairs
+
+
+def _documents(sf_dir: str):
+    import os
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def minhash_pairs(sf_dir: str, threshold: float = 0.6):
+    """-> (a, b, jaccard) verified near-dup pairs."""
+    import os
+
+    band_rows = _documents(sf_dir).map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+    cand = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(lsh_candidate_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    pairs = sorted({(r["a"], r["b"]) for r in cand})
+    if not pairs:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    ids = sorted({x for p in pairs for x in p})
+    # targeted filtered read of candidate texts (semi-join via broadcast id set)
+    t = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids),
+    ).to_pandas()
+    texts = dict(zip(t["doc_id"], t["text"]))
+    out_a, out_b, out_j = [], [], []
+    for a, b in pairs:
+        j = jaccard(texts[a], texts[b])
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64)),
+        }
+    )
+
+
+def simhash_sigs(sf_dir: str):
+    """-> (doc_id, simhash, band0..band3) per document."""
+    return _documents(sf_dir).map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+
+
+def lang_id(sf_dir: str):
+    from ..stages.text_stats import LangId
+
+    return _documents(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )

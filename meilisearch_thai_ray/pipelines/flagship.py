@@ -1,0 +1,108 @@
+"""Flagship pipeline: documents -> Common-Crawl-shaped pages -> Thai index -> search.
+
+entry() contract: reads the driver's documents table, wraps each row into the
+`pages` schema (html:binary built from the text plus a deterministic Thai
+sentence keyed by doc_id — guarantees the Thai path and the fixture queries
+are exercised on any input), runs the full distributed build (extract ->
+tokenize -> salted posting shuffle -> shards), then batch-evaluates the Thai
+query fixture set against the built index.
+
+Returns: (qid, rank, doc_id, score) rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import EngineConfig
+from ..fixtures.pages import _Vocab, _render_html, _thai_sentence
+from ..fixtures.queries import QUERY_FIXTURES
+
+_CACHE_ROOT = "/tmp/meili_ray_cache"
+
+
+class DocsToPages:
+    """documents row -> pages row (url, warc_ts, html, text, lang).
+
+    Stateful: the Thai vocabulary loads once per actor; the Thai augmentation
+    sentence depends only on doc_id (deterministic at any parallelism)."""
+
+    def __init__(self):
+        self.vocab = _Vocab()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls, htmls, out_texts = [], [], []
+        for d, t in zip(doc_ids, texts):
+            rng = random.Random(0xA5F00000 + d)
+            thai = _thai_sentence(rng, self.vocab, rng.randint(4, 9))
+            title = f"doc {d}"
+            body = f"{t}\n{thai}"
+            urls.append(f"https://docs.example.th/d/{d:010d}")
+            htmls.append(_render_html(title, body, fancy=(d % 10 == 3)).encode())
+            out_texts.append(f"{title}\n{title}\n{body}")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(["mixed"] * len(urls), pa.string()),
+            }
+        )
+
+
+def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
+    from ..index.build import build_index
+
+    from ..kernel.extract import EXTRACTOR_VERSION
+
+    cfg_tag = EngineConfig(num_shards=8).dictionary_hash() + EXTRACTOR_VERSION
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + cfg_tag).encode()
+    ).hexdigest()[:10]
+    out = out_dir or os.path.join(_CACHE_ROOT, f"thai_index_{key}")
+    pages_dir = os.path.join(out, "pages")
+    if not os.path.exists(os.path.join(pages_dir, "_done")):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        pages = ds.map_batches(
+            DocsToPages, batch_format="pyarrow", batch_size=512, concurrency=2
+        )
+        pages.write_parquet(pages_dir)
+        open(os.path.join(pages_dir, "_done"), "w").write("ok")
+    build_index(pages_dir, out, EngineConfig(num_shards=8), num_salts=2)
+    return out
+
+
+def flagship_search(sf_dir: str, k: int = 10, mode: str = "wand"):
+    """Build (cached) + evaluate the fixture query set. -> (qid, rank, doc_id, score)."""
+    from ..index.search import SearchEngine
+
+    index_dir = build_flagship_index(sf_dir)
+    eng = SearchEngine(index_dir)
+    qids, ranks, doc_ids, scores = [], [], [], []
+    for q in QUERY_FIXTURES:
+        hits = eng.search(q["query"], k=k, mode=mode)
+        for r, (d, s) in enumerate(hits, 1):
+            qids.append(q["qid"])
+            ranks.append(r)
+            doc_ids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.string()),
+            "rank": pa.array(np.asarray(ranks, dtype=np.int64)),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "score": pa.array(np.asarray(scores, dtype=np.float64)),
+        }
+    )

@@ -1,0 +1,473 @@
+"""DuckDB-verifiable pipelines over the driver's test tables.
+
+Every function here takes `sf_dir` and returns a Dataset / pyarrow Table whose
+row count, schema and values match its `SQL[...]` oracle exactly (column names
+included). Tokenization in "simple mode" is text.split(' ') — bit-compatible
+with DuckDB string_split — so the whole BM25 path can be verified by SQL; the
+Thai path is verified against the Python kernel oracle in pytest instead.
+
+Float columns are rounded to 6 decimals on BOTH sides; rankings order by the
+raw float64 value with doc_id tie-breaks on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import EngineConfig
+from ..stages.ann import BruteForceCosineTopK, merge_topk
+from ..stages.filter_dsl import compile_filter, dsl_to_sql
+from ..stages.multimodal import payload_features
+from ..stages.text_stats import (
+    SIMPLE_STOP_WORDS,
+    fingerprint,
+    quality_score,
+    token_stats,
+)
+
+SQL: dict[str, str] = {}
+
+BM25_QUERY = ["spark", "join", "merge", "fast"]
+FILTER_DSL = {"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gt": 300}}
+
+_CACHE_ROOT = "/tmp/meili_ray_cache"
+
+
+def _doc_path(sf_dir: str, table: str = "documents") -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------- token stats
+
+def doc_token_stats(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow")
+
+
+SQL["m1_token_stats"] = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents"
+)
+
+
+def corpus_stats(sf_dir: str):
+    ds = doc_token_stats(sf_dir)
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_tokens"))
+    n, tot = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([tot], pa.int64()),
+            "avgdl": pa.array([round(tot / n, 6)], pa.float64()),
+        }
+    )
+
+
+SQL["a6_corpus_stats"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+FROM (SELECT len(string_split(text, ' ')) AS dl FROM documents)
+"""
+
+
+# ---------------------------------------------------------------- term df/cf
+
+def _term_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: docs are batch-local, so per-batch (df, cf) partials
+    sum to exact global values (pre-aggregation before the groupby shuffle)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    per_doc = (
+        df.with_columns(pl.col("text").str.split(" ").alias("term"))
+        .drop("text")
+        .explode("term")
+        .group_by(["term", "doc_id"])
+        .agg(pl.len().alias("tf"))
+    )
+    per_term = per_doc.group_by("term").agg(
+        pl.len().cast(pl.Int64).alias("df_part"),
+        pl.col("tf").sum().cast(pl.Int64).alias("cf_part"),
+    )
+    return per_term.to_arrow()
+
+
+def term_df(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    partials = ds.map_batches(_term_partials, batch_format="pyarrow")
+    out = partials.groupby("term").aggregate(
+        Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")
+    )
+    return out
+
+
+SQL["a6_term_df"] = """
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term, doc_id
+)
+GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------- BM25 top-k
+
+def _simple_docs_batch(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch["text"], " ")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "terms": parts,
+            "token_count": pc.list_value_length(parts).cast(pa.int32()),
+        }
+    )
+
+
+def simple_index_dir(sf_dir: str) -> str:
+    """Build (once, cached) a whitespace-tokenizer inverted index over the
+    documents table using the SAME distributed build phases as the Thai index
+    (stats barrier + salted posting shuffle + codec)."""
+    from ..index.build import build_shards, compute_stats
+    from ..state.manifest import BuildManifest
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "simple-v1").encode()
+    ).hexdigest()[:10]
+    out = os.path.join(_CACHE_ROOT, f"simple_index_{key}")
+    os.makedirs(out, exist_ok=True)
+    cfg = EngineConfig(num_shards=8, remove_stop_words=False, lowercase_latin=False)
+    manifest = BuildManifest(out)
+    docs_dir = os.path.join(out, "docs")
+    if not manifest.phase_done("docs"):
+        ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+        ds.map_batches(_simple_docs_batch, batch_format="pyarrow").write_parquet(docs_dir)
+        manifest.mark_phase_done("docs")
+    meta = compute_stats(docs_dir, out, cfg)
+    build_shards(docs_dir, out, cfg, meta, num_salts=2)
+    return out
+
+
+def bm25_topk(sf_dir: str, query: list[str] | None = None, k: int = 10):
+    from ..index.search import SearchEngine
+
+    terms = query or BM25_QUERY
+    eng = SearchEngine(simple_index_dir(sf_dir))
+    hits = eng.score_topk(terms, k=k, mode="wand")
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score": pa.array([round(s, 6) for _, s in hits], pa.float64()),
+        }
+    )
+
+
+SQL["j4_bm25_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+qt AS (SELECT unnest({BM25_QUERY!r}) AS term),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM tok t JOIN qt USING (term) GROUP BY t.term, t.doc_id
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- dedup family
+
+def exact_dedup(sf_dir: str):
+    from ..stages.text_stats import content_hash
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    hashed = ds.map_batches(content_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dupes")
+    )
+
+
+SQL["d2_exact_dedup"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+SQL["d3_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- quality
+
+def doc_quality(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow")
+
+
+_stops = ", ".join(f"'{w}'" for w in SIMPLE_STOP_WORDS)
+SQL["m8_quality_score"] = f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  round(CAST(len(list_filter(toks, x -> x IN ({_stops}))) AS DOUBLE) / len(toks), 6)
+    AS stop_ratio,
+  round(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'avg'), 6)
+    AS mean_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------- filter DSL
+
+def filter_docs(sf_dir: str):
+    expr = compile_filter(FILTER_DSL)
+    return ray.data.read_parquet(
+        _doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"], filter=expr
+    )
+
+
+SQL["m17_filter_dsl"] = (
+    f"SELECT doc_id, lang, n_chars FROM documents WHERE {dsl_to_sql(FILTER_DSL)}"
+)
+
+
+# ---------------------------------------------------------------- top-k docs
+
+def topk_docs(sf_dir: str, k: int = 10, offset: int = 5):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).take(offset + k)
+    rows = top[offset : offset + k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL["k1_topk_docs"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 5
+"""
+
+
+# ---------------------------------------------------------------- lang stats
+
+def lang_stats(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="total_chars")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = np.round(
+            batch["total_chars"].to_numpy().astype(np.float64)
+            / batch["n"].to_numpy().astype(np.float64),
+            6,
+        )
+        return batch.append_column("avg_chars", pa.array(avg, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL["a1_lang_stats"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------- events windows
+
+def _hourly_partials(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    hour = pc.floor_temporal(batch["ts"], unit="hour")
+    t = pa.table(
+        {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+    )
+    out = (
+        pl.from_arrow(t)
+        .group_by(["event_type", "hour"])
+        .agg(pl.len().cast(pl.Int64).alias("n_part"), pl.col("value").sum().alias("v_part"))
+    )
+    return out.to_arrow()
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events stream table (§2.9 pattern:
+    event-time bucket inside map_batches partials, then a small groupby)."""
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+    partials = ds.map_batches(_hourly_partials, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_part", alias_name="n"), Sum("v_part", alias_name="v_sum")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["v_sum"].to_numpy().astype(np.float64), 6)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                # keep us precision end-to-end (pandas round-trips can degrade to [s])
+                "hour": batch["hour"].cast(pa.timestamp("us")),
+                "n": batch["n"],
+                "total_value": pa.array(v, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL["a4_events_hourly"] = """
+SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------- ANN top-k
+
+def ann_cosine_topk(sf_dir: str, k: int = 10):
+    import pyarrow.parquet as pq
+
+    path = _doc_path(sf_dir, "embeddings")
+    # tiny driver-side read of the query vector (vec_id = 0)
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    qv = head.filter(pc.equal(head["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceCosineTopK,
+        fn_constructor_kwargs={"query_vec": qv, "k": k},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    )
+    all_parts = pa.Table.from_pylist(partials.take_all())
+    return merge_topk(all_parts, k)
+
+
+SQL["ann_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS s
+  FROM embeddings
+)
+SELECT vec_id, round(s, 6) AS sim FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- lineitem Q1
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregation (generic relational aggregate demo:
+    per-batch partials -> small groupby, A-category operators)."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.group_by(["l_returnflag", "l_linestatus"]).agg(
+            pl.col("l_quantity").sum().alias("q_part"),
+            pl.col("l_extendedprice").sum().alias("p_part"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("d_part"),
+            pl.len().cast(pl.Int64).alias("n_part"),
+        )
+        return out.to_arrow()
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("q_part", alias_name="sum_qty_raw"),
+            Sum("p_part", alias_name="sum_base_raw"),
+            Sum("d_part", alias_name="sum_disc_raw"),
+            Sum("n_part", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(
+                    np.round(batch["sum_qty_raw"].to_numpy().astype(np.float64), 2)
+                ),
+                "sum_base_price": pa.array(
+                    np.round(batch["sum_base_raw"].to_numpy().astype(np.float64), 2)
+                ),
+                "sum_disc_price": pa.array(
+                    np.round(batch["sum_disc_raw"].to_numpy().astype(np.float64), 2)
+                ),
+                "n": batch["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL["q1_lineitem_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+
+def mm_features(sf_dir: str):
+    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(payload_features, batch_format="pyarrow", batch_size=512)
+
+
+SQL["mm_feature_extract"] = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width
+FROM documents
+"""

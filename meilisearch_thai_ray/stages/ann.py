@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against a
+broadcast query matrix (queries shipped once via ray.put / constructor args,
+never per batch), per-batch partial top-k, tiny driver-side merge. This is the
+scale path for "score everything" jobs: N docs stream through, only
+batch-local top-k rows leave each task.
+
+Scale variant: LSH-bucketed search — random-hyperplane signatures assign each
+vector to a bucket; queries probe only matching buckets (stages emit bucket ids
+so the expensive matmul runs on a fraction of the data). Recall is approximate;
+the brute-force path is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if arr.num_chunks == 1:
+        flat = arr.chunk(0)
+    else:
+        flat = arr.combine_chunks()
+    values = np.asarray(flat.values, dtype=np.float64)
+    n = len(flat)
+    return values.reshape(n, -1)
+
+
+class BruteForceCosineTopK:
+    """Per-batch partial top-k by cosine similarity to one query vector.
+
+    Emits at most k rows per batch; final exact top-k = sort of the concatenated
+    partials (tiny). Similarity is float64, rounded to `round_to` decimals for
+    oracle parity (ties then break by vec_id)."""
+
+    def __init__(self, query_vec, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding", round_to: int = 6):
+        q = np.asarray(query_vec, dtype=np.float64)
+        self.q = q / np.linalg.norm(q)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ self.q) / norms
+        sims = np.round(sims, self.round_to)
+        ids = np.asarray(batch[self.id_col].to_numpy(zero_copy_only=False))
+        k = min(self.k, sims.size)
+        if k < sims.size:
+            kth = np.partition(sims, sims.size - k)[sims.size - k]
+            sel = np.flatnonzero(sims >= kth)
+        else:
+            sel = np.arange(sims.size)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel].astype(np.int64)),
+                "sim": pa.array(sims[sel].astype(np.float64)),
+            }
+        )
+
+
+def merge_topk(partials: pa.Table, k: int = 10) -> pa.Table:
+    """Driver-side exact merge of per-batch partials: (-sim, vec_id) order."""
+    ids = partials["vec_id"].to_numpy(zero_copy_only=False)
+    sims = partials["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order].astype(np.int64)),
+            "sim": pa.array(sims[order].astype(np.float64)),
+        }
+    )
+
+
+class LshBucketAssign:
+    """Random-hyperplane LSH: vec -> nbits-bit bucket id (seeded planes built
+    once per actor). Query-time: probe buckets within `probe_hamming` bits."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 11,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+        self.nbits = nbits
+        self.vec_col = vec_col
+
+    def bucket_of(self, vec: np.ndarray) -> int:
+        bits = (np.asarray(vec, dtype=np.float64) @ self.planes) > 0
+        return int((bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        bits = (mat @ self.planes) > 0
+        buckets = (bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum(axis=1)
+        return batch.append_column("bucket", pa.array(buckets.astype(np.int32)))

@@ -1,0 +1,197 @@
+"""Operator-family tests: dedup, ANN, filter DSL, text stats, multimodal stubs,
+and DuckDB parity of the driver-contract pipelines at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    return obj.to_pandas()
+
+
+SQL_CHECKED = [
+    "m1_token_stats", "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
+    "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
+    "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "ann_cosine_topk",
+    "q1_lineitem_agg", "mm_feature_extract",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_parity(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    ours = _canon(_to_pandas(entrymod.queries()[name](SF)))
+    theirs = _canon(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(ours.columns) == list(theirs.columns), name
+    assert len(ours) == len(theirs), name
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) > 0
+    assert sorted(df.columns) == ["doc_id", "qid", "rank", "score"]
+
+
+# ---------------- dedup kernels ----------------
+
+def test_minhash_finds_near_dups():
+    from meilisearch_thai_ray.stages.dedup import MinHasher, jaccard
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about databases and indexes " * 8
+    mh = MinHasher()
+    b_base = set(map(int, mh.band_hashes(mh.signature(base))))
+    b_near = set(map(int, mh.band_hashes(mh.signature(near))))
+    b_far = set(map(int, mh.band_hashes(mh.signature(far))))
+    assert b_base & b_near, "near-dup must share at least one LSH band"
+    assert not (b_base & b_far)
+    assert jaccard(base, near) > 0.7 > jaccard(base, far)
+
+
+def test_simhash_hamming():
+    from meilisearch_thai_ray.stages.dedup import SimHasher, hamming64
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": [
+        "alpha beta gamma delta epsilon zeta eta theta " * 5,
+        "alpha beta gamma delta epsilon zeta eta iota " * 5,
+        "one two three four five six seven eight " * 5,
+    ]})
+    out = SimHasher()(t)
+    s = out["simhash"].to_pylist()
+    assert hamming64(s[0], s[1]) < hamming64(s[0], s[2])
+
+
+def test_lsh_candidate_pairs_cap():
+    from meilisearch_thai_ray.stages.dedup import lsh_candidate_pairs
+
+    g = pa.table({"doc_id": list(range(300)), "band": [0] * 300,
+                  "band_hash": [7] * 300})
+    pairs = lsh_candidate_pairs(g, max_bucket=10)
+    assert pairs.num_rows == 45  # C(10,2)
+    assert all(pairs["capped"].to_pylist())
+
+
+def test_minhash_pipeline_on_synthetic_dups(ray_session, tmp_path):
+    """End-to-end LSH pipeline over a corpus with planted near-duplicates."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import minhash_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = ["data", "index", "search", "thai", "engine", "ray", "batch",
+             "shard", "query", "token"]
+    texts, ids = [], []
+    for i in range(60):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 40)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # plant 5 near-dup pairs
+    for i in range(5):
+        texts.append(texts[i].replace("data", "info", 1))
+        ids.append(100 + i)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+    pairs = minhash_pairs(str(d), threshold=0.6).to_pandas()
+    planted = {(i, 100 + i) for i in range(5)}
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert planted <= found, f"missing planted pairs: {planted - found}"
+
+
+# ---------------- ANN ----------------
+
+def test_ann_matches_numpy_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    ours = _to_pandas(entrymod.queries()["ann_cosine_topk"](SF))
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64)
+    mat = mat.reshape(t.num_rows, -1)
+    ids = t["vec_id"].to_numpy()
+    q = mat[list(ids).index(0)]
+    sims = np.round(mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q)), 6)
+    order = np.lexsort((ids, -sims))[:10]
+    assert list(ours["vec_id"]) == [int(ids[i]) for i in order]
+
+
+def test_lsh_bucket_recall():
+    from meilisearch_thai_ray.stages.ann import LshBucketAssign
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32)
+    lsh = LshBucketAssign(dim=32, nbits=8)
+    near = base + rng.standard_normal(32) * 0.01
+    assert lsh.bucket_of(base) == lsh.bucket_of(near)
+
+
+# ---------------- filter DSL ----------------
+
+def test_filter_dsl_ops():
+    from meilisearch_thai_ray.stages.filter_dsl import compile_filter, dsl_to_sql
+
+    e = compile_filter({"lang": "en", "n": {"$gte": 3}, "x": {"$exists": True}})
+    assert e is not None
+    assert dsl_to_sql({"lang": {"$in": ["a", "b'c"]}}) == "lang IN ('a', 'b''c')"
+    with pytest.raises(ValueError):
+        compile_filter({"f": {"$regex": "x"}})
+
+
+# ---------------- multimodal ----------------
+
+def test_multimodal_stub():
+    from meilisearch_thai_ray.stages.multimodal import ImageDecodeStub, attach_payload
+
+    t = pa.table({"doc_id": [1, 2], "text": ["hello", "world!"]})
+    withp = attach_payload(t)
+    out = ImageDecodeStub()(withp)
+    assert out.column_names == ["doc_id", "height", "width", "channels", "resized_to"]
+    assert out["channels"].to_pylist() == [3, 3]
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(real_codec=True)
+
+
+def test_lang_id_thai_vs_english():
+    from meilisearch_thai_ray.stages.text_stats import LangId
+
+    t = pa.table({"doc_id": [1, 2], "text": [
+        "ภาษาไทยล้วนทั้งประโยคเลยนะครับ",
+        "the cat sat on the mat and it is good",
+    ]})
+    out = LangId()(t)
+    assert out["pred_lang"].to_pylist() == ["th", "en"]
