@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_simhash_sigs": dp.simhash_sigs,
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,
+        "thai_proxy_search": flagship.flagship_proxy_search,
     }
 
 

@@ -48,31 +48,52 @@ GOLDEN_SENTENCES = [
 ]
 
 
-def _zipf_weights(n: int) -> list[float]:
-    return [1.0 / (r + 1) for r in range(n)]
+def _zipf_cumweights(n: int):
+    import numpy as np
+
+    w = 1.0 / (np.arange(n, dtype=np.float64) + 1.0)
+    c = np.cumsum(w)
+    return c / c[-1]
 
 
 class _Vocab:
+    """Vocabulary with precomputed cumulative Zipf weights (sampling is a
+    vectorized searchsorted — the generator must keep up with the pipeline)."""
+
     def __init__(self) -> None:
+        import numpy as np
+
         base = load_base_words()
         compounds = load_compound_dict()
         # stop-word glue first => Zipf head lands on them
-        self.thai_words = base + compounds
-        self.thai_weights = _zipf_weights(len(self.thai_words))
+        self.thai_words = np.asarray(base + compounds, dtype=object)
+        self.thai_cumw = _zipf_cumweights(len(self.thai_words))
         self.compounds = compounds
-        self.english = ENGLISH_WORDS
-        self.english_weights = _zipf_weights(len(ENGLISH_WORDS))
+        self.english = np.asarray(ENGLISH_WORDS, dtype=object)
+        self.english_cumw = _zipf_cumweights(len(ENGLISH_WORDS))
+
+
+def _pick(rng: random.Random, vocab_arr, cumw, k: int) -> list:
+    import numpy as np
+
+    u = np.array([rng.random() for _ in range(k)]) if k <= 4 else None
+    if u is None:
+        # bulk draws: one rng.random() seeds a numpy generator for vector draws
+        g = np.random.default_rng(int(rng.random() * 2**63))
+        u = g.random(k)
+    idx = np.searchsorted(cumw, u)
+    return list(vocab_arr[idx])
 
 
 def _thai_sentence(rng: random.Random, vocab: _Vocab, n_words: int) -> str:
-    words = rng.choices(vocab.thai_words, weights=vocab.thai_weights, k=n_words)
+    words = _pick(rng, vocab.thai_words, vocab.thai_cumw, n_words)
     if rng.random() < 0.5:  # guarantee compound coverage
         words.insert(rng.randrange(len(words) + 1), rng.choice(vocab.compounds))
     return "".join(words)  # no spaces between Thai words
 
 
 def _english_sentence(rng: random.Random, vocab: _Vocab, n_words: int) -> str:
-    return " ".join(rng.choices(vocab.english, weights=vocab.english_weights, k=n_words))
+    return " ".join(_pick(rng, vocab.english, vocab.english_cumw, n_words))
 
 
 def _mixed_sentence(rng: random.Random, vocab: _Vocab) -> str:
@@ -86,18 +107,20 @@ def _mixed_sentence(rng: random.Random, vocab: _Vocab) -> str:
     return " ".join(parts)
 
 
-def _doc_text(i: int, rng: random.Random, vocab: _Vocab, lang: str) -> tuple[str, str]:
+def _doc_text(i: int, rng: random.Random, vocab: _Vocab, lang: str,
+              lines_range: tuple[int, int] = (2, 5)) -> tuple[str, str]:
     """(title, body) — both already whitespace-normalized (single spaces,
     stripped lines) so the extractor round-trip is exact."""
+    lo, hi = lines_range
     if lang == "en":
         title = _english_sentence(rng, vocab, rng.randint(2, 5))
         lines = [_english_sentence(rng, vocab, rng.randint(6, 14))
-                 for _ in range(rng.randint(2, 5))]
+                 for _ in range(rng.randint(lo, hi))]
     else:
         title = _thai_sentence(rng, vocab, rng.randint(2, 4))
         mk = _mixed_sentence if lang == "mixed" else (
             lambda r, v: _thai_sentence(r, v, rng.randint(5, 12)))
-        lines = [mk(rng, vocab) for _ in range(rng.randint(2, 5))]
+        lines = [mk(rng, vocab) for _ in range(rng.randint(lo, hi))]
     if i % 37 == 0:  # embed golden sentences deterministically
         lines.insert(0, GOLDEN_SENTENCES[(i // 37) % len(GOLDEN_SENTENCES)])
     return title, "\n".join(lines)
@@ -120,16 +143,19 @@ def _render_html(title: str, body: str, fancy: bool) -> str:
     )
 
 
-def generate_pages(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
-    """Rows [start, start+n_rows) of the corpus. Row i depends only on (seed, i)
-    — sharded generation at any parallelism produces identical rows."""
+def generate_pages(n_rows: int, seed: int = 42, start: int = 0,
+                   lines_range: tuple[int, int] = (2, 5)) -> pa.Table:
+    """Rows [start, start+n_rows) of the corpus. Row i depends only on
+    (seed, i, lines_range) — sharded generation at any parallelism produces
+    identical rows. lines_range controls document size: (2,5) ≈ 200 chars for
+    unit tests; (20,50) ≈ 2 KB — realistic web-page text — for benchmarks."""
     vocab = _Vocab()
     urls, ts, htmls, texts, langs = [], [], [], [], []
     for i in range(start, start + n_rows):
         rng = random.Random((seed << 32) ^ i)
         b = i % 20
         lang = "th" if b < 14 else ("en" if b < 17 else "mixed")
-        title, body = _doc_text(i, rng, vocab, lang)
+        title, body = _doc_text(i, rng, vocab, lang, lines_range)
         # html_to_text renders: title (from <title>), then h1 title again, then body lines
         text = f"{title}\n{title}\n{body}"
         html = _render_html(title, body, fancy=(i % 10 == 3))
@@ -150,19 +176,40 @@ def generate_pages(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
 
 
 def write_pages_parquet(out_dir: str, n_rows: int, seed: int = 42,
-                        rows_per_file: int = 5000) -> list[str]:
+                        rows_per_file: int = 5000,
+                        lines_range: tuple[int, int] = (2, 5),
+                        parallel: bool = False) -> list[str]:
     """Write the corpus as a directory of parquet files (one per row-range
-    shard — the resumable layout the index build consumes)."""
+    shard — the resumable layout the index build consumes). With parallel=True
+    and Ray initialised, shards generate as Ray tasks (row i depends only on
+    (seed, i), so sharded generation is bit-identical to serial)."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    todo = []
     paths = []
     for start in range(0, n_rows, rows_per_file):
         n = min(rows_per_file, n_rows - start)
         p = os.path.join(out_dir, f"pages-{start:010d}.parquet")
-        if not os.path.exists(p):
-            pq.write_table(generate_pages(n, seed=seed, start=start), p)
         paths.append(p)
+        if not os.path.exists(p):
+            todo.append((start, n, p))
+    if not todo:
+        return paths
+    if parallel:
+        import ray
+
+        @ray.remote
+        def _gen(start: int, n: int, p: str) -> None:
+            t = generate_pages(n, seed=seed, start=start, lines_range=lines_range)
+            tmp = p + f".tmp.{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, p)
+
+        ray.get([_gen.remote(s, n, p) for s, n, p in todo])
+    else:
+        for s, n, p in todo:
+            pq.write_table(generate_pages(n, seed=seed, start=s, lines_range=lines_range), p)
     return paths

@@ -3,7 +3,7 @@
 Ray-Data-first topology (SURVEY.md §3.1 'Ray shape'):
 
   phase "docs":   read_parquet(pages, columns=[url, html, lang])
-                    -> map_batches(ExtractTokenize actor pool)   [html dropped here]
+                    -> map_batches(extract_tokenize_fn tasks)    [html dropped here]
                     -> write_parquet(<out>/docs)
   phase "stats":  read docs(token_count) -> count + sum -> meta.json (N, avgdl)
                     [the one true barrier: block-max metadata needs avgdl]
@@ -31,8 +31,6 @@ import ray.data
 from ..config import EngineConfig
 from ..kernel.extract import EXTRACTOR_VERSION
 from ..sources.pages import read_pages
-from ..stages.extract_tokenize import ExtractTokenize
-from ..stages.postings import PostingsFlat
 from ..state.manifest import BuildManifest, atomic_write_parquet
 
 SEGMENT_SCHEMA = pa.schema(
@@ -118,23 +116,29 @@ def _encode_part(group: pa.Table, *, out_dir: str, avgdl: float, k1: float,
 
 def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
                batch_size: int = 256, concurrency=None) -> str:
-    """Phase 'docs'. Returns the docs parquet directory."""
+    """Phase 'docs'. Returns the docs parquet directory.
+
+    Stateless tasks with a per-worker-process tokenizer cache (measured 3x
+    faster than an actor pool here — see ExtractTokenize.cached).
+
+    batch_size sizes TASKS, not just UDF batches (map_batches coalesces blocks
+    up to batch_size into one task): at ~2.5 ms tokenize per 2 KB doc, 256 docs
+    ≈ 0.6 s per task — small enough that every CPU stays fed, large enough
+    that task overhead stays <10%."""
+    import functools
+
     docs_dir = os.path.join(out_dir, "docs")
     manifest = BuildManifest(out_dir)
     if manifest.phase_done("docs"):
         return docs_dir
     t0 = time.time()
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (2, max(2, ncpu - 2))
+    from ..stages.extract_tokenize import extract_tokenize_fn
+
     ds = read_pages(pages_path)
     docs = ds.map_batches(
-        ExtractTokenize,
-        fn_constructor_args=(config,),
+        functools.partial(extract_tokenize_fn, config=config),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )
     docs.write_parquet(docs_dir)
     os.makedirs(docs_dir, exist_ok=True)  # zero-row corpus: sink writes nothing
@@ -160,12 +164,31 @@ def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
         with open(meta_path) as f:
             return json.load(f)
     has_files = any(f.endswith(".parquet") for f in os.listdir(docs_dir))
-    if has_files:
-        ds = ray.data.read_parquet(docs_dir, columns=["token_count"])
-        n_docs = ds.count()
-        sum_dl = ds.sum("token_count") or 0
-    else:
+    if not has_files:
         n_docs, sum_dl = 0, 0
+    else:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(docs_dir)
+        total_bytes = sum(os.path.getsize(f) for f in dset.files)
+        if total_bytes < 4 << 30:
+            # small docs table: one driver-side streaming column scan beats a
+            # whole Ray job's fixed latency (row count comes from file metadata)
+            n_docs, sum_dl = 0, 0
+            for frag in dset.get_fragments():
+                n_docs += frag.count_rows()
+            import pyarrow.compute as pc
+
+            sum_dl = 0
+            for batch in dset.to_batches(columns=["token_count"]):
+                sum_dl += pc.sum(batch.column(0)).as_py() or 0
+        else:
+            from ray.data.aggregate import Count, Sum
+
+            ds = ray.data.read_parquet(docs_dir, columns=["token_count"])
+            agg = ds.aggregate(Count(alias_name="n"), Sum("token_count", alias_name="s"))
+            n_docs = int(agg["n"])
+            sum_dl = int(agg["s"] or 0)
     meta = {
         "n_docs": int(n_docs),
         "sum_dl": int(sum_dl),
@@ -202,14 +225,14 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
     docs = ray.data.read_parquet(
         docs_dir, columns=["doc_id", "terms", "token_count"]
     )
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    from ..stages.postings import postings_flat_fn
+
     postings = docs.map_batches(
-        PostingsFlat,
-        fn_constructor_args=(config.num_shards, num_salts),
+        functools.partial(
+            postings_flat_fn, num_shards=config.num_shards, num_salts=num_salts
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(2, max(2, ncpu // 2)),  # leave CPUs for read + shuffle stages
-        num_cpus=1,
     )
     encode = functools.partial(
         _encode_part,

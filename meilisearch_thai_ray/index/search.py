@@ -64,6 +64,7 @@ class SearchEngine:
         self.num_shards = self.meta["num_shards"]
         self.block = self.meta["posting_block"]
         self._shard_cache: dict[int, dict[str, list]] = {}
+        self._seg_cache: dict[str, list] = {}  # decoded segments per term
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
 
@@ -98,9 +99,13 @@ class SearchEngine:
     def segments(self, term: str) -> list[_Segment]:
         from ..functions.hashing import fnv1a64
 
+        cached = self._seg_cache.get(term)
+        if cached is not None:
+            return cached
         shard = fnv1a64(term) % self.num_shards
         raw = self._load_shard(shard).get(term)
         if not raw:
+            self._seg_cache[term] = []
             return []
         segs = []
         for n_docs, docs_bin, tfs_bin, dls_bin, block_last, block_max in raw:
@@ -109,6 +114,9 @@ class SearchEngine:
             segs.append(_Segment(doc_ids, tfn,
                                  np.asarray(block_last, dtype=np.int64),
                                  np.asarray(block_max, dtype=np.float64)))
+        if len(self._seg_cache) > 100_000:
+            self._seg_cache.clear()
+        self._seg_cache[term] = segs
         return segs
 
     def df(self, term: str) -> int:
@@ -129,21 +137,29 @@ class SearchEngine:
     # ------------- scoring -------------
 
     def score_topk(self, terms: list[str], k: int = 10,
-                   mode: str = "exhaustive") -> list[tuple[int, float]]:
+                   mode: str = "auto") -> list[tuple[int, float]]:
         """terms: raw query term list (duplicates = weights). -> [(doc_id, score)]
-        sorted by (-score, doc_id)."""
+        sorted by (-score, doc_id).
+
+        mode="auto": exhaustive for small candidate sets (vectorized numpy wins),
+        block-max WAND when total postings are large enough that skipping pays.
+        Both return identical results (asserted in tests)."""
         weights = Counter(terms)
         ordered = sorted(weights)
         loaded = []
+        total_postings = 0
         for term in ordered:
             segs = self.segments(term)
             if not segs:
                 continue
             df = sum(s.n for s in segs)
+            total_postings += df
             idf_t = _idf(self.n_docs, df)
             loaded.append((term, float(weights[term]), idf_t, segs))
         if not loaded:
             return []
+        if mode == "auto":
+            mode = "wand" if total_postings > 200_000 and len(loaded) > 1 else "exhaustive"
         if mode == "wand":
             return self._score_wand(loaded, k)
         return self._score_exhaustive(loaded, k)

@@ -84,6 +84,35 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
     return out
 
 
+def flagship_proxy_search(sf_dir: str, k: int = 10):
+    """Full reference query-path semantics (variants + boosts + dedup,
+    pipelines/search_proxy.py) over the flagship index.
+    -> (qid, rank, doc_id, score, variant_type)."""
+    from ..index.search import SearchEngine
+    from .search_proxy import SearchProxy
+
+    index_dir = build_flagship_index(sf_dir)
+    proxy = SearchProxy(SearchEngine(index_dir),
+                        docs_path=os.path.join(index_dir, "docs"))
+    qids, ranks, doc_ids, scores, vtypes = [], [], [], [], []
+    for q in QUERY_FIXTURES:
+        for r, hit in enumerate(proxy.search(q["query"], k=k), 1):
+            qids.append(q["qid"])
+            ranks.append(r)
+            doc_ids.append(hit["doc_id"])
+            scores.append(hit["score"])
+            vtypes.append(hit["variant_type"])
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.string()),
+            "rank": pa.array(np.asarray(ranks, dtype=np.int64)),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "score": pa.array(np.asarray(scores, dtype=np.float64)),
+            "variant_type": pa.array(vtypes, pa.string()),
+        }
+    )
+
+
 def flagship_search(sf_dir: str, k: int = 10, mode: str = "wand"):
     """Build (cached) + evaluate the fixture query set. -> (qid, rank, doc_id, score)."""
     from ..index.search import SearchEngine

@@ -1,0 +1,337 @@
+"""Reference query-proxy semantics on top of the BM25 engine (SURVEY §3.2).
+
+Faithful re-implementation (exact constants) of the reference's query side:
+
+  * query analysis M13 (query_processor.py:161-209): thai/english char ratios
+    over non-space chars, >0.1 detection thresholds, primary_language;
+  * tokenization confidence M15 (:339-394) — the processing-time factor is
+    pinned to 1.0 for determinism (wall-clock must never change results);
+  * variant generation M14 (:436-500): ORIGINAL (preserve_original) /
+    TOKENIZED / COMPOUND_SPLIT / MIXED_LANGUAGE / FALLBACK, deduped by
+    lowercased text, capped at max_query_variants=5 sorted by weight;
+  * variant weighting M16 (:786-952): base weights {ORIGINAL .8, TOKENIZED 1.0,
+    COMPOUND_SPLIT .9, FALLBACK .6, MIXED .85} x content/length/language/
+    tokenization multipliers, clamped to [0.1, 1.0]; non-Thai original x1.2;
+  * execution: per-variant BM25 top-k over OUR index (stand-in for the
+    parallel Meilisearch searches, search_executor.py:55-176), scores
+    normalized per variant (enable_score_normalization default True);
+  * relevance scoring (result_ranker.py:295-399): base x variant_boost x
+    thai_boost (1.5 when thai_ratio>0.5) x exact_match_boost (2.0) x
+    compound boost (1.3) x confidence boost x exp(-0.1*position) decay,
+    capped at 1.0;
+  * D2 dedup by doc id with full tie-breaking (result_ranker.py:487-565):
+    (-score, variant priority TOKENIZED>ORIGINAL>COMPOUND_SPLIT>FALLBACK,
+    engine priority, position, -weight, -content_length);
+  * final sort desc, min_score_threshold=0.1, top-k.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from ..config import EngineConfig
+from ..kernel.charclass import is_thai_text
+
+ORIGINAL = "original"
+TOKENIZED = "tokenized"
+COMPOUND_SPLIT = "compound_split"
+FALLBACK = "fallback"
+MIXED_LANGUAGE = "mixed_language"
+
+BASE_WEIGHTS = {ORIGINAL: 0.8, TOKENIZED: 1.0, COMPOUND_SPLIT: 0.9,
+                FALLBACK: 0.6, MIXED_LANGUAGE: 0.85}
+VARIANT_PRIORITY = {TOKENIZED: 0, ORIGINAL: 1, COMPOUND_SPLIT: 2, FALLBACK: 3}
+ENGINE_PRIORITY = {"newmm": 0, "attacut": 1, "deepcut": 2, "basic": 3}
+
+BOOST_EXACT = 2.0        # settings.py:61
+BOOST_THAI = 1.5         # settings.py:62
+BOOST_COMPOUND = 1.3     # settings.py:63
+DECAY_FACTOR = 0.1       # settings.py:64
+MIN_SCORE_THRESHOLD = 0.1  # settings.py:65
+MAX_RESULTS_PER_VARIANT = 100  # settings.py:66
+MAX_QUERY_VARIANTS = 5
+TOKENIZATION_CONFIDENCE_FACTOR = 0.5  # result_ranker.py ExtendedRankingConfig
+
+
+@dataclass
+class QueryVariant:
+    query_text: str
+    variant_type: str
+    engine: str
+    weight: float
+    terms: list[str] = field(default_factory=list)
+
+
+class SearchProxy:
+    """Query-side pipeline: analysis -> variants -> per-variant BM25 ->
+    boost ranking -> dedup -> top-k."""
+
+    def __init__(self, engine, docs_path: str | None = None,
+                 config: EngineConfig | None = None):
+        self.engine = engine  # index.search.SearchEngine
+        self.config = config or EngineConfig()
+        self.docs_path = docs_path  # optional docs parquet for exact-match/content
+        self._tok = None
+
+    @property
+    def tokenizer(self):
+        if self._tok is None:
+            from ..kernel.tokenize import DocumentTokenizer
+
+            self._tok = DocumentTokenizer(self.config)
+        return self._tok
+
+    # ---------------- M13: query analysis ----------------
+
+    def analyze_query(self, query: str) -> dict:
+        import re
+
+        thai_chars = sum(1 for c in query if "฀" <= c <= "๿")
+        english_matches = re.findall(r"[a-zA-Z]+", query)
+        english_chars = sum(len(m) for m in english_matches)
+        total = len(query.replace(" ", ""))
+        thai_ratio = thai_chars / total if total else 0.0
+        english_ratio = english_chars / total if total else 0.0
+        thai_detected = thai_ratio > 0.1
+        english_detected = english_ratio > 0.1
+        if thai_ratio > english_ratio:
+            primary = "thai"
+        elif english_ratio > thai_ratio:
+            primary = "english"
+        else:
+            primary = "mixed"
+        return {
+            "thai_content_ratio": thai_ratio,
+            "english_content_ratio": english_ratio,
+            "thai_content_detected": thai_detected,
+            "english_content_detected": english_detected,
+            "mixed_content": thai_detected and english_detected,
+            "primary_language": primary,
+            "total_length": len(query),
+        }
+
+    # ---------------- M15: tokenization confidence ----------------
+
+    def tokenization_confidence(self, query: str, tokens: list[str]) -> float:
+        if not tokens:
+            return 0.0
+        factors = []
+        qlen = len(query.replace(" ", ""))
+        if qlen > 0:
+            tpc = len(tokens) / qlen
+            if 0.1 <= tpc <= 0.5:
+                factors.append(1.0)
+            elif tpc < 0.1:
+                factors.append(tpc / 0.1)
+            else:
+                factors.append(max(0.1, 1.0 - (tpc - 0.5) / 0.5))
+        factors.append(1.0)  # processing-time factor pinned (determinism)
+        thai_tokens = [t for t in tokens if is_thai_text(t)]
+        if thai_tokens:
+            avg = sum(len(t) for t in thai_tokens) / len(thai_tokens)
+            if 2 <= avg <= 6:
+                factors.append(1.0)
+            elif avg < 2:
+                factors.append(avg / 2)
+            else:
+                factors.append(max(0.3, 1.0 - (avg - 6) / 10))
+        return sum(factors) / len(factors) if factors else 0.5
+
+    # ---------------- M16: variant weighting ----------------
+
+    def _variant_weight(self, vtype: str, analysis: dict, confidence: float = 1.0) -> float:
+        base = BASE_WEIGHTS.get(vtype, 0.5)
+        thai_ratio = analysis["thai_content_ratio"]
+        english_ratio = analysis["english_content_ratio"]
+        mixed = analysis["mixed_content"]
+
+        content = 1.0
+        if thai_ratio > 0.7:
+            if vtype in (TOKENIZED, COMPOUND_SPLIT):
+                content = 1.2
+            elif vtype == ORIGINAL:
+                content = 0.9
+        elif english_ratio > 0.7:
+            if vtype == ORIGINAL:
+                content = 1.1
+            elif vtype in (TOKENIZED, COMPOUND_SPLIT):
+                content = 0.8
+        elif mixed:
+            if vtype == MIXED_LANGUAGE:
+                content = 1.15
+            elif vtype == ORIGINAL:
+                content = 1.05
+
+        qlen = analysis["total_length"]
+        length = 1.0
+        if qlen <= 5:
+            if vtype == ORIGINAL:
+                length = 1.1
+            elif vtype == FALLBACK:
+                length = 0.8
+        elif qlen >= 50:
+            if vtype in (TOKENIZED, COMPOUND_SPLIT):
+                length = 1.1
+            elif vtype == ORIGINAL:
+                length = 0.95
+
+        primary = analysis["primary_language"]
+        lang = 1.0
+        if primary == "thai" and thai_ratio > 0.8:
+            if vtype in (TOKENIZED, COMPOUND_SPLIT):
+                lang = 1.1
+            elif vtype == FALLBACK:
+                lang = 0.7
+        elif primary == "english":
+            if vtype == ORIGINAL:
+                lang = 1.05
+            elif vtype in (TOKENIZED, COMPOUND_SPLIT):
+                lang = 0.9
+        elif primary in ("mixed", "unknown"):
+            if vtype == FALLBACK:
+                lang = 1.1
+
+        if vtype == ORIGINAL:
+            tok_q = 1.0
+        elif confidence >= 0.9:
+            tok_q = 1.1
+        elif confidence >= 0.7:
+            tok_q = 1.0
+        elif confidence >= 0.5:
+            tok_q = 0.9
+        else:
+            tok_q = 0.8
+
+        return max(0.1, min(1.0, base * content * length * lang * tok_q))
+
+    # ---------------- M14: variant generation ----------------
+
+    def generate_variants(self, query: str) -> list[QueryVariant]:
+        import re
+
+        query = re.sub(r"\s+", " ", query).strip()  # M12 normalization
+        analysis = self.analyze_query(query)
+        tok = self.tokenizer
+        variants: list[QueryVariant] = []
+        seen: set[str] = set()
+
+        def add(v: QueryVariant):
+            key = v.query_text.strip().lower()
+            if key and key not in seen:
+                seen.add(key)
+                variants.append(v)
+
+        # original (preserve_original default True; non-Thai boost x1.2, cap 1.0)
+        w = self._variant_weight(ORIGINAL, analysis)
+        if not analysis["thai_content_detected"]:
+            w = min(1.0, w * 1.2)
+        add(QueryVariant(query, ORIGINAL, "none", w,
+                         terms=[t.lower() for t in query.split(" ") if t]))
+
+        tokens = tok.tokenize(query)
+        confidence = self.tokenization_confidence(query, tokens)
+        terms = tok.index_terms(tokens)
+        if terms:
+            add(QueryVariant(" ".join(terms), TOKENIZED, "newmm",
+                             self._variant_weight(TOKENIZED, analysis, confidence),
+                             terms=terms))
+            # compound split: force-split dictionary compounds into parts
+            split_terms: list[str] = []
+            for t in terms:
+                sub = tok.segmenter._alt_segment(t) if len(t) > 4 and is_thai_text(t) else [t]
+                split_terms.extend(sub)
+            if split_terms != terms:
+                add(QueryVariant(" ".join(split_terms), COMPOUND_SPLIT, "newmm",
+                                 self._variant_weight(COMPOUND_SPLIT, analysis, confidence),
+                                 terms=split_terms))
+        if analysis["mixed_content"] and terms:
+            # mixed-language arrangement: Thai segments first, latin segments
+            # case-preserved after (distinct text => survives variant dedup
+            # whenever it differs from the plain tokenized form)
+            thai_terms = [t for t in terms if is_thai_text(t, 0.3)]
+            latin_raw = [t for t in tokens if t.strip() and not is_thai_text(t, 0.3)]
+            mixed_terms = thai_terms + [t.lower() for t in latin_raw]
+            add(QueryVariant(" ".join(thai_terms + latin_raw), MIXED_LANGUAGE, "newmm",
+                             self._variant_weight(MIXED_LANGUAGE, analysis, confidence),
+                             terms=mixed_terms))
+        if not terms:
+            fb = tok.segmenter.char_fallback(query)
+            fb_terms = tok.index_terms(fb)
+            if fb_terms:
+                add(QueryVariant(" ".join(fb_terms), FALLBACK, "basic",
+                                 self._variant_weight(FALLBACK, analysis, 0.4),
+                                 terms=fb_terms))
+
+        if len(variants) > MAX_QUERY_VARIANTS:
+            variants.sort(key=lambda v: v.weight, reverse=True)
+            variants = variants[:MAX_QUERY_VARIANTS]
+        return variants
+
+    # ---------------- execution + ranking ----------------
+
+    def search(self, query: str, k: int = 10) -> list[dict]:
+        analysis = self.analyze_query(query)
+        variants = self.generate_variants(query)
+        tokens = self.tokenizer.tokenize(query)
+        confidence = self.tokenization_confidence(query, tokens)
+
+        candidates: list[tuple] = []  # (hit_dict, score, variant, position)
+        for variant in variants:
+            hits = self.engine.score_topk(variant.terms, k=MAX_RESULTS_PER_VARIANT)
+            if not hits:
+                continue
+            max_score = hits[0][1] or 1.0  # normalize per variant -> base in [0,1]
+            for pos, (doc_id, raw) in enumerate(hits):
+                base = raw / max_score
+                score = base
+                score *= variant.weight * 1.0  # variant boost (weight_factor=1.0)
+                if analysis["thai_content_ratio"] > 0.5:
+                    score *= BOOST_THAI
+                if variant.variant_type == COMPOUND_SPLIT:
+                    score *= BOOST_COMPOUND
+                if confidence > 0.8:
+                    score *= 1.0 + (confidence - 0.8) * TOKENIZATION_CONFIDENCE_FACTOR
+                if pos > 0:
+                    score *= math.exp(-DECAY_FACTOR * pos)
+                score = min(score, 1.0)
+                candidates.append(({"doc_id": doc_id, "raw_score": raw}, score,
+                                   variant, pos))
+
+        # D2: dedup by doc id keeping the best per the reference tie-break order
+        best: dict[int, tuple] = {}
+        for cand in candidates:
+            doc_id = cand[0]["doc_id"]
+            cur = best.get(doc_id)
+            if cur is None or self._tie_key(cand) < self._tie_key(cur):
+                best[doc_id] = cand
+        ranked = sorted(best.values(), key=self._tie_key)
+        out = []
+        for hit, score, variant, pos in ranked:
+            if score < MIN_SCORE_THRESHOLD:
+                continue
+            out.append(
+                {
+                    "doc_id": hit["doc_id"],
+                    "score": score,
+                    "raw_score": hit["raw_score"],
+                    "variant_type": variant.variant_type,
+                    "engine": variant.engine,
+                    "dedup_count": len(candidates) - len(best),
+                }
+            )
+            if len(out) >= k:
+                break
+        return out
+
+    @staticmethod
+    def _tie_key(cand: tuple):
+        hit, score, variant, pos = cand
+        return (
+            -score,
+            VARIANT_PRIORITY.get(variant.variant_type, 4),
+            ENGINE_PRIORITY.get(variant.engine, 4),
+            pos,
+            -variant.weight,
+            hit["doc_id"],  # stand-in for -content_length with deterministic order
+        )

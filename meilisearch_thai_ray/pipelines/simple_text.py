@@ -49,7 +49,7 @@ def _doc_path(sf_dir: str, table: str = "documents") -> str:
 
 def doc_token_stats(sf_dir: str):
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(token_stats, batch_format="pyarrow")
+    return ds.map_batches(token_stats, batch_format="pyarrow", batch_size=4096)
 
 
 SQL["m1_token_stats"] = (
@@ -102,7 +102,7 @@ def _term_partials(batch: pa.Table) -> pa.Table:
 
 def term_df(sf_dir: str):
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    partials = ds.map_batches(_term_partials, batch_format="pyarrow")
+    partials = ds.map_batches(_term_partials, batch_format="pyarrow", batch_size=4096)
     out = partials.groupby("term").aggregate(
         Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")
     )
@@ -207,7 +207,7 @@ def exact_dedup(sf_dir: str):
     from ray.data.aggregate import Min
 
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    hashed = ds.map_batches(content_hash, batch_format="pyarrow")
+    hashed = ds.map_batches(content_hash, batch_format="pyarrow", batch_size=4096)
     return hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dupes")
     )
@@ -222,7 +222,7 @@ FROM documents GROUP BY md5(text)
 
 def doc_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint, batch_format="pyarrow")
+    return ds.map_batches(fingerprint, batch_format="pyarrow", batch_size=4096)
 
 
 SQL["d3_fingerprint"] = """
@@ -236,7 +236,7 @@ FROM documents
 
 def doc_quality(sf_dir: str):
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(quality_score, batch_format="pyarrow")
+    return ds.map_batches(quality_score, batch_format="pyarrow", batch_size=4096)
 
 
 _stops = ", ".join(f"'{w}'" for w in SIMPLE_STOP_WORDS)
@@ -335,7 +335,7 @@ def events_hourly(sf_dir: str):
     ds = ray.data.read_parquet(
         _doc_path(sf_dir, "events"), columns=["event_type", "ts", "value"]
     )
-    partials = ds.map_batches(_hourly_partials, batch_format="pyarrow")
+    partials = ds.map_batches(_hourly_partials, batch_format="pyarrow", batch_size=16384)
     agg = partials.groupby(["event_type", "hour"]).aggregate(
         Sum("n_part", alias_name="n"), Sum("v_part", alias_name="v_sum")
     )
@@ -418,7 +418,7 @@ def lineitem_agg(sf_dir: str):
         return out.to_arrow()
 
     agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("q_part", alias_name="sum_qty_raw"),

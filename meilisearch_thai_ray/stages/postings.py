@@ -30,6 +30,20 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
+_PROCESS_CACHE: dict = {}
+
+
+def postings_flat_fn(batch: pa.Table, num_shards: int, num_salts: int) -> pa.Table:
+    """Stateless-task form with a per-worker-process instance cache (the term ->
+    shard hash cache persists across batches in the same worker; same rationale
+    as stages/extract_tokenize.extract_tokenize_fn)."""
+    key = (num_shards, num_salts)
+    inst = _PROCESS_CACHE.get(key)
+    if inst is None:
+        inst = _PROCESS_CACHE[key] = PostingsFlat(num_shards, num_salts)
+    return inst(batch)
+
+
 class PostingsFlat:
     def __init__(self, num_shards: int, num_salts: int = 1):
         self.num_shards = num_shards

@@ -47,23 +47,22 @@ def quality_score(batch: pa.Table) -> pa.Table:
     import polars as pl
 
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
-    toks = pl.col("text").str.split(" ")
-    out = df.select(
-        pl.col("doc_id"),
-        toks.list.len().cast(pl.Int64).alias("n_tokens"),
-        toks.list.unique().list.len().cast(pl.Int64).alias("n_distinct"),
-        (
-            toks.list.eval(pl.element().is_in(list(SIMPLE_STOP_WORDS)))
-            .list.sum()
-            .cast(pl.Float64)
-            / toks.list.len().cast(pl.Float64)
+    # explode + native groupby aggregations (list.eval is 100x slower here)
+    flat = df.with_columns(pl.col("text").str.split(" ").alias("tok")).drop(
+        "text"
+    ).explode("tok")
+    out = (
+        flat.group_by("doc_id", maintain_order=True)
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("tok").n_unique().cast(pl.Int64).alias("n_distinct"),
+            pl.col("tok").is_in(list(SIMPLE_STOP_WORDS)).sum().cast(pl.Float64).alias("_stops"),
+            pl.col("tok").str.len_chars().cast(pl.Float64).mean().round(6).alias("mean_token_len"),
         )
-        .round(6)
-        .alias("stop_ratio"),
-        toks.list.eval(pl.element().str.len_chars())
-        .list.mean()
-        .round(6)
-        .alias("mean_token_len"),
+        .with_columns(
+            (pl.col("_stops") / pl.col("n_tokens").cast(pl.Float64)).round(6).alias("stop_ratio")
+        )
+        .select(["doc_id", "n_tokens", "n_distinct", "stop_ratio", "mean_token_len"])
     )
     return out.to_arrow()
 

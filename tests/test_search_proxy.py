@@ -1,0 +1,103 @@
+"""Query-proxy layer tests (M12-M16 + D2 semantics, reference constants)."""
+
+import pytest
+
+from meilisearch_thai_ray.config import EngineConfig
+from meilisearch_thai_ray.fixtures.pages import write_pages_parquet
+from meilisearch_thai_ray.index.build import build_index
+from meilisearch_thai_ray.index.search import SearchEngine
+from meilisearch_thai_ray.pipelines.search_proxy import (
+    COMPOUND_SPLIT,
+    MIXED_LANGUAGE,
+    ORIGINAL,
+    TOKENIZED,
+    SearchProxy,
+)
+
+
+@pytest.fixture(scope="module")
+def proxy(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("proxy")
+    pages = str(root / "pages")
+    out = str(root / "index")
+    write_pages_parquet(pages, 200, rows_per_file=100)
+    build_index(pages, out, EngineConfig(num_shards=4), num_salts=1, batch_size=64)
+    return SearchProxy(SearchEngine(out))
+
+
+def test_analyze_query_ratios(proxy):
+    a = proxy.analyze_query("Machine Learning ไทย")
+    assert a["mixed_content"] and a["english_content_detected"] and a["thai_content_detected"]
+    assert a["primary_language"] == "english"  # more latin chars than thai
+    a2 = proxy.analyze_query("ปัญญาประดิษฐ์")
+    assert a2["primary_language"] == "thai" and a2["thai_content_ratio"] == 1.0
+
+
+def test_variants_thai_query(proxy):
+    vs = proxy.generate_variants("สาหร่ายวากาเมะอร่อย")
+    types = [v.variant_type for v in vs]
+    assert ORIGINAL in types and TOKENIZED in types
+    assert len(vs) <= 5
+    tok = next(v for v in vs if v.variant_type == TOKENIZED)
+    orig = next(v for v in vs if v.variant_type == ORIGINAL)
+    assert tok.weight > orig.weight  # Thai query boosts tokenized over original
+    assert "สาหร่ายวากาเมะ" in tok.terms
+    # compound split variant splits the dictionary compound into parts
+    cs = [v for v in vs if v.variant_type == COMPOUND_SPLIT]
+    if cs:
+        assert "สาหร่ายวากาเมะ" not in cs[0].terms
+        assert "วากาเมะ" in cs[0].terms or "สาหร่าย" in cs[0].terms
+
+
+def test_variants_english_query(proxy):
+    vs = proxy.generate_variants("machine learning")
+    orig = next(v for v in vs if v.variant_type == ORIGINAL)
+    assert orig.weight > 0.8  # english original gets the 1.2x boost
+    assert orig.terms == ["machine", "learning"]
+
+
+def test_variants_mixed_query(proxy):
+    vs = proxy.generate_variants("Startup ไทยเทคโนโลยี")
+    types = {v.variant_type for v in vs}
+    assert MIXED_LANGUAGE in types
+    mx = next(v for v in vs if v.variant_type == MIXED_LANGUAGE)
+    assert mx.terms[0] != "startup"  # thai-first arrangement
+    # a trivially-mixed query where all variants coincide dedups down
+    vs2 = proxy.generate_variants("Startup ไทย")
+    texts = [v.query_text.lower() for v in vs2]
+    assert len(texts) == len(set(texts))
+
+
+def test_variants_dedup_and_cap(proxy):
+    vs = proxy.generate_variants("machine")
+    texts = [v.query_text.lower() for v in vs]
+    assert len(texts) == len(set(texts))
+    assert all(0.1 <= v.weight <= 1.0 for v in vs)
+
+
+def test_search_returns_ranked_hits(proxy):
+    hits = proxy.search("สาหร่ายวากาเมะ", k=5)
+    assert hits, "wakame docs exist in the fixture corpus"
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(h["score"] >= 0.1 for h in hits)
+    assert len({h["doc_id"] for h in hits}) == len(hits)  # deduped
+    assert hits[0]["score"] <= 1.0
+
+
+def test_search_empty_and_unknown(proxy):
+    assert proxy.search("zzzqqq") == []
+    assert proxy.search("") == []
+
+
+def test_confidence_bounds(proxy):
+    toks = proxy.tokenizer.tokenize("กินข้าวอร่อยมาก")
+    c = proxy.tokenization_confidence("กินข้าวอร่อยมาก", toks)
+    assert 0.0 < c <= 1.0
+    assert proxy.tokenization_confidence("x", []) == 0.0
+
+
+def test_deterministic(proxy):
+    a = proxy.search("อาหารญี่ปุ่น", k=10)
+    b = proxy.search("อาหารญี่ปุ่น", k=10)
+    assert a == b
