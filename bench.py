@@ -87,7 +87,23 @@ def run_bench() -> dict:
             lat.append(time.perf_counter() - t0)
     lat.sort()
     p50_ms = lat[len(lat) // 2] * 1000
+    p95_ms = lat[int(len(lat) * 0.95)] * 1000
+    p99_ms = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000
     timings["query_batch"] = sum(lat)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = {
+            "metric": f"thai_index_build_{BENCH_DOCS}_docs",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs_per_sec": round(BENCH_DOCS / build_sec, 1),
+            "query_p50_ms": round(p50_ms, 2),
+        }
+        ray.shutdown()
+        return result
 
     # ---- per-operator pipelines over the sf dir ----
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -113,6 +129,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(BENCH_DOCS / build_sec, 1),
         "query_p50_ms": round(p50_ms, 2),
+        "query_p95_ms": round(p95_ms, 2),
+        "query_p99_ms": round(p99_ms, 2),
     }
     ray.shutdown()
     return result
@@ -132,7 +150,7 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         best = None
         for _ in range(2):
-            env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, check=True,

@@ -1,0 +1,113 @@
+"""Index maintenance: bulk reindex (S4) and document deletes (S5).
+
+Reference analogs:
+  * reindex: scripts/maintenance/reindex-existing-data.py — page through an
+    existing index, detect stale tokenization, re-process, with a backup as
+    checkpoint. Here: the docs parquet IS the scan source; "needs reindexing"
+    = dictionary/extractor hash mismatch in meta.json; the new index builds
+    into a fresh directory (the old one is the backup), resumable as usual.
+  * deletes: src/meilisearch_integration/client.py:251-275 delete_documents.
+    Immutable posting shards => TOMBSTONES: deleted doc_ids are recorded in
+    <index>/tombstones/*.parquet and filtered at query time. Corpus stats
+    (N, avgdl, df) intentionally stay stale until the next reindex — the same
+    visibility semantics as a Meilisearch delete before compaction. A reindex
+    drops tombstoned docs permanently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..config import EngineConfig
+from ..kernel.extract import EXTRACTOR_VERSION
+from ..state.manifest import atomic_write_parquet
+
+
+def needs_reindex(index_dir: str, config: EngineConfig) -> bool:
+    """Dictionary or extractor changed since this index was built."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return (
+        meta.get("dictionary_hash") != config.dictionary_hash()
+        or meta.get("extractor_version") != EXTRACTOR_VERSION
+    )
+
+
+def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
+            num_salts: int = 1, force: bool = False) -> dict | None:
+    """Rebuild the posting shards of an existing index from its docs table,
+    dropping tombstoned documents. Returns new meta, or None if up to date.
+
+    NOTE: reuses the stored `terms` column — extraction/tokenization are NOT
+    re-run (cheap path, dictionary unchanged). When needs_reindex() is true
+    the tokenization itself is stale: rebuild from the original pages with
+    build.build_index instead."""
+    config = config or EngineConfig()
+    if not force and not needs_reindex(index_dir, config) and not _tombstones(index_dir):
+        return None
+    from .build import build_shards, compute_stats
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_src = os.path.join(index_dir, "docs")
+    docs_dst = os.path.join(out_dir, "docs")
+    dead = _tombstones(index_dir)
+    if not os.path.exists(docs_dst):
+        os.makedirs(docs_dst, exist_ok=True)
+        dset = pads.dataset(docs_src)
+        for i, frag in enumerate(dset.get_fragments()):
+            t = frag.to_table()
+            if dead:
+                mask = np.isin(
+                    t["doc_id"].to_numpy(zero_copy_only=False), list(dead),
+                    invert=True,
+                )
+                t = t.filter(pa.array(mask))
+            atomic_write_parquet(t, os.path.join(docs_dst, f"docs-{i:05d}.parquet"))
+    from ..state.manifest import BuildManifest
+
+    BuildManifest(out_dir).mark_phase_done("docs", {"source": docs_src})
+    meta = compute_stats(docs_dst, out_dir, config)
+    build_shards(docs_dst, out_dir, config, meta, num_salts=num_salts)
+    return meta
+
+
+# ---------------- tombstone deletes ----------------
+
+def delete_docs(index_dir: str, doc_ids: list[int]) -> int:
+    """Record doc_ids as deleted (append-only tombstone parquet files)."""
+    d = os.path.join(index_dir, "tombstones")
+    os.makedirs(d, exist_ok=True)
+    existing = _tombstones(index_dir)
+    new = sorted(set(int(x) for x in doc_ids) - existing)
+    if not new:
+        return 0
+    n = len(os.listdir(d))
+    atomic_write_parquet(
+        pa.table({"doc_id": pa.array(new, pa.int64())}),
+        os.path.join(d, f"tombstones-{n:05d}.parquet"),
+    )
+    return len(new)
+
+
+def delete_by_url(index_dir: str, urls: list[str]) -> int:
+    from ..functions.hashing import doc_id_from_url
+
+    return delete_docs(index_dir, [doc_id_from_url(u) for u in urls])
+
+
+def _tombstones(index_dir: str) -> set[int]:
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return set()
+    t = pads.dataset(d).to_table(columns=["doc_id"])
+    return set(t["doc_id"].to_pylist())
+
+
+def load_tombstones(index_dir: str) -> set[int]:
+    return _tombstones(index_dir)

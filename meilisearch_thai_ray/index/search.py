@@ -65,6 +65,12 @@ class SearchEngine:
         self.block = self.meta["posting_block"]
         self._shard_cache: dict[int, dict[str, list]] = {}
         self._seg_cache: dict[str, list] = {}  # decoded segments per term
+        from .maintenance import load_tombstones
+
+        self._dead: set[int] = load_tombstones(index_dir)
+        self._dead_arr = (
+            np.fromiter(self._dead, dtype=np.uint64) if self._dead else None
+        )
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
 
@@ -176,6 +182,11 @@ class SearchEngine:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, all_contrib)
+        if self._dead_arr is not None:  # tombstoned docs never surface
+            alive = ~np.isin(uniq, self._dead_arr)
+            uniq, acc = uniq[alive], acc[alive]
+            if uniq.size == 0:
+                return []
         if uniq.size <= k:
             order = np.lexsort((uniq, -acc))
         else:
@@ -238,7 +249,8 @@ class SearchEngine:
                     bi = int(np.searchsorted(seg.block_last, np.int64(pivot_doc)))
                     block_ub += c[3] * float(seg.block_max[bi])
                     hit.append(c)
-                if block_ub > theta or len(heap) < k or block_ub == theta:
+                alive = int(pivot_doc) not in self._dead
+                if alive and (block_ub > theta or len(heap) < k or block_ub == theta):
                     hit.sort(key=lambda c: c[4])  # sorted-term order
                     score = 0.0
                     for c in hit:

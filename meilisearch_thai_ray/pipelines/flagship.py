@@ -113,6 +113,25 @@ def flagship_proxy_search(sf_dir: str, k: int = 10):
     )
 
 
+def variant_distribution(sf_dir: str):
+    """A2: per-variant hit distribution over the proxy results
+    (search_executor.py:603-615 analog) — groupby(variant_type).count."""
+    t = flagship_proxy_search(sf_dir)
+    return ray.data.from_arrow(t).groupby("variant_type").count()
+
+
+def build_metrics(sf_dir: str):
+    """ST5/A3: per-partition build lineage/metrics from the manifest."""
+    from ..state.manifest import BuildManifest
+
+    index_dir = build_flagship_index(sf_dir)
+    rows = BuildManifest(index_dir).partitions("shards")
+    cols = ["partition", "shard", "salt", "n_terms", "n_postings", "bytes"]
+    return pa.table(
+        {c: pa.array([int(r[c]) for r in rows], pa.int64()) for c in cols}
+    )
+
+
 def flagship_search(sf_dir: str, k: int = 10, mode: str = "wand"):
     """Build (cached) + evaluate the fixture query set. -> (qid, rank, doc_id, score)."""
     from ..index.search import SearchEngine

