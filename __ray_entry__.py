@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": st.ann_cosine_topk,
         "q1_lineitem_agg": st.lineitem_agg,
         "mm_feature_extract": st.mm_features,
+        "j1_broadcast_join": st.broadcast_join,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
         "d2_simhash_sigs": dp.simhash_sigs,

@@ -87,6 +87,7 @@ class EngineConfig:
     num_shards: int = 32          # index shard count (hash(term) % num_shards)
     remove_stop_words: bool = True
     lowercase_latin: bool = True
+    index_compound_parts: bool = True  # index compound sub-tokens (partial-compound search)
     stop_words: frozenset[str] = THAI_STOP_WORDS
 
     def dictionary_words(self) -> tuple[list[str], list[str]]:

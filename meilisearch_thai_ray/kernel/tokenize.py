@@ -35,12 +35,27 @@ from .charclass import (
 from .segmenter import ThaiSegmenter
 
 
+TOKENIZER_VERSION = "2"  # bump on any index-term semantic change (cache keys)
+
+
 class DocumentTokenizer:
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
         base, custom = self.config.dictionary_words()
         self.segmenter = ThaiSegmenter(base, custom)
         self.stop_words = self.config.stop_words if self.config.remove_stop_words else frozenset()
+        # compound sub-token table: dictionary compound -> decomposable parts.
+        # The reference's searchable surface includes compound parts (the
+        # double-U+200B sub-token form of token_processor.py:249-262, plus
+        # Meilisearch's own sub-matching) — partial-compound queries like
+        # "วากาเมะ" must hit docs containing only "สาหร่ายวากาเมะ".
+        self.compound_parts: dict[str, list[str]] = {}
+        if self.config.index_compound_parts:
+            for w in sorted(self.segmenter.custom_set):
+                if len(w) > 6:
+                    parts = self.segmenter._alt_segment(w)
+                    if len(parts) > 1:
+                        self.compound_parts[w] = parts
 
     # ---------------- tokenization ----------------
 
@@ -76,6 +91,7 @@ class DocumentTokenizer:
         out: list[str] = []
         lower = self.config.lowercase_latin
         stop = self.stop_words
+        parts_of = self.compound_parts
         for t in tokens:
             ts = t.strip()
             if not ts:
@@ -85,6 +101,9 @@ class DocumentTokenizer:
             if ts in stop:
                 continue
             out.append(ts.lower() if lower else ts)
+            parts = parts_of.get(ts)
+            if parts:  # compound parts become index terms too (sub-token surface)
+                out.extend(parts)
         return out
 
     def analyze(self, text: str) -> dict:

@@ -64,8 +64,13 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
     from ..index.build import build_index
 
     from ..kernel.extract import EXTRACTOR_VERSION
+    from ..kernel.tokenize import TOKENIZER_VERSION
 
-    cfg_tag = EngineConfig(num_shards=8).dictionary_hash() + EXTRACTOR_VERSION
+    cfg_tag = (
+        EngineConfig(num_shards=8).dictionary_hash()
+        + EXTRACTOR_VERSION
+        + TOKENIZER_VERSION
+    )
     key = hashlib.md5(
         (os.path.abspath(sf_dir) + cfg_tag).encode()
     ).hexdigest()[:10]

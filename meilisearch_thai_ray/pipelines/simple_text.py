@@ -459,6 +459,43 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------- broadcast join
+
+def broadcast_join(sf_dir: str):
+    """J1 pattern at relational scale: small side (customer) shipped ONCE via
+    ray.put, probed per batch with a zero-copy plasma get + polars hash join —
+    no shuffle. The big side (orders) streams."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        _doc_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    cust_ref = ray.put(cust)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        small = pl.from_arrow(ray.get(cust_ref))  # zero-copy from plasma
+        big = pl.from_arrow(batch)
+        out = big.join(small, left_on="o_custkey", right_on="c_custkey", how="inner")
+        out = out.with_columns(pl.col("o_totalprice").round(2))
+        return out.select(["o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"]).to_arrow()
+
+    orders = ray.data.read_parquet(
+        _doc_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return orders.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+
+
+SQL["j1_broadcast_join"] = """
+SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def mm_features(sf_dir: str):

@@ -149,3 +149,12 @@ def test_bm25_oracle_basic():
     # tie-break by doc_id when scores equal
     o2 = BM25Oracle([(5, ["x"]), (2, ["x"])])
     assert [d for d, _ in o2.top_k(["x"], 2)] == [2, 5]
+
+
+def test_compound_parts_indexed(tok):
+    """Partial-compound search surface: a doc containing ONLY the whole
+    compound must still produce the sub-part terms (reference double-ZWSP
+    sub-token surface, token_processor.py:249-262)."""
+    terms = tok.index_terms(tok.tokenize("สาหร่ายวากาเมะ"))
+    assert "สาหร่ายวากาเมะ" in terms
+    assert "วากาเมะ" in terms and "สาหร่าย" in terms

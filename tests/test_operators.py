@@ -37,7 +37,7 @@ SQL_CHECKED = [
     "m1_token_stats", "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
     "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
     "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "ann_cosine_topk",
-    "q1_lineitem_agg", "mm_feature_extract",
+    "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
 ]
 
 
@@ -195,3 +195,42 @@ def test_lang_id_thai_vs_english():
     ]})
     out = LangId()(t)
     assert out["pred_lang"].to_pylist() == ["th", "en"]
+
+
+def test_json_document_ingest(ray_session, tmp_path):
+    """S1: {id,title,content,metadata} docs -> pages-shaped rows -> full build."""
+    import json as _json
+
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.search import SearchEngine
+    from meilisearch_thai_ray.sources.documents import (
+        from_document_list,
+        read_documents_jsonl,
+    )
+
+    docs = [
+        {"id": "tech_001", "title": "ปัญญาประดิษฐ์", "content": "เทคโนโลยีปัญญาประดิษฐ์ในประเทศไทย",
+         "metadata": {"category": "technology"}},
+        {"id": "food_001", "title": "อาหารญี่ปุ่น", "content": "สาหร่ายวากาเมะและซูชิ",
+         "metadata": {"category": "food"}},
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(_json.dumps(d, ensure_ascii=False) for d in docs), encoding="utf-8")
+
+    ds = read_documents_jsonl(str(p))
+    t = ds.to_pandas()
+    assert list(t["url"]) == ["doc://tech_001", "doc://food_001"]
+    assert t["text"][0].startswith("ปัญญาประดิษฐ์\n")
+
+    pages_dir = tmp_path / "pages"
+    ds2 = from_document_list(docs)
+    ds2.write_parquet(str(pages_dir))
+    out = tmp_path / "idx"
+    build_index(str(pages_dir), str(out), EngineConfig(num_shards=2))
+    eng = SearchEngine(str(out))
+    hits = eng.search("สาหร่ายวากาเมะ")
+    assert len(hits) == 1
+
+    with pytest.raises(ValueError):
+        from_document_list([{"title": "no id"}])
