@@ -275,6 +275,33 @@ class SearchEngine:
         elif item > heap[0]:
             heapq.heapreplace(heap, item)
 
+    # ------------- prefix expansion -------------
+
+    def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
+        """Terms starting with `prefix`, by descending df then lexicographic
+        (Meilisearch matches the LAST query word as a prefix; the proxy can add
+        the expansions as extra terms). Terms are hash-sharded, so a prefix
+        scan touches every shard — acceptable for interactive queries (shards
+        cache warm); a dedicated sorted term dictionary is the scale path."""
+        if not prefix:
+            return []
+        cands: list[tuple[int, str]] = []
+        for shard in range(self.num_shards):
+            for term, segs in self._load_shard(shard).items():
+                if term.startswith(prefix):
+                    cands.append((-sum(s[0] for s in segs), term))
+        cands.sort()
+        return [t for _, t in cands[:limit]]
+
+    def search_prefix(self, query: str, k: int = 10, expansions: int = 5):
+        """Search where the final token also matches as a prefix."""
+        terms = self.query_terms(query)
+        if terms:
+            extra = [t for t in self.expand_prefix(terms[-1], expansions)
+                     if t not in terms]
+            terms = terms + extra
+        return self.score_topk(terms, k=k)
+
     # ------------- public search -------------
 
     def search(self, query: str, k: int = 10, mode: str = "exhaustive"):

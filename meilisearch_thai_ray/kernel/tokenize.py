@@ -35,7 +35,7 @@ from .charclass import (
 from .segmenter import ThaiSegmenter
 
 
-TOKENIZER_VERSION = "2"  # bump on any index-term semantic change (cache keys)
+TOKENIZER_VERSION = "3"  # bump on any index-term semantic change (cache keys)
 
 
 class DocumentTokenizer:

@@ -69,6 +69,22 @@ class Trie:
         return best
 
 
+# Thai dependent vowels / tone marks / thanthakhat — a DICTIONARY MATCH must
+# never leave one of these stranded at the next token start (TCC safety;
+# pythainlp's newmm guarantees the same via Thai Character Cluster rules).
+# Ranges: mai han-akat U+0E31, sara am..sara uee U+0E33-0E3A (plus phinthu),
+# tone marks + thanthakhat etc. U+0E47-0E4E. Malformed input that BEGINS with
+# orphan marks (no base consonant anywhere before them) groups them into their
+# own unknown-run token — garbage-in, lossless-garbage-out.
+_COMBINING = frozenset(
+    chr(c) for c in [0x0E31, *range(0x0E33, 0x0E3B), *range(0x0E47, 0x0E4F)]
+)
+
+
+def is_combining_mark(c: str) -> bool:
+    return c in _COMBINING
+
+
 def _char_class(c: str) -> int:
     """0=thai 1=space 2=alpha 3=digit 4=other — run classes for non-dictionary spans."""
     if is_thai_char(c):
@@ -105,6 +121,11 @@ def segment(text: str, trie: Trie, keep_whitespace: bool = True) -> list[str]:
         c = text[i]
         if is_thai_char(c):
             m = trie.longest_prefix(text, i)
+            # TCC safety: a match whose NEXT char is a combining mark would
+            # strand that mark at a token start — reject and treat the span as
+            # part of the unknown run instead
+            if m > 0 and i + m < n and text[i + m] in _COMBINING:
+                m = 0
             if m > 0:
                 flush_unknown(i)
                 tokens.append(text[i : i + m])

@@ -155,3 +155,34 @@ def test_scores_survive_salt_change(built, oracle, tok):
     for q in QUERY_FIXTURES[:12]:
         terms = tok.index_terms(tok.tokenize(q["query"]))
         assert eng.score_topk(terms, 10) == oracle.top_k(terms, 10), q["qid"]
+
+
+def test_prefix_expansion(built):
+    _, out, _ = built
+    eng = SearchEngine(out)
+    ex = eng.expand_prefix("สาหร่าย")
+    assert "สาหร่ายวากาเมะ" in ex or "สาหร่าย" in ex
+    assert eng.expand_prefix("") == []
+    assert eng.expand_prefix("zzzz") == []
+    # with k >= corpus, prefix search covers every exact-term result
+    base = {d for d, _ in eng.score_topk(eng.query_terms("อาหาร"), 1000)}
+    pref = {d for d, _ in eng.search_prefix("อาหาร", 1000)}
+    assert base <= pref
+
+
+def test_spill_shuffle_byte_identical(built):
+    """The explicit external (spill) shuffle must produce the exact same shard
+    bytes as the Ray-native sort shuffle."""
+    import meilisearch_thai_ray.index.build as b
+
+    _, out, meta = built
+    out2 = os.path.join(os.path.dirname(out), "index_spill")
+    shutil.rmtree(out2, ignore_errors=True)
+    os.makedirs(out2)
+    m = b.compute_stats(os.path.join(out, "docs"), out2, CFG)
+    b.build_shards(os.path.join(out, "docs"), out2, CFG, m, num_salts=2,
+                   shuffle="spill")
+    assert _hash_tree(os.path.join(out2, "shards")) == _hash_tree(
+        os.path.join(out, "shards")
+    )
+    assert not os.path.exists(os.path.join(out2, "_spill"))  # transient cleaned

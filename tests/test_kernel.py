@@ -158,3 +158,22 @@ def test_compound_parts_indexed(tok):
     terms = tok.index_terms(tok.tokenize("สาหร่ายวากาเมะ"))
     assert "สาหร่ายวากาเมะ" in terms
     assert "วากาเมะ" in terms and "สาหร่าย" in terms
+
+
+def test_tcc_safety_no_token_starts_with_combining_mark():
+    from meilisearch_thai_ray.kernel.trie import Trie, is_combining_mark, segment
+
+    # dict word followed by a dependent vowel: the match must be rejected so
+    # the mark never strands at a token start
+    t = Trie(["กิน", "ข้าว"])
+    for text in ["กินข้าว", "กินืข้าว", "ข้าวกิน้"]:
+        toks = segment(text, t)
+        assert "".join(toks) == text
+        for tok in toks:
+            assert not is_combining_mark(tok[0]), (text, toks)
+
+
+def test_tcc_safety_real_words(tok):
+    # real vocabulary must still segment normally (marks inside words are fine)
+    toks = tok.tokenize("เมื่อที่ซึ่งแล้ว")
+    assert all(not t or t[0] not in map(chr, range(0x0E47, 0x0E4F)) for t in toks)
