@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": st.broadcast_join,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
+        "d2_embed_neardup": dp.embedding_neardup_pairs,
         "d2_simhash_sigs": dp.simhash_sigs,
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,

@@ -77,6 +77,60 @@ def simhash_sigs(sf_dir: str):
     )
 
 
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
+                            nbits: int = 10):
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (one pass)
+    -> within-bucket exact cosine verification -> (a, b, cos) pairs.
+
+    The bucket groupby is the only shuffle; bucket population is bounded by
+    the hyperplane count (2^nbits buckets). Verification reads only candidate
+    vectors (tiny)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import LshBucketAssign
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        LshBucketAssign,
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = np.asarray(group["embedding"].combine_chunks().values,
+                         dtype=np.float64).reshape(len(ids), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        out_a, out_b, out_c = [], [], []
+        order = np.argsort(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ii, jj = order[i], order[j]
+                c = sims[ii, jj]
+                if c >= threshold:
+                    out_a.append(int(ids[ii]))
+                    out_b.append(int(ids[jj]))
+                    out_c.append(round(float(c), 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
 def lang_id(sf_dir: str):
     from ..stages.text_stats import LangId
 

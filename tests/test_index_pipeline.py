@@ -186,3 +186,22 @@ def test_spill_shuffle_byte_identical(built):
         os.path.join(out, "shards")
     )
     assert not os.path.exists(os.path.join(out2, "_spill"))  # transient cleaned
+
+
+def test_fused_build_identical(built):
+    """Single-job fused build == phased build: shard bytes, stats, docs rows."""
+    from meilisearch_thai_ray.index.build import build_index_fused
+
+    pages_dir, out, meta = built
+    out2 = os.path.join(os.path.dirname(pages_dir), "index_fused")
+    shutil.rmtree(out2, ignore_errors=True)
+    m2 = build_index_fused(pages_dir, out2, CFG, num_salts=2, batch_size=64)
+    assert (m2["n_docs"], m2["avgdl"]) == (meta["n_docs"], meta["avgdl"])
+    assert _hash_tree(os.path.join(out2, "shards")) == _hash_tree(
+        os.path.join(out, "shards")
+    )
+    a = pads.dataset(os.path.join(out, "docs")).to_table(
+        columns=["doc_id", "token_count"]).to_pandas().sort_values("doc_id")
+    b = pads.dataset(os.path.join(out2, "docs")).to_table(
+        columns=["doc_id", "token_count"]).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

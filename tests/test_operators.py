@@ -234,3 +234,30 @@ def test_json_document_ingest(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         from_document_list([{"title": "no id"}])
+
+
+def test_embedding_neardup_planted(ray_session, tmp_path):
+    """Embedding-cosine near-dup finds planted near-identical vectors."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # plant 5 near-dups: tiny perturbations of the first five vectors
+    dups = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    mat = np.vstack([base, dups])
+    ids = list(range(50)) + [100 + i for i in range(5)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"),
+    )
+    pairs = embedding_neardup_pairs(str(d), threshold=0.95).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= found, planted - found
+    assert (pairs["cos"] >= 0.95).all()
