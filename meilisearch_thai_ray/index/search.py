@@ -71,6 +71,7 @@ class SearchEngine:
         self._dead_arr = (
             np.fromiter(self._dead, dtype=np.uint64) if self._dead else None
         )
+        self._require_all_terms: int | None = None
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
 
@@ -143,13 +144,16 @@ class SearchEngine:
     # ------------- scoring -------------
 
     def score_topk(self, terms: list[str], k: int = 10,
-                   mode: str = "auto") -> list[tuple[int, float]]:
+                   mode: str = "auto", match: str = "any") -> list[tuple[int, float]]:
         """terms: raw query term list (duplicates = weights). -> [(doc_id, score)]
         sorted by (-score, doc_id).
 
         mode="auto": exhaustive for small candidate sets (vectorized numpy wins),
         block-max WAND when total postings are large enough that skipping pays.
-        Both return identical results (asserted in tests)."""
+        Both return identical results (asserted in tests).
+
+        match: "any" (OR, default BM25) or "all" (docs must contain every query
+        term — Meilisearch matchingStrategy="all", search_executor.py:731-753)."""
         weights = Counter(terms)
         ordered = sorted(weights)
         loaded = []
@@ -157,6 +161,8 @@ class SearchEngine:
         for term in ordered:
             segs = self.segments(term)
             if not segs:
+                if match == "all":
+                    return []  # a required term is absent from the corpus
                 continue
             df = sum(s.n for s in segs)
             total_postings += df
@@ -164,11 +170,32 @@ class SearchEngine:
             loaded.append((term, float(weights[term]), idf_t, segs))
         if not loaded:
             return []
-        if mode == "auto":
+        self._require_all_terms = len(loaded) if match == "all" else None
+        if match == "all":
+            mode = "exhaustive"  # WAND prunes on OR upper bounds; AND filters post-hoc
+        elif mode == "auto":
             mode = "wand" if total_postings > 200_000 and len(loaded) > 1 else "exhaustive"
         if mode == "wand":
             return self._score_wand(loaded, k)
         return self._score_exhaustive(loaded, k)
+
+    def search_matching(self, query: str, k: int = 10,
+                        strategy: str = "last") -> list[tuple[int, float]]:
+        """Meilisearch matching strategies over our BM25:
+        "all" — every term required; "any" — plain OR;
+        "last" (Meilisearch default) — require all terms, then progressively
+        drop terms from the END of the query until something matches."""
+        terms = self.query_terms(query)
+        if strategy == "any":
+            return self.score_topk(terms, k=k)
+        if strategy == "all":
+            return self.score_topk(terms, k=k, match="all")
+        while terms:
+            hits = self.score_topk(terms, k=k, match="all")
+            if hits:
+                return hits
+            terms = terms[:-1]
+        return []
 
     def _score_exhaustive(self, loaded, k: int) -> list[tuple[int, float]]:
         id_chunks, contrib_chunks = [], []
@@ -182,6 +209,16 @@ class SearchEngine:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, all_contrib)
+        if self._require_all_terms is not None:
+            # matchingStrategy="all": keep only docs matched by EVERY query
+            # term (per-term doc sets are salt-disjoint, so one contribution
+            # chunk per term per doc => counting chunks counts terms)
+            counts = np.zeros(uniq.size, dtype=np.int32)
+            np.add.at(counts, inv, np.ones(all_ids.size, dtype=np.int32))
+            keep = counts == self._require_all_terms
+            uniq, acc = uniq[keep], acc[keep]
+            if uniq.size == 0:
+                return []
         if self._dead_arr is not None:  # tombstoned docs never surface
             alive = ~np.isin(uniq, self._dead_arr)
             uniq, acc = uniq[alive], acc[alive]

@@ -71,3 +71,20 @@ class BM25Oracle:
     def top_k(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
         scores = self.score_query(terms)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def top_k_all(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """matchingStrategy='all' oracle: only docs containing EVERY unique
+        query term; scores identical to top_k for the surviving docs."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return []
+        doc_sets = []
+        for t in uniq:
+            plist = self.postings.get(t)
+            if not plist:
+                return []
+            doc_sets.append(set(plist))
+        required = set.intersection(*doc_sets)
+        scores = self.score_query(terms)
+        hits = [(d, s) for d, s in scores.items() if d in required]
+        return sorted(hits, key=lambda kv: (-kv[1], kv[0]))[:k]

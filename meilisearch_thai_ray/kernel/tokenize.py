@@ -140,3 +140,21 @@ class DocumentTokenizer:
 
 
 SEPARATORS = [" ", "\t", "\n", "\r", THAI_WORD_SEPARATOR, THAI_COMPOUND_SEPARATOR]
+
+
+def tokenize_api(text: str, tokenizer: DocumentTokenizer | None = None,
+                 compound: bool = True) -> dict:
+    """Reference tokenize-API response shape (TokenizationResult,
+    thai_segmenter.py:29-38): original_text, tokens, word_boundaries, engine.
+    processing_time_ms omitted — wall clock never belongs in results."""
+    tok = tokenizer or DocumentTokenizer()
+    seg = tok.segmenter
+    tokens = (
+        seg.segment_compound_words(text) if compound else seg.segment_text(text)
+    )
+    return {
+        "original_text": text,
+        "tokens": tokens,
+        "word_boundaries": seg.word_boundaries(text, tokens),
+        "engine": "newmm_custom" + ("_compound" if compound else ""),
+    }

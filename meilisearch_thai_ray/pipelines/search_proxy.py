@@ -297,11 +297,29 @@ class SearchProxy:
         tokens = self.tokenizer.tokenize(query)
         confidence = self.tokenization_confidence(query, tokens)
 
+        # per-variant matchingStrategy (search_executor.py:731-753):
+        # original -> "all", tokenized/compound_split -> "last",
+        # fallback/mixed -> most flexible ("frequency" ~= our "any")
+        strategies = {ORIGINAL: "all", TOKENIZED: "last", COMPOUND_SPLIT: "last"}
+
         candidates: list[tuple] = []  # (hit_dict, score, variant, position)
         for variant in variants:
-            hits = self.engine.score_topk(
-                self.expand_synonyms(variant.terms), k=MAX_RESULTS_PER_VARIANT
-            )
+            terms = self.expand_synonyms(variant.terms)
+            strat = strategies.get(variant.variant_type, "any")
+            if strat == "all":
+                hits = self.engine.score_topk(terms, k=MAX_RESULTS_PER_VARIANT,
+                                              match="all")
+            elif strat == "last":
+                tt = list(terms)
+                hits = []
+                while tt:
+                    hits = self.engine.score_topk(tt, k=MAX_RESULTS_PER_VARIANT,
+                                                  match="all")
+                    if hits:
+                        break
+                    tt = tt[:-1]
+            else:
+                hits = self.engine.score_topk(terms, k=MAX_RESULTS_PER_VARIANT)
             if not hits:
                 continue
             max_score = hits[0][1] or 1.0  # normalize per variant -> base in [0,1]

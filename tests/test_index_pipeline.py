@@ -205,3 +205,42 @@ def test_fused_build_identical(built):
     b = pads.dataset(os.path.join(out2, "docs")).to_table(
         columns=["doc_id", "token_count"]).to_pandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_matching_strategy_all(built, oracle, tok):
+    """matchingStrategy='all' == oracle intersection semantics, scores intact."""
+    _, out, _ = built
+    eng = SearchEngine(out)
+    checked = 0
+    for q in QUERY_FIXTURES:
+        terms = tok.index_terms(tok.tokenize(q["query"]))
+        a = eng.score_topk(terms, 10, match="all")
+        o = oracle.top_k_all(terms, 10)
+        assert a == o, q["qid"]
+        any_hits = eng.score_topk(terms, 10)
+        assert set(d for d, _ in a) <= {d for d, _ in any_hits} or len(any_hits) == 10
+        checked += bool(a)
+    assert checked >= 5  # multi-term AND still matches somewhere in the corpus
+
+
+def test_matching_strategy_last(built):
+    """'last' drops trailing terms until something matches."""
+    _, out, _ = built
+    eng = SearchEngine(out)
+    # append garbage term: 'all' fails, 'last' recovers by dropping it
+    hits_all = eng.search_matching("อาหาร zzzzqq", strategy="all")
+    hits_last = eng.search_matching("อาหาร zzzzqq", strategy="last")
+    assert hits_all == []
+    assert hits_last and hits_last == eng.score_topk(["อาหาร"], 10, match="all")
+    assert eng.search_matching("qqqq zzzz", strategy="last") == []
+
+
+def test_tokenize_api_shape(tok):
+    from meilisearch_thai_ray.kernel.tokenize import tokenize_api
+
+    r = tokenize_api("สาหร่ายวากาเมะอร่อย", tokenizer=tok)
+    assert r["original_text"] == "สาหร่ายวากาเมะอร่อย"
+    assert "สาหร่ายวากาเมะ" in r["tokens"]
+    assert len(r["word_boundaries"]) == len(r["tokens"]) + 1
+    assert r["word_boundaries"][0] == 0
+    assert r["word_boundaries"][-1] == len(r["original_text"])

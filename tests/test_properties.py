@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure kernel — invariants that
+must hold on arbitrary input, beyond the reference's example-based suite."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from meilisearch_thai_ray.config import EngineConfig
+from meilisearch_thai_ray.index.codec import (
+    decode_segment,
+    encode_segment,
+    varint_decode,
+    varint_encode,
+)
+from meilisearch_thai_ray.kernel import DocumentTokenizer, html_to_text
+from meilisearch_thai_ray.kernel.charclass import classify_token
+from meilisearch_thai_ray.kernel.trie import is_combining_mark
+
+_TOK = DocumentTokenizer(EngineConfig())
+
+# text alphabet: thai letters + marks, latin, digits, space, punctuation, ZWSP
+_ALPHABET = st.sampled_from(
+    list("กขคงจฉชซญดตถทนบปผพฟมยรลวศสหอฮ")
+    + list("ะัาิีึืุูเแโใไ่้๊๋็์ๆฯ")
+    + list("abcXYZ019 .,!-​\n")
+)
+_TEXT = st.text(alphabet=_ALPHABET, max_size=120)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_TEXT)
+def test_segmentation_concat_lossless(text):
+    toks = _TOK.segmenter.segment_text(text)
+    assert "".join(toks) == ("" if not text.strip() else text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_TEXT)
+def test_no_dictionary_match_strands_marks(text):
+    # every token produced from well-formed positions must not begin with a
+    # combining mark unless the mark had no preceding base char in its run
+    toks = _TOK.segmenter.segment_text(text)
+    pos = 0
+    for t in toks:
+        if t and is_combining_mark(t[0]):
+            # allowed ONLY if the char before this token in the original text
+            # is not a thai base char (i.e. the mark was orphaned in input)
+            before = text[pos - 1] if pos > 0 else ""
+            assert not ("ก" <= before <= "ฮ"), (text, toks)
+        pos += len(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_TEXT)
+def test_index_terms_no_empties_no_stopwords(text):
+    terms = _TOK.index_terms(_TOK.tokenize(text))
+    assert all(t.strip() for t in terms)
+    assert all(t not in _TOK.stop_words for t in terms)
+    assert all(classify_token(t) != "punct" for t in terms)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_TEXT)
+def test_extractor_idempotent_on_extracted(text):
+    # extracting already-extracted text changes nothing (no tags left)
+    once = html_to_text(text.replace("<", "").replace(">", "").replace("&", ""))
+    assert html_to_text(once) == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), max_size=300))
+def test_varint_roundtrip_property(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr), len(values)), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 62)),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_segment_roundtrip_property(postings):
+    postings.sort()
+    ids = np.array([p[0] for p in postings], dtype=np.uint64)
+    tfs = np.array([p[1] for p in postings], dtype=np.uint64)
+    dls = np.array([p[2] for p in postings], dtype=np.uint64)
+    seg = encode_segment(ids, tfs, dls, avgdl=77.7)
+    out = decode_segment(seg["docs_bin"], seg["tfs_bin"], seg["dls_bin"], len(ids))
+    assert np.array_equal(out[0], ids)
+    assert np.array_equal(out[1], tfs)
+    assert np.array_equal(out[2], dls)
