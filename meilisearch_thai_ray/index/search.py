@@ -314,6 +314,19 @@ class SearchEngine:
 
     # ------------- prefix expansion -------------
 
+    def warm(self) -> int:
+        """Preload every shard's term table (server-startup warm-up; kills the
+        first-query latency tail). Returns number of terms loaded."""
+        total = 0
+        for shard in range(self.num_shards):
+            total += len(self._load_shard(shard))
+        return total
+
+    def suggest(self, prefix: str, limit: int = 10) -> list[str]:
+        """Query suggestions: df-ranked terms completing `prefix`, capped at 10
+        (reference K4, src/tokenizer/query_processor.py:175 `[:10]`)."""
+        return self.expand_prefix(prefix, limit=min(limit, 10))
+
     def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
         """Terms starting with `prefix`, by descending df then lexicographic
         (Meilisearch matches the LAST query word as a prefix; the proxy can add

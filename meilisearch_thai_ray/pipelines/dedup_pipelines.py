@@ -128,7 +128,16 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
                          "b": pa.array(out_b, pa.int64()),
                          "cos": pa.array(out_c, pa.float64())})
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    t = out.to_arrow_refs()
+    import pyarrow as _pa
+
+    tables = [x for x in ray.get(t)]
+    tables = [x for x in tables if x.num_rows] or [
+        _pa.table({"a": _pa.array([], _pa.int64()), "b": _pa.array([], _pa.int64()),
+                   "cos": _pa.array([], _pa.float64())})
+    ]
+    return _pa.concat_tables(tables)  # concrete table => schema survives empty results
 
 
 def lang_id(sf_dir: str):
