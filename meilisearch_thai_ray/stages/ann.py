@@ -79,6 +79,69 @@ def merge_topk(partials: pa.Table, k: int = 10) -> pa.Table:
     )
 
 
+def kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 13) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side sample (deterministic seed).
+    Returns (k, dim) float64 centroids — the broadcast small side of IVF."""
+    rng = np.random.default_rng(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IvfAssign:
+    """IVF list assignment: vec -> nearest centroid id (stateful stage; the
+    centroid matrix ships once per actor/worker via constructor args)."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        d2 = (
+            (mat ** 2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ self.centroids.T)
+            + (self.centroids ** 2).sum(axis=1)[None, :]
+        )
+        lists = d2.argmin(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def ivf_search(listed_table: pa.Table, centroids: np.ndarray, query_vec,
+               k: int = 10, nprobe: int = 4, round_to: int = 6) -> pa.Table:
+    """Probe only the nprobe nearest IVF lists — the ANN scale path (recall is
+    approximate; BruteForceCosineTopK is the exact oracle)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cd = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(cd)[:nprobe].tolist())
+    mask = np.isin(
+        np.asarray(listed_table["ivf_list"].to_numpy(zero_copy_only=False)),
+        list(probe),
+    )
+    sub = listed_table.filter(pa.array(mask))
+    if sub.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    mat = _batch_matrix(sub, "embedding")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ qn) / norms, round_to)
+    ids = np.asarray(sub["vec_id"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({"vec_id": pa.array(ids[order].astype(np.int64)),
+                     "sim": pa.array(sims[order].astype(np.float64))})
+
+
 class LshBucketAssign:
     """Random-hyperplane LSH: vec -> nbits-bit bucket id (seeded planes built
     once per actor). Query-time: probe buckets within `probe_hamming` bits."""

@@ -261,3 +261,31 @@ def test_embedding_neardup_planted(ray_session, tmp_path):
     planted = {(i, 100 + i) for i in range(5)}
     assert planted <= found, planted - found
     assert (pairs["cos"] >= 0.95).all()
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    """IVF with nprobe=4/8 lists approximates brute force; full probe == exact."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.stages.ann import IvfAssign, ivf_search, kmeans_fit
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64)
+    mat = mat.reshape(t.num_rows, -1)
+    ids = t["vec_id"].to_numpy()
+    q = mat[list(ids).index(0)]
+
+    cents = kmeans_fit(mat[:200], k=8)
+    listed = IvfAssign(cents)(t)
+    assert set(listed["ivf_list"].to_pylist()) <= set(range(8))
+
+    # exact ground truth
+    sims = np.round(mat @ (q / np.linalg.norm(q))
+                    / np.linalg.norm(mat, axis=1), 6)
+    exact = [int(ids[i]) for i in np.lexsort((ids, -sims))[:10]]
+
+    full = ivf_search(listed, cents, q, k=10, nprobe=8)  # probe all lists
+    assert full["vec_id"].to_pylist() == exact
+    part = ivf_search(listed, cents, q, k=10, nprobe=4)
+    recall = len(set(part["vec_id"].to_pylist()) & set(exact)) / 10
+    assert recall >= 0.5  # approximate path finds most of the exact top-10
