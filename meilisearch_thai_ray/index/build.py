@@ -126,6 +126,19 @@ def _encode_group_to_file(group: pa.Table, path: str, *, shard: int, salt: int,
     return len(starts), n, total_bytes
 
 
+def _save_stage_stats(ds, out_dir: str, phase: str) -> None:
+    """Persist ds.stats() (per-operator wall/cpu/memory breakdown) next to the
+    manifest — the observability trail for tuning batch sizes and concurrency."""
+    try:
+        text = ds.stats()
+    except Exception:
+        return
+    d = os.path.join(out_dir, "_manifest")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"stats_{phase}.txt"), "w") as f:
+        f.write(text)
+
+
 def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
                batch_size: int = 256, concurrency=None) -> str:
     """Phase 'docs'. Returns the docs parquet directory.
@@ -154,6 +167,7 @@ def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
     )
     docs.write_parquet(docs_dir)
     os.makedirs(docs_dir, exist_ok=True)  # zero-row corpus: sink writes nothing
+    _save_stage_stats(docs, out_dir, "docs")
     manifest.record_partition(
         "docs",
         {
@@ -340,11 +354,9 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
         block=config.posting_block,
         num_salts=num_salts,
     )
-    summaries = (
-        postings.groupby("part")
-        .map_groups(encode, batch_format="pyarrow")
-        .take_all()
-    )
+    summary_ds = postings.groupby("part").map_groups(encode, batch_format="pyarrow")
+    summaries = summary_ds.take_all()
+    _save_stage_stats(summary_ds, out_dir, "shards")
     for row in summaries:
         manifest.record_partition(
             "shards",

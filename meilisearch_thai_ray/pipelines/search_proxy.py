@@ -82,6 +82,27 @@ class SearchProxy:
             for w in group:
                 self.synonyms.setdefault(w, set()).update(group - {w})
         self._tok = None
+        self._text_cache: dict[int, str] = {}
+
+    def _doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        """Fetch doc texts for exact-match boosts / content tie-breaks via a
+        targeted filtered parquet read (only when docs_path is configured);
+        LRU-ish cached per proxy."""
+        if not self.docs_path:
+            return {}
+        missing = [d for d in doc_ids if d not in self._text_cache]
+        if missing:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.docs_path).to_table(
+                columns=["doc_id", "text"],
+                filter=pc.field("doc_id").isin(missing),
+            )
+            if len(self._text_cache) > 50_000:
+                self._text_cache.clear()
+            self._text_cache.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        return {d: self._text_cache[d] for d in doc_ids if d in self._text_cache}
 
     def expand_synonyms(self, terms: list[str]) -> list[str]:
         """Append synonym terms after the originals (original terms keep their
@@ -322,6 +343,10 @@ class SearchProxy:
                 hits = self.engine.score_topk(terms, k=MAX_RESULTS_PER_VARIANT)
             if not hits:
                 continue
+            # exact-match boost needs doc text (result_ranker.py:346-349):
+            # fetched only for this variant's hits, only when docs_path is set
+            texts = self._doc_texts([d for d, _ in hits])
+            qlower = query.strip().lower()
             max_score = hits[0][1] or 1.0  # normalize per variant -> base in [0,1]
             for pos, (doc_id, raw) in enumerate(hits):
                 base = raw / max_score
@@ -329,6 +354,9 @@ class SearchProxy:
                 score *= variant.weight * 1.0  # variant boost (weight_factor=1.0)
                 if analysis["thai_content_ratio"] > 0.5:
                     score *= BOOST_THAI
+                text = texts.get(doc_id)
+                if text is not None and qlower and qlower in text.lower():
+                    score *= BOOST_EXACT
                 if variant.variant_type == COMPOUND_SPLIT:
                     score *= BOOST_COMPOUND
                 if confidence > 0.8:
@@ -336,8 +364,11 @@ class SearchProxy:
                 if pos > 0:
                     score *= math.exp(-DECAY_FACTOR * pos)
                 score = min(score, 1.0)
-                candidates.append(({"doc_id": doc_id, "raw_score": raw}, score,
-                                   variant, pos))
+                candidates.append(
+                    ({"doc_id": doc_id, "raw_score": raw,
+                      "content_length": len(text) if text is not None else 0},
+                     score, variant, pos)
+                )
 
         # D2: dedup by doc id keeping the best per the reference tie-break order
         best: dict[int, tuple] = {}
@@ -374,5 +405,6 @@ class SearchProxy:
             ENGINE_PRIORITY.get(variant.engine, 4),
             pos,
             -variant.weight,
-            hit["doc_id"],  # stand-in for -content_length with deterministic order
+            -hit.get("content_length", 0),  # prefer comprehensive docs (:543)
+            hit["doc_id"],  # final deterministic break
         )

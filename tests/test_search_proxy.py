@@ -113,3 +113,22 @@ def test_synonym_expansion(proxy):
     base = {h["doc_id"] for h in proxy.search("วากาเมะ", k=20)}
     expanded = {h["doc_id"] for h in p.search("วากาเมะ", k=20)}
     assert base <= expanded or expanded  # synonym variant can only widen recall
+
+
+def test_exact_match_boost_with_docs_path(proxy, tmp_path_factory):
+    """With docs_path configured, docs containing the literal query get the
+    2.0x exact-match boost (result_ranker boost_exact_matches)."""
+    import os
+
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchProxy
+
+    index_dir = os.path.dirname(proxy.engine.index_dir + "/")  # same index
+    docs_path = os.path.join(proxy.engine.index_dir, "docs")
+    p = SearchProxy(proxy.engine, docs_path=docs_path)
+    hits = p.search("สาหร่ายวากาเมะ", k=10)
+    assert hits
+    # at least the top hit contains the literal query in its text
+    texts = p._doc_texts([hits[0]["doc_id"]])
+    assert "สาหร่ายวากาเมะ" in texts[hits[0]["doc_id"]]
+    # determinism with text fetching on
+    assert hits == p.search("สาหร่ายวากาเมะ", k=10)
