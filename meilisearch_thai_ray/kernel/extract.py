@@ -25,16 +25,19 @@ from __future__ import annotations
 import html as _html
 import re
 
-EXTRACTOR_VERSION = "1"
+EXTRACTOR_VERSION = "2"  # v2: tags with '>' inside quoted attribute values
 
 _BLOCK_TAGS = (
     "p|div|br|h1|h2|h3|h4|h5|h6|li|tr|td|th|table|title|head|body|html|ul|ol"
     "|section|article|header|footer|blockquote|pre"
 )
-_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+# tag body: unquoted chars interleaved with quoted attribute values — a '>'
+# inside quotes (href="a>b") must not terminate the tag
+_TAG_BODY = r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*"""
+_SCRIPT_RE = re.compile(rf"<(script|style)\b{_TAG_BODY}>.*?</\1\s*>", re.S | re.I)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_BLOCK_RE = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*>", re.I)
-_TAG_RE = re.compile(r"<[^>]+>")
+_BLOCK_RE = re.compile(rf"</?(?:{_BLOCK_TAGS})\b{_TAG_BODY}>", re.I)
+_TAG_RE = re.compile(rf"<{_TAG_BODY}>")
 _SPACE_RE = re.compile(r"[ \t\r\f\v]+")
 
 

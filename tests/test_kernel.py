@@ -177,3 +177,12 @@ def test_tcc_safety_real_words(tok):
     # real vocabulary must still segment normally (marks inside words are fine)
     toks = tok.tokenize("เมื่อที่ซึ่งแล้ว")
     assert all(not t or t[0] not in map(chr, range(0x0E47, 0x0E4F)) for t in toks)
+
+
+def test_html_quoted_gt_in_attribute():
+    # '>' inside a quoted attribute must not terminate the tag (extractor v2)
+    html = b'<p><a href="q?x>y" title=\'a>b\'>link</a> end</p>'
+    assert html_to_text(html) == "link end"
+    # block tag with quoted '>' still breaks lines
+    html2 = b'<div class="a>b">x</div><p>y</p>'
+    assert html_to_text(html2) == "x\ny"
