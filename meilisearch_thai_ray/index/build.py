@@ -157,6 +157,9 @@ def build_docs(pages_path: str, out_dir: str, config: EngineConfig, *,
     if manifest.phase_done("docs"):
         return docs_dir
     t0 = time.time()
+    if os.path.isdir(docs_dir):  # discard a crashed run's partial files:
+        for f in os.listdir(docs_dir):  # re-running write_parquet would
+            os.remove(os.path.join(docs_dir, f))  # duplicate every doc row
     from ..stages.extract_tokenize import extract_tokenize_fn
 
     ds = read_pages(pages_path)
@@ -203,9 +206,6 @@ def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
             n_docs, sum_dl = 0, 0
             for frag in dset.get_fragments():
                 n_docs += frag.count_rows()
-            import pyarrow.compute as pc
-
-            sum_dl = 0
             for batch in dset.to_batches(columns=["token_count"]):
                 sum_dl += pc.sum(batch.column(0)).as_py() or 0
         else:
@@ -243,19 +243,28 @@ def _spill_postings_batch(batch: pa.Table, spill_dir: str) -> pa.Table:
     append part-local parquet files; reduce tasks each read one part's files.
     No global sort — both sides embarrassingly parallel; (term, doc_id) keys
     are globally unique so the reduce-side sort makes output bytes identical
-    to the sort-shuffle path (asserted in tests)."""
-    import uuid
+    to the sort-shuffle path (asserted in tests).
+
+    Retry-idempotent: file names are a content hash of the batch's doc_ids, so
+    a re-executed map task atomically overwrites its own files instead of
+    appending duplicates (same scheme as the fused build's docs side-writes)."""
+    import hashlib
 
     import polars as pl
 
     df = pl.from_arrow(batch)
+    # order-insensitive batch identity: the SORTED doc set (each doc lives in
+    # exactly one batch; intra-batch row order is not stable across retries)
+    digest = hashlib.md5(
+        np.unique(batch["doc_id"].to_numpy(zero_copy_only=False)).tobytes()
+    ).hexdigest()[:16]
     for key, sub in df.partition_by("part", as_dict=True).items():
         part = int(key[0] if isinstance(key, tuple) else key)
         d = os.path.join(spill_dir, f"part={part:05d}")
         os.makedirs(d, exist_ok=True)
         atomic_write_parquet(
             sub.drop("part").to_arrow(),
-            os.path.join(d, f"{os.getpid()}-{uuid.uuid4().hex[:8]}.parquet"),
+            os.path.join(d, f"batch-{digest}.parquet"),
         )
     return pa.table({"rows": [len(df)]})
 
@@ -419,7 +428,10 @@ def _fused_extract_postings(batch: pa.Table, *, config: EngineConfig,
     atomic_write_parquet(docs, os.path.join(docs_dir, f"docs-{urls_digest}.parquet"))
     n = docs.num_rows
     sum_dl = int(pc.sum(docs["token_count"]).as_py() or 0)
-    stats_actor.add.remote(urls_digest, n, sum_dl)
+    # AWAIT the actor ack: the groupby barrier only guarantees map TASKS have
+    # finished — a fire-and-forget add could still be in flight when the first
+    # encode task reads totals, baking a partial avgdl into block_max
+    ray.get(stats_actor.add.remote(urls_digest, n, sum_dl))
     return postings_flat_fn(docs, num_shards=config.num_shards, num_salts=num_salts)
 
 
@@ -431,8 +443,9 @@ def _encode_part_lazy_stats(group: pa.Table, *, out_dir: str, stats_actor,
                             num_salts: int) -> pa.Table:
     """Encode callback for the fused build: avgdl is fetched from the stats
     actor on first use (final by barrier, see StatsAccumulator) and cached per
-    worker process."""
-    key = id(stats_actor)
+    worker process, keyed by the actor's globally-unique id (id() of the
+    handle object could recycle across builds in a reused worker)."""
+    key = stats_actor._actor_id.hex()
     avgdl = _FUSED_AVGDL_CACHE.get(key)
     if avgdl is None:
         n, sum_dl = ray.get(stats_actor.totals.remote())

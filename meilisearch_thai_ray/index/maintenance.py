@@ -53,11 +53,19 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
         return None
     from .build import build_shards, compute_stats
 
+    from ..state.manifest import BuildManifest
+
     os.makedirs(out_dir, exist_ok=True)
+    manifest = BuildManifest(out_dir)
     docs_src = os.path.join(index_dir, "docs")
     docs_dst = os.path.join(out_dir, "docs")
     dead = _tombstones(index_dir)
-    if not os.path.exists(docs_dst):
+    if not manifest.phase_done("docs"):
+        # per-fragment writes are atomic but the loop is not: a partial copy
+        # from a crashed run must be discarded, never trusted (resume safety)
+        if os.path.isdir(docs_dst):
+            for f in os.listdir(docs_dst):
+                os.remove(os.path.join(docs_dst, f))
         os.makedirs(docs_dst, exist_ok=True)
         dset = pads.dataset(docs_src)
         for i, frag in enumerate(dset.get_fragments()):
@@ -69,11 +77,26 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
                 )
                 t = t.filter(pa.array(mask))
             atomic_write_parquet(t, os.path.join(docs_dst, f"docs-{i:05d}.parquet"))
-    from ..state.manifest import BuildManifest
-
-    BuildManifest(out_dir).mark_phase_done("docs", {"source": docs_src})
+        manifest.mark_phase_done("docs", {"source": docs_src})
     meta = compute_stats(docs_dst, out_dir, config)
     build_shards(docs_dst, out_dir, config, meta, num_salts=num_salts)
+    # the reused `terms` were tokenized with the SOURCE index's dictionary —
+    # carry ITS hash forward, or needs_reindex() would be permanently masked
+    import json as _json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        src_meta = _json.load(f)
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        new_meta = _json.load(f)
+    for key in ("dictionary_hash", "extractor_version"):
+        if key in src_meta:
+            new_meta[key] = src_meta[key]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    meta.update(new_meta)
     return meta
 
 

@@ -77,6 +77,10 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
     out = out_dir or os.path.join(_CACHE_ROOT, f"thai_index_{key}")
     pages_dir = os.path.join(out, "pages")
     if not os.path.exists(os.path.join(pages_dir, "_done")):
+        if os.path.isdir(pages_dir):  # discard a crashed run's partial files
+            import shutil
+
+            shutil.rmtree(pages_dir)
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )

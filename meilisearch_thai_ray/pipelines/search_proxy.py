@@ -90,6 +90,10 @@ class SearchProxy:
         LRU-ish cached per proxy."""
         if not self.docs_path:
             return {}
+        if len(self._text_cache) > 50_000:
+            # evict BEFORE deciding what to fetch — clearing after would drop
+            # already-cached entries the current request still needs
+            self._text_cache.clear()
         missing = [d for d in doc_ids if d not in self._text_cache]
         if missing:
             import pyarrow.compute as pc
@@ -99,8 +103,6 @@ class SearchProxy:
                 columns=["doc_id", "text"],
                 filter=pc.field("doc_id").isin(missing),
             )
-            if len(self._text_cache) > 50_000:
-                self._text_cache.clear()
             self._text_cache.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
         return {d: self._text_cache[d] for d in doc_ids if d in self._text_cache}
 
@@ -250,6 +252,11 @@ class SearchProxy:
     # ---------------- M14: variant generation ----------------
 
     def generate_variants(self, query: str) -> list[QueryVariant]:
+        return self._prepare(query)[3]
+
+    def _prepare(self, query: str):
+        """One pass of normalize -> analyze -> tokenize -> confidence ->
+        variants (the serving hot path runs the Thai trie exactly once)."""
         import re
 
         query = re.sub(r"\s+", " ", query).strip()  # M12 normalization
@@ -308,15 +315,12 @@ class SearchProxy:
         if len(variants) > MAX_QUERY_VARIANTS:
             variants.sort(key=lambda v: v.weight, reverse=True)
             variants = variants[:MAX_QUERY_VARIANTS]
-        return variants
+        return analysis, tokens, confidence, variants
 
     # ---------------- execution + ranking ----------------
 
     def search(self, query: str, k: int = 10) -> list[dict]:
-        analysis = self.analyze_query(query)
-        variants = self.generate_variants(query)
-        tokens = self.tokenizer.tokenize(query)
-        confidence = self.tokenization_confidence(query, tokens)
+        analysis, _tokens, confidence, variants = self._prepare(query)
 
         # per-variant matchingStrategy (search_executor.py:731-753):
         # original -> "all", tokenized/compound_split -> "last",

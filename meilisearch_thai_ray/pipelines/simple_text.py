@@ -149,6 +149,10 @@ def simple_index_dir(sf_dir: str) -> str:
     manifest = BuildManifest(out)
     docs_dir = os.path.join(out, "docs")
     if not manifest.phase_done("docs"):
+        if os.path.isdir(docs_dir):  # discard a crashed run's partial files
+            import shutil
+
+            shutil.rmtree(docs_dir)
         ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
         ds.map_batches(_simple_docs_batch, batch_format="pyarrow").write_parquet(docs_dir)
         manifest.mark_phase_done("docs")

@@ -62,8 +62,11 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                  seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # coefficients bounded by the 31-bit shingle modulus: a*sh + b stays
+        # < 2^62 + 2^31, so the uint64 product NEVER wraps before the mod
+        # (a wider draw silently overflowed and broke min-wise independence)
+        self.a = rng.integers(1, int(_SHINGLE_MOD), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_SHINGLE_MOD), size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
