@@ -28,8 +28,13 @@ def _documents(sf_dir: str):
     )
 
 
-def minhash_pairs(sf_dir: str, threshold: float = 0.6):
-    """-> (a, b, jaccard) verified near-dup pairs."""
+def minhash_pairs(sf_dir: str, threshold: float = 0.6,
+                  max_verify: int = 100_000):
+    """-> (a, b, jaccard) verified near-dup pairs.
+
+    max_verify bounds the exact-verification stage; when the candidate set
+    exceeds it the drop is REPORTED (never silent) — a corpus that floods LSH
+    at 8 rows/band is mostly duplicates and wants a higher band threshold."""
     import os
 
     band_rows = _documents(sf_dir).map_batches(
@@ -41,6 +46,13 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6):
         .take_all()
     )
     pairs = sorted({(r["a"], r["b"]) for r in cand})
+    if len(pairs) > max_verify:
+        print(
+            f"[minhash_pairs] candidate set {len(pairs)} exceeds max_verify="
+            f"{max_verify}; verifying the first {max_verify} (raise bands/rows "
+            "per band for a self-similar corpus)"
+        )
+        pairs = pairs[:max_verify]
     if not pairs:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -54,9 +66,15 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6):
         filter=pc.field("doc_id").isin(ids),
     ).to_pandas()
     texts = dict(zip(t["doc_id"], t["text"]))
+    # each doc appears in many pairs: compute its shingle set ONCE
+    from ..stages.dedup import _shingle_hashes
+
+    shingles = {d: set(_shingle_hashes(txt).tolist()) for d, txt in texts.items()}
     out_a, out_b, out_j = [], [], []
     for a, b in pairs:
-        j = jaccard(texts[a], texts[b])
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
         if j >= threshold:
             out_a.append(a)
             out_b.append(b)
