@@ -244,3 +244,15 @@ def test_tokenize_api_shape(tok):
     assert len(r["word_boundaries"]) == len(r["tokens"]) + 1
     assert r["word_boundaries"][0] == 0
     assert r["word_boundaries"][-1] == len(r["original_text"])
+
+
+def test_batch_size_invariance(built):
+    """Different task partitioning (batch_size) must produce byte-identical
+    shards — the single-node stand-in for 'identical at any cluster size'."""
+    pages_dir, out, _ = built
+    out2 = os.path.join(os.path.dirname(pages_dir), "index_bs32")
+    shutil.rmtree(out2, ignore_errors=True)
+    build_index(pages_dir, out2, CFG, num_salts=2, batch_size=32)
+    assert _hash_tree(os.path.join(out2, "shards")) == _hash_tree(
+        os.path.join(out, "shards")
+    )
