@@ -400,6 +400,32 @@ class SearchProxy:
                 break
         return out
 
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Quoted-phrase search (the reference's quoted variant; Meilisearch
+        resolves it with positional data). Without a positional index, exact
+        phrase semantics come from two stages: (1) candidates = docs matching
+        ALL phrase terms (cheap, posting intersection), (2) literal substring
+        verification against the stored doc text — requires docs_path.
+        Works for no-whitespace Thai phrases because the check is substring,
+        not token-adjacency."""
+        if not self.docs_path:
+            raise ValueError("phrase search requires docs_path (doc text store)")
+        import re
+
+        phrase = re.sub(r"\s+", " ", phrase).strip()
+        terms = self.tokenizer.index_terms(self.tokenizer.tokenize(phrase))
+        if not terms:
+            return []
+        # over-fetch candidates: verification filters some out
+        cands = self.engine.score_topk(terms, k=max(k * 10, 100), match="all")
+        if not cands:
+            return []
+        texts = self._doc_texts([d for d, _ in cands])
+        p = phrase.lower()
+        out = [(d, s) for d, s in cands
+               if p in texts.get(d, "").lower()]
+        return out[:k]
+
     @staticmethod
     def _tie_key(cand: tuple):
         hit, score, variant, pos = cand

@@ -132,3 +132,25 @@ def test_exact_match_boost_with_docs_path(proxy, tmp_path_factory):
     assert "สาหร่ายวากาเมะ" in texts[hits[0]["doc_id"]]
     # determinism with text fetching on
     assert hits == p.search("สาหร่ายวากาเมะ", k=10)
+
+
+def test_phrase_search(proxy):
+    """Quoted-phrase semantics: AND candidates verified by literal substring."""
+    import os
+
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchProxy
+
+    docs_path = os.path.join(proxy.engine.index_dir, "docs")
+    p = SearchProxy(proxy.engine, docs_path=docs_path)
+    # a golden sentence embedded verbatim in the fixture corpus
+    hits = p.search_phrase("สาหร่ายวากาเมะเป็นอาหารทะเล", k=5)
+    assert hits
+    texts = p._doc_texts([hits[0][0]])
+    assert "สาหร่ายวากาเมะเป็นอาหารทะเล" in texts[hits[0][0]]
+    # scrambled word order has the same terms but must NOT match as a phrase
+    scrambled = p.search_phrase("อาหารทะเลเป็นสาหร่ายวากาเมะ", k=5)
+    assert all(
+        "อาหารทะเลเป็นสาหร่ายวากาเมะ" in p._doc_texts([d])[d] for d, _ in scrambled
+    )
+    with pytest.raises(ValueError):
+        proxy.search_phrase("x")  # no docs_path configured
