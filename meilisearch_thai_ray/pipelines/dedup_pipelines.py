@@ -1,23 +1,30 @@
 """Near-duplicate detection pipelines (rows-only oracle: not SQL-expressible).
 
 minhash_pairs: documents -> MinHash band rows (actor pool) -> groupby(band,
-band_hash) -> candidate pairs -> exact n-gram Jaccard verification.
-The verification side table (doc texts for candidate ids) is fetched with a
-targeted filtered read — candidates are a tiny fraction of the corpus, and at
-cluster scale this read is a semi-join via broadcast candidate-id set.
+band_hash) -> candidate pairs -> cross-band pair dedup -> DISTRIBUTED exact
+n-gram Jaccard verification (map_batches actor pool; each task fetches only
+its batch's texts via a filtered read and caches shingle sets per actor).
+The driver only sees verified near-dup pairs.
 
 simhash_sigs: per-doc 64-bit SimHash + 16-bit bands for bucketing.
+
+embedding_neardup_pairs: random-hyperplane LSH bucket groupby -> capped
+within-bucket exact cosine verification.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
-from ..stages.dedup import MinHasher, SimHasher, jaccard, lsh_candidate_pairs
+from ..stages.dedup import (
+    JaccardVerify,
+    MinHasher,
+    SimHasher,
+    lsh_candidate_pairs,
+)
 
 
 def _documents(sf_dir: str):
@@ -28,64 +35,69 @@ def _documents(sf_dir: str):
     )
 
 
+def _first_row(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.6,
                   max_verify: int = 100_000):
-    """-> (a, b, jaccard) verified near-dup pairs.
+    """-> (a, b, jaccard) verified near-dup pairs, sorted by (a, b).
+
+    Fully distributed — the driver only ever sees VERIFIED near-dup pairs
+    (tiny by definition):
+
+      band rows (MinHasher actor pool)
+        -> groupby(band, band_hash) -> per-bucket candidate pairs (capped)
+        -> groupby(a, b) first-row            [cross-band pair dedup]
+        -> map_batches(JaccardVerify)         [per-task filtered text read +
+                                               per-actor shingle cache]
 
     max_verify bounds the exact-verification stage; when the candidate set
     exceeds it the drop is REPORTED (never silent) — a corpus that floods LSH
     at 8 rows/band is mostly duplicates and wants a higher band threshold."""
     import os
 
+    docs_path = os.path.join(sf_dir, "documents.parquet")
     band_rows = _documents(sf_dir).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=2
     )
     cand = (
         band_rows.groupby(["band", "band_hash"])
         .map_groups(lsh_candidate_pairs, batch_format="pyarrow")
-        .take_all()
+        .select_columns(["a", "b"])
+        # a colliding pair appears in up to `bands` buckets: dedup before the
+        # (much more expensive) exact verification
+        .groupby(["a", "b"])
+        .map_groups(_first_row, batch_format="pyarrow")
+        .materialize()
     )
-    pairs = sorted({(r["a"], r["b"]) for r in cand})
-    if len(pairs) > max_verify:
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    if n_cand > max_verify:
         print(
-            f"[minhash_pairs] candidate set {len(pairs)} exceeds max_verify="
-            f"{max_verify}; verifying the first {max_verify} (raise bands/rows "
-            "per band for a self-similar corpus)"
+            f"[minhash_pairs] candidate set {n_cand} exceeds max_verify="
+            f"{max_verify}; verifying the first {max_verify} by (a, b) (raise "
+            "bands/rows per band for a self-similar corpus)"
         )
-        pairs = pairs[:max_verify]
-    if not pairs:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    ids = sorted({x for p in pairs for x in p})
-    # targeted filtered read of candidate texts (semi-join via broadcast id set)
-    t = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(ids),
-    ).to_pandas()
-    texts = dict(zip(t["doc_id"], t["text"]))
-    # each doc appears in many pairs: compute its shingle set ONCE
-    from ..stages.dedup import _shingle_hashes
-
-    shingles = {d: set(_shingle_hashes(txt).tolist()) for d, txt in texts.items()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        sa, sb = shingles[a], shingles[b]
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "a": pa.array(out_a, pa.int64()),
-            "b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64)),
-        }
+        cand = cand.sort(["a", "b"]).limit(max_verify)
+    verified = cand.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"docs_path": docs_path, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
     )
+    rows = verified.take_all()  # verified near-dups only: tiny
+    if not rows:
+        return empty
+    t = pa.Table.from_pylist(rows)
+    order = np.lexsort((t["b"].to_numpy(), t["a"].to_numpy()))
+    return t.take(pa.array(order)).select(["a", "b", "jaccard"])
 
 
 def simhash_sigs(sf_dir: str):
@@ -95,14 +107,84 @@ def simhash_sigs(sf_dir: str):
     )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
-                            nbits: int = 10):
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets (one pass)
-    -> within-bucket exact cosine verification -> (a, b, cos) pairs.
+PLANT_ID_BASE = 1_000_000_000  # planted near-dup vec_ids live above this
+PLANT_EVERY = 97  # one planted near-dup per 97 source vectors
 
-    The bucket groupby is the only shuffle; bucket population is bounded by
-    the hyperplane count (2^nbits buckets). Verification reads only candidate
-    vectors (tiny)."""
+
+def _plant_near_dups(batch: pa.Table) -> pa.Table:
+    """Deterministic planted-near-dup fixture: for every vec_id divisible by
+    PLANT_EVERY, append a copy with vec_id + PLANT_ID_BASE and the SAME
+    embedding (cosine 1.0). The driver's synthetic embeddings have no natural
+    near-dups, so without planting the operator's output is always empty —
+    the planted rows make `d2_embed_neardup` a self-demonstrating fixture
+    (every output pair with b >= PLANT_ID_BASE is planted)."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(ids % PLANT_EVERY == 0)
+    if sel.size == 0:
+        return batch
+    clone = batch.take(pa.array(sel))
+    clone = clone.set_column(
+        clone.schema.get_field_index("vec_id"),
+        "vec_id",
+        pa.array(ids[sel] + PLANT_ID_BASE, pa.int64()),
+    )
+    return pa.concat_tables([batch, clone])
+
+
+def bucket_cosine_pairs(group: pa.Table, threshold: float,
+                        max_bucket: int = 500) -> pa.Table:
+    """map_groups body for the LSH-bucket groupby: exact cosine over one
+    bucket's vectors, emitting (a, b, cos >= threshold) pairs with a < b by
+    vec_id order. Buckets larger than max_bucket are CAPPED to the first
+    max_bucket members by vec_id and the cap is recorded in the output
+    (`capped` column) — a degenerate bucket (mass-identical embeddings or
+    nbits too small) would otherwise produce n^2/2 pairs in one task."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64()),
+                      "capped": pa.array([], pa.bool_())})
+    ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+    if ids.size < 2:
+        return empty
+    order = np.argsort(ids)
+    capped = ids.size > max_bucket
+    if capped:
+        print(
+            f"[embedding_neardup] bucket of {ids.size} vectors capped to "
+            f"{max_bucket} (raise nbits for finer buckets)"
+        )
+        order = order[:max_bucket]
+    mat = np.asarray(group["embedding"].combine_chunks().values,
+                     dtype=np.float64).reshape(ids.size, -1)[order]
+    ids = ids[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(ids.size, k=1)
+    hit = sims[iu, ju] >= threshold
+    if not hit.any():
+        return empty
+    iu, ju = iu[hit], ju[hit]
+    return pa.table({
+        "a": pa.array(ids[iu], pa.int64()),
+        "b": pa.array(ids[ju], pa.int64()),
+        "cos": pa.array(np.round(sims[iu, ju], 6), pa.float64()),
+        "capped": pa.array(np.full(iu.size, capped), pa.bool_()),
+    })
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
+                            nbits: int = 10, plant: bool = True):
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (one pass)
+    -> capped within-bucket exact cosine verification -> (a, b, cos) pairs.
+
+    The bucket groupby is the only shuffle; per-bucket work is bounded by
+    bucket_cosine_pairs' max_bucket cap (capped buckets are reported, never
+    silent). plant=True appends the deterministic near-dup fixture rows (see
+    _plant_near_dups) so the operator demonstrably finds pairs on the
+    driver's no-natural-near-dup synthetic embeddings."""
+    import functools
     import os
 
     import pyarrow.parquet as pq
@@ -112,6 +194,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
     path = os.path.join(sf_dir, "embeddings.parquet")
     dim = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    if plant:
+        ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow",
+                            batch_size=4096)
     bucketed = ds.map_batches(
         LshBucketAssign,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits},
@@ -119,43 +204,19 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
         batch_size=2048,
         concurrency=2,
     )
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_pylist()
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        mat = np.asarray(group["embedding"].combine_chunks().values,
-                         dtype=np.float64).reshape(len(ids), -1)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        out_a, out_b, out_c = [], [], []
-        order = np.argsort(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ii, jj = order[i], order[j]
-                c = sims[ii, jj]
-                if c >= threshold:
-                    out_a.append(int(ids[ii]))
-                    out_b.append(int(ids[jj]))
-                    out_c.append(round(float(c), 6))
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64()),
-                         "cos": pa.array(out_c, pa.float64())})
-
-    out = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    t = out.to_arrow_refs()
-    import pyarrow as _pa
-
-    tables = [x for x in ray.get(t)]
-    tables = [x for x in tables if x.num_rows] or [
-        _pa.table({"a": _pa.array([], _pa.int64()), "b": _pa.array([], _pa.int64()),
-                   "cos": _pa.array([], _pa.float64())})
-    ]
-    return _pa.concat_tables(tables)  # concrete table => schema survives empty results
+    out = bucketed.groupby("bucket").map_groups(
+        functools.partial(bucket_cosine_pairs, threshold=threshold),
+        batch_format="pyarrow",
+    )
+    tables = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64()),
+                      "capped": pa.array([], pa.bool_())})
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)  # verified pairs only: tiny
+    order = np.lexsort((t["b"].to_numpy(), t["a"].to_numpy()))
+    return t.take(pa.array(order))
 
 
 def lang_id(sf_dir: str):

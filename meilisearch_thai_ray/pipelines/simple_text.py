@@ -273,13 +273,35 @@ SQL["m17_filter_dsl"] = (
 # ---------------------------------------------------------------- top-k docs
 
 def topk_docs(sf_dir: str, k: int = 10, offset: int = 5):
+    """Top-(offset+k) by (n_chars DESC, doc_id ASC) without a global sort:
+    each batch emits its local top-n (same pattern as BruteForceCosineTopK),
+    the driver merges the tiny partials — ≤ n rows leave each task, no
+    all-to-all shuffle at any corpus size."""
+    n = offset + k
     ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "n_chars"])
-    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).take(offset + k)
-    rows = top[offset : offset + k]
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        di = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(nc) > n:
+            # lexsort: last key is primary -> (-n_chars, doc_id) order
+            order = np.lexsort((di, -nc))[:n]
+            return batch.take(pa.array(order))
+        return batch
+
+    parts = ds.map_batches(partial_top, batch_format="pyarrow", batch_size=65536)
+    rows = parts.take_all()  # tiny: ≤ n rows per block
+    if not rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    t = pa.Table.from_pylist(rows)
+    nc = t["n_chars"].to_numpy(zero_copy_only=False)
+    di = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((di, -nc))[offset : offset + k]
     return pa.table(
         {
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
-            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "doc_id": pa.array(di[order], pa.int64()),
+            "n_chars": pa.array(nc[order], pa.int64()),
         }
     )
 

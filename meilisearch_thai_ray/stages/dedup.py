@@ -130,6 +130,66 @@ def lsh_candidate_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
     )
 
 
+class JaccardVerify:
+    """Actor-pool verify stage: batches of candidate (a, b) pairs -> verified
+    (a, b, jaccard >= threshold) rows.
+
+    Each task fetches ONLY its batch's candidate doc texts via a filtered
+    parquet read (semi-join via the batch's id set — candidates are a tiny
+    fraction of the corpus), computes each unique doc's shingle set once, and
+    keeps a per-actor LRU-ish shingle cache across batches (a near-dup doc
+    appears in many pairs). Nothing corpus-sized ever reaches the driver:
+    only verified near-dup pairs leave each task."""
+
+    def __init__(self, docs_path: str, threshold: float = 0.6,
+                 shingle_k: int = 5, cache_cap: int = 200_000):
+        self.docs_path = docs_path
+        self.threshold = threshold
+        self.k = shingle_k
+        self.cache_cap = cache_cap
+        self._shingles: dict[int, frozenset] = {}
+
+    def _shingle_sets(self, doc_ids: list[int]) -> dict[int, frozenset]:
+        missing = [d for d in doc_ids if d not in self._shingles]
+        if missing:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.docs_path).to_table(
+                columns=["doc_id", "text"],
+                filter=pc.field("doc_id").isin(missing),
+            )
+            if len(self._shingles) > self.cache_cap:
+                self._shingles.clear()
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                self._shingles[d] = frozenset(_shingle_hashes(txt, self.k).tolist())
+        return {d: self._shingles[d] for d in doc_ids if d in self._shingles}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        sets = self._shingle_sets(sorted({*a_ids, *b_ids}))
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = sets.get(a), sets.get(b)
+            if sa is None or sb is None:
+                continue  # doc vanished from the table between stages
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            if j >= self.threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(np.asarray(out_j, dtype=np.float64),
+                                    pa.float64()),
+            }
+        )
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa = set(_shingle_hashes(text_a, k).tolist())
     sb = set(_shingle_hashes(text_b, k).tolist())

@@ -289,3 +289,92 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     part = ivf_search(listed, cents, q, k=10, nprobe=4)
     recall = len(set(part["vec_id"].to_pylist()) & set(exact)) / 10
     assert recall >= 0.5  # approximate path finds most of the exact top-10
+
+def test_minhash_distributed_verify_identity(ray_session, tmp_path):
+    """The distributed verify stage (candidate-pair Dataset -> JaccardVerify
+    actor pool) returns EXACTLY the pair set + jaccard values of a driver-side
+    oracle loop (the round-1 implementation, reproduced here)."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import minhash_pairs
+    from meilisearch_thai_ray.stages.dedup import MinHasher, _shingle_hashes
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts, ids = [], []
+    for i in range(80):
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab), 50)))
+        ids.append(i)
+    for i in range(8):  # planted near-dups
+        texts.append(texts[i].replace(vocab[i % len(vocab)], "changed", 1))
+        ids.append(200 + i)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+
+    # --- driver-side oracle (round-1 semantics) ---
+    mh = MinHasher()
+    buckets: dict = {}
+    for doc, txt in zip(ids, texts):
+        for band, h in enumerate(mh.band_hashes(mh.signature(txt))):
+            buckets.setdefault((band, int(h)), []).append(doc)
+    cand = set()
+    for members in buckets.values():
+        m = sorted(set(members))[:200]
+        for i in range(len(m)):
+            for j in range(i + 1, len(m)):
+                cand.add((m[i], m[j]))
+    shingles = {doc: set(_shingle_hashes(txt).tolist())
+                for doc, txt in zip(ids, texts)}
+    expected = set()
+    for a, b in cand:
+        sa, sb = shingles[a], shingles[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j >= 0.6:
+            expected.add((a, b, round(j, 6)))
+
+    got = minhash_pairs(str(d), threshold=0.6)
+    got_set = set(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                      got["jaccard"].to_pylist()))
+    assert got_set == expected
+    assert len(expected) >= 8  # the planted pairs are actually in there
+
+
+def test_embedding_bucket_pairs_capped():
+    """A degenerate LSH bucket (mass-identical embeddings) is capped, reported
+    via the `capped` column, and completes in bounded work."""
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import bucket_cosine_pairs
+
+    n = 300
+    vec = [0.5, -1.0, 2.0, 0.25]
+    g = pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+        "bucket": pa.array([7] * n, pa.int64()),
+    })
+    out = bucket_cosine_pairs(g, threshold=0.9, max_bucket=20)
+    assert out.num_rows == 190  # C(20,2)
+    assert all(out["capped"].to_pylist())
+    assert all(c >= 0.999999 for c in out["cos"].to_pylist())
+
+
+def test_embedding_neardup_planted_fixture_nonempty(ray_session):
+    """On the driver's synthetic embeddings (no natural near-dups) the planted
+    fixture guarantees nonzero output; every planted pair is recognizable."""
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        PLANT_ID_BASE,
+        embedding_neardup_pairs,
+    )
+
+    pairs = embedding_neardup_pairs(SF).to_pandas()
+    assert len(pairs) > 0
+    planted = pairs[pairs["b"] >= PLANT_ID_BASE]
+    assert len(planted) > 0
+    assert (planted["b"] - PLANT_ID_BASE == planted["a"]).all()
+    assert (planted["cos"] >= 0.999999).all()
