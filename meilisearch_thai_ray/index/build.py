@@ -199,19 +199,31 @@ def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
         import pyarrow.dataset as pads
 
         dset = pads.dataset(docs_dir)
+        # failed (dead-letter) rows never count toward N/avgdl — they carry
+        # no postings either, so BM25 stats stay consistent with the shards
+        flt = (
+            pc.field("status") != "failed"
+            if "status" in dset.schema.names
+            else None
+        )
         total_bytes = sum(os.path.getsize(f) for f in dset.files)
         if total_bytes < 4 << 30:
             # small docs table: one driver-side streaming column scan beats a
             # whole Ray job's fixed latency (row count comes from file metadata)
             n_docs, sum_dl = 0, 0
-            for frag in dset.get_fragments():
-                n_docs += frag.count_rows()
-            for batch in dset.to_batches(columns=["token_count"]):
+            if flt is None:
+                for frag in dset.get_fragments():
+                    n_docs += frag.count_rows()
+            else:
+                n_docs = dset.count_rows(filter=flt)
+            for batch in dset.to_batches(columns=["token_count"], filter=flt):
                 sum_dl += pc.sum(batch.column(0)).as_py() or 0
         else:
             from ray.data.aggregate import Count, Sum
 
-            ds = ray.data.read_parquet(docs_dir, columns=["token_count"])
+            ds = ray.data.read_parquet(
+                docs_dir, columns=["token_count"], filter=flt
+            )
             agg = ds.aggregate(Count(alias_name="n"), Sum("token_count", alias_name="s"))
             n_docs = int(agg["n"])
             sum_dl = int(agg["s"] or 0)
@@ -293,6 +305,54 @@ def _encode_spilled_part(spill_dir: str, part: int, out_dir: str, avgdl: float,
     return row
 
 
+def shards_layout(out_dir: str) -> dict | None:
+    """The (num_shards, num_salts, dictionary_hash) layout the shards phase
+    was/is being built with — recorded BEFORE any salt file is written so a
+    resume can detect a layout change."""
+    p = os.path.join(out_dir, "_manifest", "shards_layout.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _guard_shards_layout(out_dir: str, config: EngineConfig,
+                         num_salts: int) -> None:
+    """Validate/record the shards-phase layout. A crashed build resumed with
+    a different num_shards/num_salts would reuse stale salt-NNNN.parquet
+    files whose (shard, salt) derivation differs — silently duplicating or
+    dropping postings. Mismatched partial output is discarded; a COMPLETED
+    phase with a different layout raises (the caller must pick a fresh
+    out_dir or match the original layout)."""
+    layout = {
+        "num_shards": config.num_shards,
+        "num_salts": num_salts,
+        "dictionary_hash": config.dictionary_hash(),
+    }
+    existing = shards_layout(out_dir)
+    manifest = BuildManifest(out_dir)
+    if existing == layout:
+        return
+    if existing is not None:
+        if manifest.phase_done("shards"):
+            raise ValueError(
+                f"index at {out_dir} was built with layout {existing}; "
+                f"requested {layout} — rebuild into a fresh directory"
+            )
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "shards"), ignore_errors=True)
+        jl = os.path.join(out_dir, "_manifest", "shards.jsonl")
+        if os.path.exists(jl):
+            os.remove(jl)
+    p = os.path.join(out_dir, "_manifest", "shards_layout.json")
+    tmp = p + ".tmp"
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(layout, f)
+    os.replace(tmp, p)
+
+
 def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, *,
                  num_salts: int = 1, batch_size: int = 4096,
                  shuffle: str = "sort") -> list[dict]:
@@ -307,7 +367,9 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
     either way (asserted in tests)."""
     manifest = BuildManifest(out_dir)
     if manifest.phase_done("shards"):
+        _guard_shards_layout(out_dir, config, num_salts)  # raises on mismatch
         return manifest.partitions("shards")
+    _guard_shards_layout(out_dir, config, num_salts)
     if meta["n_docs"] == 0:  # zero-row corpus: nothing to shuffle
         os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
         manifest.mark_phase_done("shards", {"wall_s": 0.0})
@@ -426,7 +488,11 @@ def _fused_extract_postings(batch: pa.Table, *, config: EngineConfig,
     docs = extract_tokenize_fn(batch, config=config)
     urls_digest = hashlib.md5("\n".join(batch["url"].to_pylist()).encode()).hexdigest()[:16]
     atomic_write_parquet(docs, os.path.join(docs_dir, f"docs-{urls_digest}.parquet"))
-    n = docs.num_rows
+    # dead-letter rows are excluded from N (phased-build parity: compute_stats
+    # filters status != "failed"); their token_count is 0 so sum_dl is safe
+    n = docs.num_rows - int(
+        pc.sum(pc.equal(docs["status"], "failed").cast(pa.int64())).as_py() or 0
+    )
     sum_dl = int(pc.sum(docs["token_count"]).as_py() or 0)
     # AWAIT the actor ack: the groupby barrier only guarantees map TASKS have
     # finished — a fire-and-forget add could still be in flight when the first
@@ -472,8 +538,10 @@ def build_index_fused(pages_path: str, out_dir: str,
     manifest = BuildManifest(out_dir)
     meta_path = os.path.join(out_dir, "meta.json")
     if manifest.phase_done("shards"):
+        _guard_shards_layout(out_dir, config, num_salts)  # raises on mismatch
         with open(meta_path) as f:
             return json.load(f)
+    _guard_shards_layout(out_dir, config, num_salts)
     t0 = time.time()
     docs_dir = os.path.join(out_dir, "docs")
     os.makedirs(docs_dir, exist_ok=True)

@@ -103,17 +103,26 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
 # ---------------- tombstone deletes ----------------
 
 def delete_docs(index_dir: str, doc_ids: list[int]) -> int:
-    """Record doc_ids as deleted (append-only tombstone parquet files)."""
+    """Record doc_ids as deleted (append-only tombstone parquet files).
+
+    File name = content hash of the deleted id set: collision-free under
+    concurrent delete calls (a directory-count ordinal would let two
+    concurrent calls compute the same name and silently overwrite each
+    other); identical id sets converge to the same file, harmlessly."""
+    import hashlib
+
     d = os.path.join(index_dir, "tombstones")
     os.makedirs(d, exist_ok=True)
     existing = _tombstones(index_dir)
     new = sorted(set(int(x) for x in doc_ids) - existing)
     if not new:
         return 0
-    n = len(os.listdir(d))
+    digest = hashlib.md5(
+        np.asarray(new, dtype=np.int64).tobytes()
+    ).hexdigest()[:16]
     atomic_write_parquet(
         pa.table({"doc_id": pa.array(new, pa.int64())}),
-        os.path.join(d, f"tombstones-{n:05d}.parquet"),
+        os.path.join(d, f"tombstones-{digest}.parquet"),
     )
     return len(new)
 
@@ -134,3 +143,26 @@ def _tombstones(index_dir: str) -> set[int]:
 
 def load_tombstones(index_dir: str) -> set[int]:
     return _tombstones(index_dir)
+
+
+# ---------------- dead-letter output ----------------
+
+def failed_docs(index_dir: str) -> pa.Table:
+    """The dead-letter side output: per-doc failure rows recorded by the
+    extract stage (status="failed", reference ProcessingStatus semantics —
+    document_processor.py:25-57,319-343). A targeted filtered read of the
+    docs table; failed rows carry no postings and are excluded from N/avgdl
+    (build.compute_stats), so this is the complete record of what the index
+    does NOT contain and why."""
+    import pyarrow.compute as pc
+
+    d = os.path.join(index_dir, "docs")
+    dset = pads.dataset(d)
+    if "status" not in dset.schema.names:  # pre-status index layout
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string()),
+                         "error": pa.array([], pa.string())})
+    return dset.to_table(
+        columns=["doc_id", "url", "error"],
+        filter=pc.field("status") == "failed",
+    )

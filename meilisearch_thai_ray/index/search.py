@@ -71,7 +71,6 @@ class SearchEngine:
         self._dead_arr = (
             np.fromiter(self._dead, dtype=np.uint64) if self._dead else None
         )
-        self._require_all_terms: int | None = None
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
 
@@ -170,14 +169,17 @@ class SearchEngine:
             loaded.append((term, float(weights[term]), idf_t, segs))
         if not loaded:
             return []
-        self._require_all_terms = len(loaded) if match == "all" else None
+        # require_all_terms travels as an explicit argument — instance state
+        # here would let concurrent queries on a shared engine interleave and
+        # apply the wrong AND/OR filtering to each other's results
+        require_all = len(loaded) if match == "all" else None
         if match == "all":
             mode = "exhaustive"  # WAND prunes on OR upper bounds; AND filters post-hoc
         elif mode == "auto":
             mode = "wand" if total_postings > 200_000 and len(loaded) > 1 else "exhaustive"
         if mode == "wand":
             return self._score_wand(loaded, k)
-        return self._score_exhaustive(loaded, k)
+        return self._score_exhaustive(loaded, k, require_all_terms=require_all)
 
     def search_matching(self, query: str, k: int = 10,
                         strategy: str = "last") -> list[tuple[int, float]]:
@@ -197,7 +199,9 @@ class SearchEngine:
             terms = terms[:-1]
         return []
 
-    def _score_exhaustive(self, loaded, k: int) -> list[tuple[int, float]]:
+    def _score_exhaustive(self, loaded, k: int, *,
+                          require_all_terms: int | None = None
+                          ) -> list[tuple[int, float]]:
         id_chunks, contrib_chunks = [], []
         for _term, w, idf_t, segs in loaded:
             for seg in segs:  # salt order; doc-disjoint within the term
@@ -209,13 +213,13 @@ class SearchEngine:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, all_contrib)
-        if self._require_all_terms is not None:
+        if require_all_terms is not None:
             # matchingStrategy="all": keep only docs matched by EVERY query
             # term (per-term doc sets are salt-disjoint, so one contribution
             # chunk per term per doc => counting chunks counts terms)
             counts = np.zeros(uniq.size, dtype=np.int32)
             np.add.at(counts, inv, np.ones(all_ids.size, dtype=np.int32))
-            keep = counts == self._require_all_terms
+            keep = counts == require_all_terms
             uniq, acc = uniq[keep], acc[keep]
             if uniq.size == 0:
                 return []

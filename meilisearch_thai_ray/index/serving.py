@@ -30,18 +30,31 @@ from ..kernel.bm25 import idf as _idf
 
 @ray.remote
 class ShardServer:
-    """Owns shards [lo, hi); serves (df, doc_ids, tfn) per term with a warm cache."""
+    """Owns shards [lo, hi); serves (df, doc_ids, tfn) per term with a warm cache.
+
+    Ownership is ENFORCED: a term whose hash-shard falls outside [lo, hi) is
+    rejected (misrouting is a driver bug — silently serving it would also let
+    per-actor memory grow to the whole index instead of the owned range)."""
 
     def __init__(self, index_dir: str, shard_lo: int, shard_hi: int):
         from .search import SearchEngine
+        from ..functions.hashing import fnv1a64
 
         self.engine = SearchEngine(index_dir)
         self.lo, self.hi = shard_lo, shard_hi
+        self._hash = fnv1a64
 
     def term_postings(self, terms: list[str]) -> dict:
         """-> {term: (df, doc_ids int64 list-free ndarray, tfn ndarray)}"""
         out = {}
+        ns = self.engine.num_shards
         for t in terms:
+            shard = self._hash(t) % ns
+            if not (self.lo <= shard < self.hi):
+                raise ValueError(
+                    f"term {t!r} routes to shard {shard}, outside this "
+                    f"server's owned range [{self.lo}, {self.hi})"
+                )
             segs = self.engine.segments(t)
             if not segs:
                 continue
@@ -49,6 +62,14 @@ class ShardServer:
             tfn = np.concatenate([s.tfn for s in segs])
             out[t] = (int(sum(s.n for s in segs)), ids, tfn)
         return out
+
+    def warm(self) -> int:
+        """Preload ONLY the owned shard range (per-actor memory stays
+        proportional to ownership, not to the whole index)."""
+        total = 0
+        for shard in range(self.lo, self.hi):
+            total += len(self.engine._load_shard(shard))
+        return total
 
     def ping(self) -> bool:
         return True
@@ -78,6 +99,10 @@ class ShardedSearchService:
         from ..index.maintenance import load_tombstones
 
         self._dead = load_tombstones(index_dir)
+
+    def warm(self) -> int:
+        """Warm every server's owned shard range in parallel."""
+        return sum(ray.get([s.warm.remote() for s in self.servers]))
 
     def _server_for(self, term: str) -> int:
         shard = self._hash(term) % self.num_shards

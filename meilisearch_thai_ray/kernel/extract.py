@@ -25,7 +25,8 @@ from __future__ import annotations
 import html as _html
 import re
 
-EXTRACTOR_VERSION = "2"  # v2: tags with '>' inside quoted attribute values
+EXTRACTOR_VERSION = "3"  # v3: per-doc status/error columns (dead-letter rows)
+# v2: tags with '>' inside quoted attribute values
 
 _BLOCK_TAGS = (
     "p|div|br|h1|h2|h3|h4|h5|h6|li|tr|td|th|table|title|head|body|html|ul|ol"

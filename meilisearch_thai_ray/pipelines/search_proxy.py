@@ -416,15 +416,20 @@ class SearchProxy:
         terms = self.tokenizer.index_terms(self.tokenizer.tokenize(phrase))
         if not terms:
             return []
-        # over-fetch candidates: verification filters some out
-        cands = self.engine.score_topk(terms, k=max(k * 10, 100), match="all")
-        if not cands:
-            return []
-        texts = self._doc_texts([d for d, _ in cands])
+        # over-fetch candidates, then GROW the pool until k hits verify or
+        # the AND candidate set is exhausted — a fixed cap would silently
+        # miss true phrase hits that BM25 ranks below it
         p = phrase.lower()
-        out = [(d, s) for d, s in cands
-               if p in texts.get(d, "").lower()]
-        return out[:k]
+        cap = max(k * 10, 100)
+        while True:
+            cands = self.engine.score_topk(terms, k=cap, match="all")
+            if not cands:
+                return []
+            texts = self._doc_texts([d for d, _ in cands])
+            out = [(d, s) for d, s in cands if p in texts.get(d, "").lower()]
+            if len(out) >= k or len(cands) < cap:
+                return out[:k]  # enough hits, or every AND candidate checked
+            cap *= 4
 
     @staticmethod
     def _tie_key(cand: tuple):

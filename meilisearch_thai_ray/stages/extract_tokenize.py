@@ -41,8 +41,19 @@ DOCS_SCHEMA = pa.schema(
         ("thai_ratio", pa.float32()),
         ("mixed", pa.bool_()),
         ("lang", pa.string()),
+        # per-doc processing status (reference semantics:
+        # document_processor.py:25-57 ProcessingStatus + error_message):
+        # "completed" | "skipped" (no Thai content; still indexed) |
+        # "failed" (extraction/tokenization error; EXCLUDED from stats and
+        # postings — the dead-letter row, never a raised task)
+        ("status", pa.string()),
+        ("error", pa.string()),
     ]
 )
+
+STATUS_COMPLETED = "completed"
+STATUS_SKIPPED = "skipped"
+STATUS_FAILED = "failed"
 
 
 class ExtractTokenize:
@@ -75,15 +86,33 @@ class ExtractTokenize:
         counts: list[int] = []
         ratios: list[float] = []
         mixed: list[bool] = []
+        statuses: list[str] = []
+        errors: list[str] = []
         analyze = self.tokenizer.analyze
         for h in htmls:
-            text = html_to_text(h)
-            a = analyze(text)
+            # one corrupt page must become a status row, not a task retry
+            # storm: at 100 TB a raised batch re-runs every doc in it
+            try:
+                text = html_to_text(h)
+                a = analyze(text)
+            except Exception as exc:  # dead-letter row
+                texts.append("")
+                terms.append([])
+                counts.append(0)
+                ratios.append(0.0)
+                mixed.append(False)
+                statuses.append(STATUS_FAILED)
+                errors.append(f"{type(exc).__name__}: {exc}"[:500])
+                continue
             texts.append(text)
             terms.append(a["terms"])
             counts.append(a["token_count"])
             ratios.append(a["thai_ratio"])
             mixed.append(a["mixed"])
+            statuses.append(
+                STATUS_COMPLETED if a["has_thai"] else STATUS_SKIPPED
+            )
+            errors.append("")
         doc_ids = doc_ids_from_urls(urls).astype("int64")
         return pa.table(
             {
@@ -95,6 +124,8 @@ class ExtractTokenize:
                 "thai_ratio": pa.array(ratios, pa.float32()),
                 "mixed": pa.array(mixed, pa.bool_()),
                 "lang": pa.array(langs, pa.string()),
+                "status": pa.array(statuses, pa.string()),
+                "error": pa.array(errors, pa.string()),
             },
             schema=DOCS_SCHEMA,
         )

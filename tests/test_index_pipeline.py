@@ -256,3 +256,99 @@ def test_batch_size_invariance(built):
     assert _hash_tree(os.path.join(out2, "shards")) == _hash_tree(
         os.path.join(out, "shards")
     )
+
+def test_dead_letter_failed_docs(ray_session, tmp_path):
+    """Corrupt pages become status='failed' rows (dead letter), never a raised
+    task: the build completes, N/avgdl exclude failed docs, failed_docs()
+    exposes the errors, and search serves the good docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.index.maintenance import failed_docs
+
+    good_html = [
+        b"<html><body><p>wakame seaweed salad recipe</p></body></html>",
+        "<html><body><p>สาหร่ายวากาเมะ อร่อยมาก</p></body></html>".encode(),
+        b"<html><body><p>ray data pipelines scale horizontally</p></body></html>",
+    ]
+    urls = [f"https://ex.th/{i}" for i in range(5)]
+    htmls = good_html + [None, None]  # two corrupt pages
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(["mixed"] * 5, pa.string()),
+        }),
+        str(pages_dir / "part-0.parquet"),
+    )
+    out = str(tmp_path / "index")
+    meta = build_index(str(pages_dir), out, CFG, num_salts=1, batch_size=64)
+    assert meta["n_docs"] == 3  # failed docs excluded from N
+    dead = failed_docs(out)
+    assert dead.num_rows == 2
+    assert all(e for e in dead["error"].to_pylist())  # error messages recorded
+    eng = SearchEngine(out)
+    assert eng.search("wakame")  # good docs still searchable
+    # the failed docs contributed no postings
+    assert all(not eng.segments(t) for t in ["none"])
+
+
+def test_fused_build_dead_letter_parity(ray_session, tmp_path):
+    """Fused build excludes failed docs from N exactly like the phased build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.index.build import build_index_fused
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "url": pa.array(["https://a/1", "https://a/2"], pa.string()),
+            "html": pa.array([b"<p>hello fused world</p>", None], pa.binary()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }),
+        str(pages_dir / "p.parquet"),
+    )
+    meta = build_index_fused(str(pages_dir), str(tmp_path / "idx"), CFG,
+                            num_salts=1, batch_size=64)
+    assert meta["n_docs"] == 1
+
+
+def test_resume_layout_mismatch_discards_partials(built, tmp_path):
+    """A crashed shards phase resumed with a DIFFERENT num_salts must discard
+    the stale salt files (their (shard, salt) derivation differs) and produce
+    output byte-identical to a fresh build at the new layout."""
+    pages_dir, out, _meta = built
+    import shutil
+
+    from meilisearch_thai_ray.index.build import shards_layout
+
+    # fresh reference build at num_salts=1
+    ref = str(tmp_path / "ref")
+    build_index(pages_dir, ref, CFG, num_salts=1, batch_size=64)
+
+    # clone the completed num_salts=2 index, simulate a crash mid-shards
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(out, crashed)
+    os.remove(os.path.join(crashed, "_manifest", "shards.done"))
+    # resume with num_salts=1: stale salt-0001 files MUST NOT be trusted
+    build_index(pages_dir, crashed, CFG, num_salts=1, batch_size=64)
+    assert shards_layout(crashed)["num_salts"] == 1
+    ref_shards = _hash_tree(os.path.join(ref, "shards"))
+    got_shards = _hash_tree(os.path.join(crashed, "shards"))
+    assert ref_shards == got_shards
+
+
+def test_completed_layout_mismatch_raises(built, tmp_path):
+    """Rebuilding a COMPLETED index with a different layout is an error, not a
+    silent meta rewrite."""
+    pages_dir, out, _meta = built
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(out, clone)
+    with pytest.raises(ValueError, match="layout"):
+        build_index(pages_dir, clone, CFG, num_salts=3, batch_size=64)

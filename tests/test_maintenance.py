@@ -83,3 +83,20 @@ def test_reindex_drops_tombstones(built):
     # stats reflect the smaller corpus
     assert meta["n_docs"] == len(new_ids)
     assert eng.search("อาหาร", k=3)
+
+def test_tombstone_files_content_named(built):
+    """Tombstone files are named by the content hash of their id set, so
+    concurrent delete calls can never collide on a directory-count ordinal
+    and silently overwrite each other."""
+    _, out = built
+    d = os.path.join(out, "tombstones")
+    before = set(os.listdir(d)) if os.path.isdir(d) else set()
+    delete_docs(out, [987654321])
+    delete_docs(out, [987654322])
+    after = set(os.listdir(d))
+    new = after - before
+    assert len(new) == 2  # distinct names for distinct id sets
+    assert {987654321, 987654322} <= load_tombstones(out)
+    # re-deleting already-tombstoned ids is a no-op (no new file)
+    assert delete_docs(out, [987654321]) == 0
+    assert set(os.listdir(d)) == after

@@ -42,3 +42,30 @@ def test_sharded_empty_query(service):
     _, svc = service
     assert svc.score_topk([]) == []
     assert svc.score_topk(["nonexistentzz"]) == []
+
+def test_shard_server_rejects_misrouted_term(service):
+    """Ownership is enforced: sending a term to the wrong server raises
+    instead of silently serving it (and bloating that actor's memory)."""
+    import ray
+
+    local, svc = service
+    tok = DocumentTokenizer(CFG)
+    # find a term and a server that does NOT own it
+    for q in QUERY_FIXTURES:
+        terms = tok.index_terms(tok.tokenize(q["query"]))
+        if not terms:
+            continue
+        term = terms[0]
+        owner = svc._server_for(term)
+        wrong = (owner + 1) % len(svc.servers)
+        if wrong == owner:
+            continue
+        with pytest.raises(ray.exceptions.RayTaskError):
+            ray.get(svc.servers[wrong].term_postings.remote([term]))
+        return
+    pytest.skip("no multi-server fixture term found")
+
+
+def test_service_warm_covers_owned_ranges(service):
+    _, svc = service
+    assert svc.warm() > 0
