@@ -24,16 +24,41 @@ def fnv1a64(data: bytes | str) -> int:
     return h
 
 
-def fnv1a64_batch(strings) -> np.ndarray:
-    """Vectorized-ish FNV-1a64 over an iterable of strings -> uint64 array.
+_VEC_MAX_LEN = 256  # longer outliers fall back to the scalar loop
 
-    Per-string python loop over bytes is the portable fallback; for typical url
-    lengths (~40 bytes) this is fast enough inside a map_batches stage. Kept as
-    one function so a faster kernel can swap in without touching callers.
-    """
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = fnv1a64(s)
+
+def fnv1a64_batch(strings) -> np.ndarray:
+    """Vectorized FNV-1a64 over an iterable of str/bytes -> uint64 array.
+
+    Column-wise: one numpy pass per BYTE POSITION (bounded by the longest
+    string) instead of a python loop per byte per string — identical bits to
+    fnv1a64 (asserted in tests). Pathological outliers (> _VEC_MAX_LEN bytes)
+    are hashed with the scalar loop so the padded byte matrix stays small."""
+    n = len(strings)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    bs = [s.encode("utf-8") if isinstance(s, str) else s for s in strings]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    long = lens > _VEC_MAX_LEN
+    if long.any():
+        for i in np.flatnonzero(long):
+            out[i] = fnv1a64(bs[i])
+            bs[i] = b""
+        lens = np.where(long, 0, lens)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen:
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        buf = np.zeros((n, maxlen), dtype=np.uint8)
+        # C-order boolean-mask fill matches concatenation order (and is ~400x
+        # faster than a fancy-index scatter for this shape)
+        buf[np.arange(maxlen)[None, :] < lens[:, None]] = flat
+        prime = np.uint64(_FNV_PRIME)
+        for j in range(maxlen):
+            live = lens > j
+            h = np.where(live, (h ^ buf[:, j].astype(np.uint64)) * prime, h)
+    out[~long] = h[~long]
     return out
 
 

@@ -66,13 +66,16 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
     from ..kernel.extract import EXTRACTOR_VERSION
     from ..kernel.tokenize import TOKENIZER_VERSION
 
+    from .simple_text import input_fingerprint
+
     cfg_tag = (
         EngineConfig(num_shards=8).dictionary_hash()
         + EXTRACTOR_VERSION
         + TOKENIZER_VERSION
     )
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + cfg_tag).encode()
+        (input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+         + cfg_tag).encode()
     ).hexdigest()[:10]
     out = out_dir or os.path.join(_CACHE_ROOT, f"thai_index_{key}")
     pages_dir = os.path.join(out, "pages")
@@ -93,10 +96,100 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
     return out
 
 
+class QueryEval:
+    """Actor-pool batch query evaluation (SURVEY §3.2 scale form): each actor
+    loads the SearchEngine (and optionally the proxy) ONCE in __init__; a
+    batch of (qidx, qid, query) rows fans out across the pool. On a cluster
+    the index directory lives on shared storage; per-actor shard caches warm
+    with traffic exactly like the serving actors."""
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "wand",
+                 use_proxy: bool = False):
+        from ..index.search import SearchEngine
+
+        self.engine = SearchEngine(index_dir)
+        self.k = k
+        self.mode = mode
+        self.proxy = None
+        if use_proxy:
+            from .search_proxy import SearchProxy
+
+            self.proxy = SearchProxy(
+                self.engine, docs_path=os.path.join(index_dir, "docs")
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qidx, qids, ranks, doc_ids, scores, vtypes = [], [], [], [], [], []
+        for i, qid, query in zip(batch["qidx"].to_pylist(),
+                                 batch["qid"].to_pylist(),
+                                 batch["query"].to_pylist()):
+            if self.proxy is not None:
+                hits = [
+                    (h["doc_id"], h["score"], h["variant_type"])
+                    for h in self.proxy.search(query, k=self.k)
+                ]
+            else:
+                hits = [
+                    (d, s, "") for d, s in
+                    self.engine.search(query, k=self.k, mode=self.mode)
+                ]
+            for r, (d, s, vt) in enumerate(hits, 1):
+                qidx.append(i)
+                qids.append(qid)
+                ranks.append(r)
+                doc_ids.append(d)
+                scores.append(s)
+                vtypes.append(vt)
+        return pa.table(
+            {
+                "qidx": pa.array(np.asarray(qidx, dtype=np.int64)),
+                "qid": pa.array(qids, pa.string()),
+                "rank": pa.array(np.asarray(ranks, dtype=np.int64)),
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "score": pa.array(np.asarray(scores, dtype=np.float64)),
+                "variant_type": pa.array(vtypes, pa.string()),
+            }
+        )
+
+
+def _eval_fixture_queries(index_dir: str, k: int, mode: str,
+                          use_proxy: bool) -> pa.Table:
+    """Distributed fixture-query evaluation; output rows in fixture order
+    (identical to the serial loop, asserted in tests)."""
+    items = [
+        {"qidx": i, "qid": q["qid"], "query": q["query"]}
+        for i, q in enumerate(QUERY_FIXTURES)
+    ]
+    ds = ray.data.from_items(items).map_batches(
+        QueryEval,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode,
+                               "use_proxy": use_proxy},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+    t = pa.Table.from_pylist(ds.take_all())  # <= len(fixtures) * k rows: tiny
+    if t.num_rows == 0:
+        t = pa.table({"qidx": pa.array([], pa.int64()),
+                      "qid": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64()),
+                      "variant_type": pa.array([], pa.string())})
+    order = np.lexsort((t["rank"].to_numpy(), t["qidx"].to_numpy()))
+    return t.take(pa.array(order)).drop_columns(["qidx"])
+
+
 def flagship_proxy_search(sf_dir: str, k: int = 10):
     """Full reference query-path semantics (variants + boosts + dedup,
-    pipelines/search_proxy.py) over the flagship index.
-    -> (qid, rank, doc_id, score, variant_type)."""
+    pipelines/search_proxy.py) over the flagship index, evaluated as a Ray
+    actor-pool pipeline. -> (qid, rank, doc_id, score, variant_type)."""
+    index_dir = build_flagship_index(sf_dir)
+    return _eval_fixture_queries(index_dir, k, "wand", use_proxy=True)
+
+
+def flagship_proxy_search_serial(sf_dir: str, k: int = 10):
+    """Driver-side serial loop (identity oracle for the pipeline form)."""
     from ..index.search import SearchEngine
     from .search_proxy import SearchProxy
 
@@ -142,7 +235,15 @@ def build_metrics(sf_dir: str):
 
 
 def flagship_search(sf_dir: str, k: int = 10, mode: str = "wand"):
-    """Build (cached) + evaluate the fixture query set. -> (qid, rank, doc_id, score)."""
+    """Build (cached) + evaluate the fixture query set as a Ray actor-pool
+    pipeline (engine loaded once per actor). -> (qid, rank, doc_id, score)."""
+    index_dir = build_flagship_index(sf_dir)
+    return _eval_fixture_queries(index_dir, k, mode,
+                                 use_proxy=False).drop_columns(["variant_type"])
+
+
+def flagship_search_serial(sf_dir: str, k: int = 10, mode: str = "wand"):
+    """Driver-side serial loop (identity oracle for the pipeline form)."""
     from ..index.search import SearchEngine
 
     index_dir = build_flagship_index(sf_dir)

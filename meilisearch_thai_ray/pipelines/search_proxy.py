@@ -53,6 +53,13 @@ MAX_RESULTS_PER_VARIANT = 100  # settings.py:66
 MAX_QUERY_VARIANTS = 5
 TOKENIZATION_CONFIDENCE_FACTOR = 0.5  # result_ranker.py ExtendedRankingConfig
 
+# result_ranker.py:26-32 RankingAlgorithm + ExtendedRankingConfig:69-71
+RANKING_ALGORITHMS = ("weighted_score", "optimized_score", "simple_score",
+                      "experimental_score")
+SIMILARITY_THRESHOLD = 0.85            # result_ranker.py:70
+MAX_SIMILARITY_COMPARISONS = 100       # result_ranker.py:71
+EXPERIMENTAL_THAI_BOOST = 1.2          # result_ranker.py:1216
+
 
 @dataclass
 class QueryVariant:
@@ -69,9 +76,21 @@ class SearchProxy:
 
     def __init__(self, engine, docs_path: str | None = None,
                  config: EngineConfig | None = None,
-                 synonyms: dict[str, list[str]] | None = None):
+                 synonyms: dict[str, list[str]] | None = None,
+                 algorithm: str = "weighted_score",
+                 enable_content_similarity_dedup: bool = True):
         self.engine = engine  # index.search.SearchEngine
         self.config = config or EngineConfig()
+        # §2.10 extension surface: pluggable ranking algorithm registry
+        # (result_ranker.py:26-32,127-132) + hash-based A/B assignment
+        if algorithm not in RANKING_ALGORITHMS:
+            raise ValueError(f"unknown algorithm {algorithm!r}; "
+                             f"choose from {RANKING_ALGORITHMS}")
+        self.algorithm = algorithm
+        self.enable_content_similarity_dedup = enable_content_similarity_dedup
+        self.ab_testing_enabled = False
+        self.ab_test_algorithm: str | None = None
+        self.ab_test_traffic_percentage = 0.0
         self.docs_path = docs_path  # optional docs parquet for exact-match/content
         # D5 synonym map (settings_manager.py:226-249 set-union semantics),
         # applied query-side like Meilisearch does: canonical -> variants,
@@ -319,7 +338,35 @@ class SearchProxy:
 
     # ---------------- execution + ranking ----------------
 
-    def search(self, query: str, k: int = 10) -> list[dict]:
+    def configure_ab_test(self, test_algorithm: str, traffic_percentage: float,
+                          enabled: bool = True) -> None:
+        """A/B test config (result_ranker.py:862-895 semantics + validation)."""
+        if not 0.0 <= traffic_percentage <= 1.0:
+            raise ValueError("Traffic percentage must be between 0.0 and 1.0")
+        if test_algorithm not in RANKING_ALGORITHMS:
+            raise ValueError(
+                f"Invalid test algorithm. Must be one of: {list(RANKING_ALGORITHMS)}"
+            )
+        self.ab_testing_enabled = enabled
+        self.ab_test_algorithm = test_algorithm
+        self.ab_test_traffic_percentage = traffic_percentage
+
+    def select_algorithm(self, query: str, session_id: str | None = None) -> str:
+        """Deterministic hash-based A/B assignment (result_ranker.py:714-766):
+        md5(session_id + '_' + query) % 100 buckets, test algorithm below the
+        traffic percentage, control otherwise."""
+        if not self.ab_testing_enabled or not session_id:
+            return self.algorithm
+        import hashlib
+
+        h = int(hashlib.md5(f"{session_id}_{query}".encode()).hexdigest(), 16)
+        if (h % 100) / 100.0 < self.ab_test_traffic_percentage and \
+                self.ab_test_algorithm:
+            return self.ab_test_algorithm
+        return self.algorithm
+
+    def search(self, query: str, k: int = 10,
+               session_id: str | None = None) -> list[dict]:
         analysis, _tokens, confidence, variants = self._prepare(query)
 
         # per-variant matchingStrategy (search_executor.py:731-753):
@@ -374,18 +421,45 @@ class SearchProxy:
                      score, variant, pos)
                 )
 
-        # D2: dedup by doc id keeping the best per the reference tie-break order
-        best: dict[int, tuple] = {}
-        for cand in candidates:
-            doc_id = cand[0]["doc_id"]
-            cur = best.get(doc_id)
-            if cur is None or self._tie_key(cand) < self._tie_key(cur):
-                best[doc_id] = cand
-        ranked = sorted(best.values(), key=self._tie_key)
+        algorithm = self.select_algorithm(query, session_id)
+        ranked, n_unique = self._RANKERS[algorithm](self, candidates, analysis)
         out = []
+        accepted_texts: list[str] = []
+        comparisons = 0
+        cluster = (
+            algorithm == "weighted_score"
+            and self.enable_content_similarity_dedup
+            and self.docs_path is not None
+        )
+        if cluster and ranked:
+            # prefetch texts for the head of the ranking in one filtered read
+            self._doc_texts([c[0]["doc_id"] for c in ranked[: 5 * k]])
         for hit, score, variant, pos in ranked:
             if score < MIN_SCORE_THRESHOLD:
                 continue
+            if cluster:
+                # D3 within-result-set clustering (result_ranker.py:635-712):
+                # a hit near-identical (SequenceMatcher >= 0.85) to an
+                # already-accepted higher-ranked hit is dropped; comparisons
+                # are capped (max_similarity_comparisons)
+                from difflib import SequenceMatcher
+
+                text = self._doc_texts([hit["doc_id"]]).get(
+                    hit["doc_id"], ""
+                )[:500]
+                dup = False
+                if text:
+                    for at in accepted_texts:
+                        if comparisons >= MAX_SIMILARITY_COMPARISONS:
+                            break
+                        comparisons += 1
+                        if SequenceMatcher(None, text, at).ratio() >= \
+                                SIMILARITY_THRESHOLD:
+                            dup = True
+                            break
+                if dup:
+                    continue
+                accepted_texts.append(text)
             out.append(
                 {
                     "doc_id": hit["doc_id"],
@@ -393,12 +467,102 @@ class SearchProxy:
                     "raw_score": hit["raw_score"],
                     "variant_type": variant.variant_type,
                     "engine": variant.engine,
-                    "dedup_count": len(candidates) - len(best),
+                    "algorithm": algorithm,
+                    "dedup_count": len(candidates) - n_unique,
                 }
             )
             if len(out) >= k:
                 break
         return out
+
+    # ---------------- ranking-algorithm registry (§2.10 extension point) ----
+
+    def _rank_weighted(self, candidates: list[tuple], analysis: dict):
+        """weighted_score (result_ranker.py:1025-1072): id-dedup keeping the
+        best per the full reference tie-break order; content-similarity
+        clustering is applied downstream by search()."""
+        best: dict[int, tuple] = {}
+        for cand in candidates:
+            doc_id = cand[0]["doc_id"]
+            cur = best.get(doc_id)
+            if cur is None or self._tie_key(cand) < self._tie_key(cur):
+                best[doc_id] = cand
+        return sorted(best.values(), key=self._tie_key), len(best)
+
+    def _rank_optimized(self, candidates: list[tuple], analysis: dict):
+        """optimized_score (result_ranker.py:1074-1133): id-only dedup with
+        the basic tie-break (higher score, then variant/engine priority and
+        weight, then lower position) — the production fast path."""
+        best: dict[int, tuple] = {}
+        for cand in candidates:
+            _hit, score, variant, pos = cand
+            doc_id = cand[0]["doc_id"]
+            cur = best.get(doc_id)
+            if cur is None:
+                best[doc_id] = cand
+                continue
+            _chit, cscore, cvariant, cpos = cur
+            replace = score > cscore or (
+                score == cscore
+                and (
+                    self._variant_precedes(variant, cvariant)
+                    or (variant.variant_type == cvariant.variant_type
+                        and pos < cpos)
+                )
+            )
+            if replace:
+                best[doc_id] = cand
+        ranked = sorted(
+            best.values(), key=lambda c: (-c[1], c[0]["doc_id"])
+        )
+        return ranked, len(best)
+
+    def _rank_simple(self, candidates: list[tuple], analysis: dict):
+        """simple_score (result_ranker.py:1183-1205): keep the highest score
+        per doc id, sort by score."""
+        best: dict[int, tuple] = {}
+        for cand in candidates:
+            doc_id = cand[0]["doc_id"]
+            cur = best.get(doc_id)
+            if cur is None or cand[1] > cur[1]:
+                best[doc_id] = cand
+        ranked = sorted(
+            best.values(), key=lambda c: (-c[1], c[0]["doc_id"])
+        )
+        return ranked, len(best)
+
+    def _rank_experimental(self, candidates: list[tuple], analysis: dict):
+        """experimental_score (result_ranker.py:1207-1258): extra x1.2 boost
+        for Thai-dominant queries, then best-score-per-doc."""
+        boost = (
+            EXPERIMENTAL_THAI_BOOST
+            if analysis["thai_content_ratio"] > 0.7 else 1.0
+        )
+        boosted = [
+            (hit, score * boost, variant, pos)
+            for hit, score, variant, pos in candidates
+        ]
+        return self._rank_simple(boosted, analysis)
+
+    _RANKERS = {
+        "weighted_score": _rank_weighted,
+        "optimized_score": _rank_optimized,
+        "simple_score": _rank_simple,
+        "experimental_score": _rank_experimental,
+    }
+
+    @staticmethod
+    def _variant_precedes(v1: QueryVariant, v2: QueryVariant) -> bool:
+        """result_ranker.py:1135-1181 _compare_variants_for_tie_breaking."""
+        p1 = VARIANT_PRIORITY.get(v1.variant_type, 4)
+        p2 = VARIANT_PRIORITY.get(v2.variant_type, 4)
+        if p1 != p2:
+            return p1 < p2
+        e1 = ENGINE_PRIORITY.get(v1.engine, 4)
+        e2 = ENGINE_PRIORITY.get(v2.engine, 4)
+        if e1 != e2:
+            return e1 < e2
+        return v1.weight > v2.weight
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
         """Quoted-phrase search (the reference's quoted variant; Meilisearch

@@ -45,6 +45,23 @@ def _doc_path(sf_dir: str, table: str = "documents") -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def input_fingerprint(path: str) -> str:
+    """Identity of an input parquet file/dir for cache keys: absolute path +
+    (mtime_ns, size) of every file — a mutated input under the same path must
+    never serve a stale derived index."""
+    parts = [os.path.abspath(path)]
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path) for f in fs
+        )
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 # ---------------------------------------------------------------- token stats
 
 def doc_token_stats(sf_dir: str):
@@ -141,7 +158,7 @@ def simple_index_dir(sf_dir: str) -> str:
     from ..state.manifest import BuildManifest
 
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "simple-v1").encode()
+        (input_fingerprint(_doc_path(sf_dir)) + "simple-v1").encode()
     ).hexdigest()[:10]
     out = os.path.join(_CACHE_ROOT, f"simple_index_{key}")
     os.makedirs(out, exist_ok=True)

@@ -378,3 +378,79 @@ def test_embedding_neardup_planted_fixture_nonempty(ray_session):
     assert len(planted) > 0
     assert (planted["b"] - PLANT_ID_BASE == planted["a"]).all()
     assert (planted["cos"] >= 0.999999).all()
+
+def test_batch_query_eval_identical_to_serial(ray_session):
+    """The Ray actor-pool query evaluation returns exactly the serial loop's
+    rows, in the same order (engine and proxy paths)."""
+    from meilisearch_thai_ray.pipelines.flagship import (
+        flagship_proxy_search,
+        flagship_proxy_search_serial,
+        flagship_search,
+        flagship_search_serial,
+    )
+
+    assert flagship_search(SF).equals(flagship_search_serial(SF))
+    assert flagship_proxy_search(SF).equals(flagship_proxy_search_serial(SF))
+
+def test_fnv_batch_vectorized_identity():
+    """Column-wise FNV kernel is bit-identical to the scalar reference,
+    including multi-byte UTF-8, empties, bytes input and long outliers."""
+    from meilisearch_thai_ray.functions.hashing import fnv1a64, fnv1a64_batch
+
+    cases = ["", "a", "hello world", "สาหร่ายวากาเมะ", "x" * 300, "ยาว" * 200,
+             "mixed ไทย ascii", b"raw\x00bytes", "​"]
+    got = fnv1a64_batch(cases)
+    assert [int(x) for x in got] == [fnv1a64(c) for c in cases]
+    assert len(fnv1a64_batch([])) == 0
+
+
+def test_simhash_vectorized_identity():
+    """Vectorized SimHasher == scalar per-token reference implementation."""
+    from meilisearch_thai_ray.functions.hashing import fnv1a64
+    from meilisearch_thai_ray.stages.dedup import SimHasher
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "ไทย", "wakame", "x", ""]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, len(vocab), rng.integers(1, 30)))
+             for _ in range(40)] + ["", "single"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = SimHasher()(t)
+
+    # scalar reference (round-1 implementation)
+    shifts = np.arange(64, dtype=np.uint64)
+    expected = []
+    for txt in texts:
+        hs = np.fromiter((fnv1a64(tok) for tok in txt.split(" ")), dtype=np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        expected.append(int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)))
+    got = [x & 0xFFFFFFFFFFFFFFFF for x in
+           np.asarray(out["simhash"].to_pylist(), dtype=np.int64).astype(np.uint64).tolist()]
+    assert got == expected
+
+def test_cache_key_tracks_input_identity(ray_session, tmp_path):
+    """Mutating the input parquet under the SAME path must produce a
+    different cache directory (stale-index guard)."""
+    import shutil
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        input_fingerprint,
+        simple_index_dir,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", str(d / "documents.parquet"))
+    fp1 = input_fingerprint(str(d / "documents.parquet"))
+    out1 = simple_index_dir(str(d))
+    _time.sleep(0.01)
+    t = pq.read_table(str(d / "documents.parquet"))
+    pq.write_table(t.slice(0, 100), str(d / "documents.parquet"))  # mutate
+    fp2 = input_fingerprint(str(d / "documents.parquet"))
+    assert fp1 != fp2
+    out2 = simple_index_dir(str(d))
+    assert out1 != out2  # rebuild triggered, no stale serve

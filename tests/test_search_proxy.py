@@ -154,3 +154,123 @@ def test_phrase_search(proxy):
     )
     with pytest.raises(ValueError):
         proxy.search_phrase("x")  # no docs_path configured
+
+# ---------------- ranking registry + A/B + content clustering ----------------
+
+@pytest.fixture(scope="module")
+def neardup_index(ray_session, tmp_path_factory):
+    """Corpus with two near-identical docs (SequenceMatcher ratio >= 0.85)
+    matching a unique term, plus filler docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("neardup")
+    pages = root / "pages"
+    pages.mkdir()
+    base = ("wakameclone seaweed salad with sesame dressing is a delicious "
+            "healthy appetizer enjoyed across coastal regions ")
+    texts = [base * 3, (base * 3).replace("sesame", "ginger", 1)]
+    for i in range(10):
+        texts.append(f"filler document {i} about completely unrelated topic "
+                     f"number {i} with unique words fill{i}a fill{i}b " * 3)
+    urls = [f"https://nd.ex/{i}" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([f"<p>{t}</p>".encode() for t in texts], pa.binary()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }),
+        str(pages / "p.parquet"),
+    )
+    out = str(root / "index")
+    from meilisearch_thai_ray.index.build import build_index
+
+    build_index(str(pages), out, EngineConfig(num_shards=4), num_salts=1,
+                batch_size=64)
+    import os
+
+    return SearchEngine(out), os.path.join(out, "docs")
+
+
+def test_content_similarity_clustering_drops_near_dup(neardup_index):
+    eng, docs_path = neardup_index
+    clustered = SearchProxy(eng, docs_path=docs_path)
+    hits = clustered.search("wakameclone", k=10)
+    assert len([h for h in hits]) == 1, hits  # near-dup collapsed
+    # id-only paths keep both
+    raw = SearchProxy(eng, docs_path=docs_path,
+                      enable_content_similarity_dedup=False)
+    assert len(raw.search("wakameclone", k=10)) == 2
+    optimized = SearchProxy(eng, docs_path=docs_path,
+                            algorithm="optimized_score")
+    assert len(optimized.search("wakameclone", k=10)) == 2
+
+
+def test_all_ranking_algorithms_run(neardup_index):
+    eng, docs_path = neardup_index
+    from meilisearch_thai_ray.pipelines.search_proxy import RANKING_ALGORITHMS
+
+    for algo in RANKING_ALGORITHMS:
+        p = SearchProxy(eng, docs_path=docs_path, algorithm=algo)
+        hits = p.search("wakameclone seaweed", k=5)
+        assert hits, algo
+        assert all(h["algorithm"] == algo for h in hits)
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True), algo
+        assert hits == p.search("wakameclone seaweed", k=5), f"{algo} nondeterministic"
+    with pytest.raises(ValueError):
+        SearchProxy(eng, algorithm="nope")
+
+
+def test_ab_assignment_deterministic_and_split(neardup_index):
+    eng, docs_path = neardup_index
+    p = SearchProxy(eng, docs_path=docs_path)
+    assert p.select_algorithm("q", "s1") == "weighted_score"  # A/B off
+    p.configure_ab_test("simple_score", 0.5)
+    seen = {p.select_algorithm("query", f"session-{i}") for i in range(40)}
+    assert seen == {"weighted_score", "simple_score"}  # both arms assigned
+    for i in range(40):  # assignment is stable per (session, query)
+        sid = f"session-{i}"
+        assert p.select_algorithm("query", sid) == p.select_algorithm("query", sid)
+    # results honor the assigned algorithm
+    algos = {p.search("wakameclone", k=3, session_id=f"s{i}")[0]["algorithm"]
+             for i in range(30)}
+    assert algos == {"weighted_score", "simple_score"}
+    with pytest.raises(ValueError):
+        p.configure_ab_test("simple_score", 1.5)
+    with pytest.raises(ValueError):
+        p.configure_ab_test("bogus", 0.5)
+
+
+def test_phrase_search_grows_past_initial_candidate_cap(ray_session, tmp_path):
+    """A true phrase hit BM25-ranked below the initial candidate cap is still
+    found (the pool grows until k verified or candidates exhausted)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.index.build import build_index
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    texts = [("alphaz q betaz r " * 12) for _ in range(130)]  # AND matches, no phrase
+    texts.append("the needle alphaz betaz appears exactly once here")
+    urls = [f"https://ph.ex/{i}" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([f"<p>{t}</p>".encode() for t in texts], pa.binary()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }),
+        str(pages / "p.parquet"),
+    )
+    out = str(tmp_path / "index")
+    build_index(str(pages), out, EngineConfig(num_shards=4), num_salts=1,
+                batch_size=64)
+    eng = SearchEngine(out)
+    p = SearchProxy(eng, docs_path=os.path.join(out, "docs"))
+    hits = p.search_phrase("alphaz betaz", k=5)
+    assert len(hits) == 1  # found despite ranking 131st in the AND candidates
+    texts_found = p._doc_texts([hits[0][0]])
+    assert "alphaz betaz" in texts_found[hits[0][0]]
