@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,
         "thai_proxy_search": flagship.flagship_proxy_search,
+        "j5_phrase_search": flagship.phrase_search,
         "a2_variant_distribution": flagship.variant_distribution,
         "st5_build_metrics": flagship.build_metrics,
     }

@@ -88,6 +88,11 @@ class EngineConfig:
     remove_stop_words: bool = True
     lowercase_latin: bool = True
     index_compound_parts: bool = True  # index compound sub-tokens (partial-compound search)
+    # store per-occurrence token positions in the posting shards (enables true
+    # token-adjacency phrase search, Meilisearch-style, at ~1 varint byte per
+    # occurrence; off by default — the substring-verify phrase fallback needs
+    # only the docs table)
+    store_positions: bool = False
     stop_words: frozenset[str] = THAI_STOP_WORDS
 
     def dictionary_words(self) -> tuple[list[str], list[str]]:

@@ -47,6 +47,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("dls_bin", pa.binary()),
         ("block_last", pa.list_(pa.int64())),
         ("block_max", pa.list_(pa.float64())),
+        # store_positions=True: varint delta stream of per-occurrence token
+        # positions (posting boundaries implied by tf); empty otherwise
+        ("pos_bin", pa.binary()),
     ]
 )
 
@@ -87,17 +90,18 @@ def _encode_group_to_file(group: pa.Table, path: str, *, shard: int, salt: int,
                           block: int) -> tuple[int, int, int]:
     """Sort one partition's postings by (term, doc_id), encode every term
     segment, write the shard file atomically. -> (n_terms, n_postings, bytes)."""
-    from .codec import encode_segment
+    from .codec import encode_positions, encode_segment
 
     import polars as pl
 
-    df = pl.from_arrow(group.select(["term", "doc_id", "tf", "dl"])).sort(
-        ["term", "doc_id"]
-    )
+    has_pos = "positions" in group.column_names
+    cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if has_pos else [])
+    df = pl.from_arrow(group.select(cols)).sort(["term", "doc_id"])
     terms = np.asarray(df["term"].to_list(), dtype=object)
     doc_ids = df["doc_id"].to_numpy().astype(np.uint64)
     tfs = df["tf"].to_numpy().astype(np.uint64)
     dls = df["dl"].to_numpy().astype(np.uint64)
+    pos_lists = df["positions"].to_list() if has_pos else None
 
     n = len(terms)
     bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1 if n > 1 else np.empty(0, np.int64)
@@ -108,6 +112,9 @@ def _encode_group_to_file(group: pa.Table, path: str, *, shard: int, salt: int,
     total_bytes = 0
     for s, e in zip(starts, ends):
         seg = encode_segment(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b, block)
+        pos_bin = (
+            encode_positions(pos_lists[s:e], tfs[s:e]) if has_pos else b""
+        )
         rows["shard"].append(shard)
         rows["salt"].append(salt)
         rows["term"].append(terms[s])
@@ -119,7 +126,9 @@ def _encode_group_to_file(group: pa.Table, path: str, *, shard: int, salt: int,
         rows["dls_bin"].append(seg["dls_bin"])
         rows["block_last"].append(seg["block_last"])
         rows["block_max"].append(seg["block_max"])
-        total_bytes += len(seg["docs_bin"]) + len(seg["tfs_bin"]) + len(seg["dls_bin"])
+        rows["pos_bin"].append(pos_bin)
+        total_bytes += (len(seg["docs_bin"]) + len(seg["tfs_bin"])
+                        + len(seg["dls_bin"]) + len(pos_bin))
 
     out = pa.table({k: rows[k] for k in rows}, schema=SEGMENT_SCHEMA)
     atomic_write_parquet(out, path)
@@ -236,6 +245,7 @@ def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
         "posting_block": config.posting_block,
         "num_shards": config.num_shards,
         "num_salts": getattr(config, "num_salts", 1),
+        "store_positions": getattr(config, "store_positions", False),
         "dictionary_hash": config.dictionary_hash(),
         "extractor_version": EXTRACTOR_VERSION,
     }
@@ -377,14 +387,17 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
     t0 = time.time()
     import functools
 
-    docs = ray.data.read_parquet(
-        docs_dir, columns=["doc_id", "terms", "token_count"]
+    store_pos = getattr(config, "store_positions", False)
+    cols = ["doc_id", "terms", "token_count"] + (
+        ["term_positions"] if store_pos else []
     )
+    docs = ray.data.read_parquet(docs_dir, columns=cols)
     from ..stages.postings import postings_flat_fn
 
     postings = docs.map_batches(
         functools.partial(
-            postings_flat_fn, num_shards=config.num_shards, num_salts=num_salts
+            postings_flat_fn, num_shards=config.num_shards,
+            num_salts=num_salts, positions=store_pos,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -498,7 +511,10 @@ def _fused_extract_postings(batch: pa.Table, *, config: EngineConfig,
     # finished — a fire-and-forget add could still be in flight when the first
     # encode task reads totals, baking a partial avgdl into block_max
     ray.get(stats_actor.add.remote(urls_digest, n, sum_dl))
-    return postings_flat_fn(docs, num_shards=config.num_shards, num_salts=num_salts)
+    return postings_flat_fn(
+        docs, num_shards=config.num_shards, num_salts=num_salts,
+        positions=getattr(config, "store_positions", False),
+    )
 
 
 _FUSED_AVGDL_CACHE: dict = {}
@@ -576,6 +592,7 @@ def build_index_fused(pages_path: str, out_dir: str,
         "posting_block": config.posting_block,
         "num_shards": config.num_shards,
         "num_salts": num_salts,
+        "store_positions": getattr(config, "store_positions", False),
         "dictionary_hash": config.dictionary_hash(),
         "extractor_version": EXTRACTOR_VERSION,
         "build_mode": "fused",
@@ -595,7 +612,70 @@ def build_index_fused(pages_path: str, out_dir: str,
     manifest.mark_phase_done("docs", {"mode": "fused"})
     manifest.mark_phase_done("stats", {"mode": "fused"})
     manifest.mark_phase_done("shards", {"wall_s": time.time() - t0, "mode": "fused"})
+    build_term_dict(out_dir)
     return meta
+
+
+def build_term_dict(out_dir: str) -> str:
+    """Phase 'dict': globally SORTED (term, df, cf) dictionary parquet.
+
+    The scale path for prefix expansion / suggestions: terms are hash-sharded
+    in the posting files, so a prefix scan would otherwise load every shard's
+    term table; a sorted dictionary with small row groups turns it into a
+    stats-pruned range read (only row groups whose [min, max] straddles the
+    prefix are touched). Dictionary size is O(vocabulary) — tiny next to the
+    postings — so a driver-side streaming scan suffices below 4 GiB and the
+    Ray groupby/sort path covers anything bigger."""
+    import pyarrow.dataset as pads
+
+    manifest = BuildManifest(out_dir)
+    d = os.path.join(out_dir, "termdict")
+    if manifest.phase_done("dict"):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(d):  # discard a crashed run's partial files
+        os.remove(os.path.join(d, f))
+    shards_dir = os.path.join(out_dir, "shards")
+    files = []
+    if os.path.isdir(shards_dir):
+        for root, _dirs, fs in os.walk(shards_dir):
+            files.extend(os.path.join(root, f) for f in fs
+                         if f.endswith(".parquet"))
+    t0 = time.time()
+    if not files:
+        atomic_write_parquet(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "cf": pa.array([], pa.int64())}),
+            os.path.join(d, "termdict-00000.parquet"),
+        )
+    else:
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        if total_bytes < 4 << 30:
+            import polars as pl
+
+            t = pads.dataset(files).to_table(columns=["term", "df", "cf"])
+            out = (
+                pl.from_arrow(t)
+                .group_by("term")  # salted segments of one term sum up
+                .agg(pl.col("df").sum(), pl.col("cf").sum())
+                .sort("term")
+                .to_arrow()
+            )
+            atomic_write_parquet(
+                out, os.path.join(d, "termdict-00000.parquet"),
+                row_group_size=8192,
+            )
+        else:
+            from ray.data.aggregate import Sum
+
+            ds = ray.data.read_parquet(files, columns=["term", "df", "cf"])
+            agg = ds.groupby("term").aggregate(
+                Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+            )
+            agg.sort("term").write_parquet(d, row_group_size=8192)
+    manifest.mark_phase_done("dict", {"wall_s": time.time() - t0})
+    return d
 
 
 def build_index(pages_path: str, out_dir: str, config: EngineConfig | None = None, *,
@@ -607,6 +687,7 @@ def build_index(pages_path: str, out_dir: str, config: EngineConfig | None = Non
     meta = compute_stats(docs_dir, out_dir, config)
     meta["num_salts"] = num_salts
     build_shards(docs_dir, out_dir, config, meta, num_salts=num_salts)
+    build_term_dict(out_dir)
     # persist the actual salt count used (query reader needs it)
     meta_path = os.path.join(out_dir, "meta.json")
     with open(meta_path) as f:

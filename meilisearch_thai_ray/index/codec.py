@@ -71,6 +71,41 @@ def tfn_scores(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def encode_positions(positions: list, tfs: np.ndarray) -> bytes:
+    """Per-posting ascending position lists -> one varint stream.
+
+    Deltas are taken WITHIN each posting's list (first value absolute);
+    posting boundaries need no markers because tf == len(positions) is
+    already stored. Vectorized: one flat array, per-posting-start values
+    restored by subtracting the previous element only off-boundary."""
+    if not positions:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.uint64) for p in positions])
+    counts = tfs.astype(np.int64)
+    starts = np.cumsum(counts) - counts
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[starts] = flat[starts]  # absolute at each posting start
+    return varint_encode(deltas)
+
+
+def decode_positions(pos_bin: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (flat positions uint64, per-posting start offsets int64).
+
+    posting i's positions = flat[offsets[i] : offsets[i] + tfs[i]]."""
+    counts = tfs.astype(np.int64)
+    total = int(counts.sum())
+    deltas = varint_decode(pos_bin, total)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(counts) - counts
+    # undo the global cumsum at posting boundaries: subtract the running
+    # total accumulated BEFORE each posting
+    prior = np.zeros(counts.size, dtype=np.uint64)
+    prior[1:] = cs[starts[1:] - 1]
+    flat = cs - np.repeat(prior, counts)
+    return flat, starts
+
+
 def encode_segment(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                    avgdl: float, k1: float = BM25_K1, b: float = BM25_B,
                    block: int = POSTING_BLOCK) -> dict:

@@ -35,14 +35,34 @@ from .codec import decode_segment, tfn_scores
 
 
 class _Segment:
-    __slots__ = ("doc_ids", "tfn", "block_last", "block_max", "n")
+    __slots__ = ("doc_ids", "tfn", "block_last", "block_max", "n",
+                 "tfs", "pos_bin", "pos_flat", "pos_offsets")
 
-    def __init__(self, doc_ids, tfn, block_last, block_max):
+    def __init__(self, doc_ids, tfn, block_last, block_max, tfs=None,
+                 pos_bin=b""):
         self.doc_ids = doc_ids
         self.tfn = tfn
         self.block_last = block_last
         self.block_max = block_max
         self.n = len(doc_ids)
+        self.tfs = tfs
+        self.pos_bin = pos_bin  # raw; decoded lazily on first phrase access
+        self.pos_flat = None
+        self.pos_offsets = None
+
+    def positions_of(self, idx: int) -> np.ndarray | None:
+        """Ascending occurrence positions of posting #idx (None if the index
+        was built without store_positions)."""
+        if not self.pos_bin:
+            return None
+        if self.pos_flat is None:
+            from .codec import decode_positions
+
+            self.pos_flat, self.pos_offsets = decode_positions(
+                self.pos_bin, self.tfs
+            )
+        start = self.pos_offsets[idx]
+        return self.pos_flat[start : start + int(self.tfs[idx])]
 
 
 class SearchEngine:
@@ -89,13 +109,16 @@ class SearchEngine:
         terms: dict[str, list] = {}
         for path in self._shard_tables(shard):
             t = pq.read_table(path)
-            cols = {c: t[c].to_pylist() for c in
-                    ("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
-                     "block_last", "block_max")}
+            has_pos = "pos_bin" in t.column_names  # pre-positional layout
+            names = ("term", "n_docs", "docs_bin", "tfs_bin", "dls_bin",
+                     "block_last", "block_max")
+            cols = {c: t[c].to_pylist() for c in names}
+            pos = t["pos_bin"].to_pylist() if has_pos else [b""] * t.num_rows
             for i, term in enumerate(cols["term"]):
                 terms.setdefault(term, []).append(
                     (cols["n_docs"][i], cols["docs_bin"][i], cols["tfs_bin"][i],
-                     cols["dls_bin"][i], cols["block_last"][i], cols["block_max"][i])
+                     cols["dls_bin"][i], cols["block_last"][i],
+                     cols["block_max"][i], pos[i])
                 )
         if len(self._shard_cache) > 64:
             self._shard_cache.clear()
@@ -114,12 +137,13 @@ class SearchEngine:
             self._seg_cache[term] = []
             return []
         segs = []
-        for n_docs, docs_bin, tfs_bin, dls_bin, block_last, block_max in raw:
+        for n_docs, docs_bin, tfs_bin, dls_bin, block_last, block_max, pos_bin in raw:
             doc_ids, tfs, dls = decode_segment(docs_bin, tfs_bin, dls_bin, n_docs)
             tfn = tfn_scores(tfs, dls, self.avgdl, self.k1, self.b)
             segs.append(_Segment(doc_ids, tfn,
                                  np.asarray(block_last, dtype=np.int64),
-                                 np.asarray(block_max, dtype=np.float64)))
+                                 np.asarray(block_max, dtype=np.float64),
+                                 tfs=tfs, pos_bin=pos_bin))
         if len(self._seg_cache) > 100_000:
             self._seg_cache.clear()
         self._seg_cache[term] = segs
@@ -316,6 +340,85 @@ class SearchEngine:
         elif item > heap[0]:
             heapq.heapreplace(heap, item)
 
+    # ------------- positional phrase search -------------
+
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.meta.get("store_positions"))
+
+    def _doc_positions(self, term: str, doc_id: int) -> np.ndarray | None:
+        """Occurrence positions of `term` in `doc_id` (salt segments are
+        doc-disjoint: at most one segment holds the doc)."""
+        for seg in self.segments(term):
+            i = int(np.searchsorted(seg.doc_ids, np.uint64(doc_id)))
+            if i < seg.n and seg.doc_ids[i] == np.uint64(doc_id):
+                return seg.positions_of(i)
+        return None
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """True token-adjacency phrase search over the positional index
+        (Meilisearch-style quoted-phrase semantics): docs where the phrase's
+        primary terms occur at CONSECUTIVE token positions, BM25-ranked.
+
+        Needs store_positions=True at build time. Cost: one posting
+        intersection (the AND set) + per-candidate position-list
+        intersections — no document text is touched, unlike the
+        substring-verify fallback in the proxy."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; use the "
+                "proxy's substring-verify phrase path instead"
+            )
+        tok = self.tokenizer
+        terms, tpos = tok.index_terms_with_positions(tok.tokenize(phrase))
+        seq: list[str] = []
+        seen_pos: set[int] = set()
+        for t, p in zip(terms, tpos):
+            if p not in seen_pos:  # primary term per token position
+                seen_pos.add(p)
+                seq.append(t)
+        if not seq:
+            return []
+        if len(seq) == 1:
+            return self.score_topk(seq, k=k, match="all")
+        uniq_terms = sorted(set(seq))
+        doc_sets = []
+        for t in uniq_terms:
+            segs = self.segments(t)
+            if not segs:
+                return []
+            doc_sets.append(np.concatenate([s.doc_ids for s in segs]))
+        doc_sets.sort(key=len)  # intersect smallest-first
+        cand = doc_sets[0]
+        for ds_ in doc_sets[1:]:
+            cand = cand[np.isin(cand, ds_)]
+            if cand.size == 0:
+                return []
+        matched: list[int] = []
+        for d in cand.tolist():
+            base: np.ndarray | None = None
+            for j, t in enumerate(seq):
+                pos = self._doc_positions(t, d)
+                if pos is None:
+                    base = None
+                    break
+                shifted = pos.astype(np.int64) - j
+                base = shifted if base is None else np.intersect1d(base, shifted)
+                if base.size == 0:
+                    break
+            if base is not None and base.size:
+                matched.append(int(d))
+        if not matched:
+            return []
+        scores = dict(
+            self.score_topk(seq, k=int(cand.size), match="all")
+        )
+        hits = sorted(
+            ((d, scores[d]) for d in matched if d in scores),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return hits[:k]
+
     # ------------- prefix expansion -------------
 
     def warm(self) -> int:
@@ -334,11 +437,19 @@ class SearchEngine:
     def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
         """Terms starting with `prefix`, by descending df then lexicographic
         (Meilisearch matches the LAST query word as a prefix; the proxy can add
-        the expansions as extra terms). Terms are hash-sharded, so a prefix
-        scan touches every shard — acceptable for interactive queries (shards
-        cache warm); a dedicated sorted term dictionary is the scale path."""
+        the expansions as extra terms).
+
+        Scale path: the build writes a globally SORTED term dictionary
+        (termdict/, 8k-row groups), so the prefix becomes a parquet range
+        read — row groups whose [min, max] stats miss the prefix range are
+        never touched. Falls back to the full hash-shard scan only for
+        pre-dictionary indexes."""
         if not prefix:
             return []
+        hits = self._termdict_prefix(prefix)
+        if hits is not None:
+            hits.sort()
+            return [t for _, t in hits[:limit]]
         cands: list[tuple[int, str]] = []
         for shard in range(self.num_shards):
             for term, segs in self._load_shard(shard).items():
@@ -346,6 +457,33 @@ class SearchEngine:
                     cands.append((-sum(s[0] for s in segs), term))
         cands.sort()
         return [t for _, t in cands[:limit]]
+
+    def _termdict_prefix(self, prefix: str) -> list[tuple[int, str]] | None:
+        """Range-read the sorted dictionary -> [(-df, term)]; None if absent."""
+        d = os.path.join(self.index_dir, "termdict")
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        # upper bound: bump the last char (standard prefix-range trick);
+        # fall back to >=-only when the prefix ends at the max code point
+        lo = prefix
+        i = len(prefix) - 1
+        while i >= 0 and ord(prefix[i]) >= 0x10FFFF:
+            i -= 1
+        flt = pc.field("term") >= lo
+        if i >= 0:
+            hi = prefix[:i] + chr(ord(prefix[i]) + 1)
+            flt = flt & (pc.field("term") < hi)
+        t = pads.dataset(d).to_table(columns=["term", "df"], filter=flt)
+        return [
+            (-int(df), term)
+            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist())
+            if term.startswith(prefix)
+        ]
 
     def search_prefix(self, query: str, k: int = 10, expansions: int = 5):
         """Search where the final token also matches as a prefix."""

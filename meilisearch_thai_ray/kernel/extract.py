@@ -25,7 +25,8 @@ from __future__ import annotations
 import html as _html
 import re
 
-EXTRACTOR_VERSION = "3"  # v3: per-doc status/error columns (dead-letter rows)
+EXTRACTOR_VERSION = "4"  # v4: term_positions column (positional postings)
+# v3: per-doc status/error columns (dead-letter rows)
 # v2: tags with '>' inside quoted attribute values
 
 _BLOCK_TAGS = (

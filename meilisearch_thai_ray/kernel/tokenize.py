@@ -88,10 +88,23 @@ class DocumentTokenizer:
     def index_terms(self, tokens: list[str]) -> list[str]:
         """Tokens -> searchable terms: drop whitespace/punct-only and stop
         words; lowercase latin terms."""
+        return self.index_terms_with_positions(tokens)[0]
+
+    def index_terms_with_positions(
+        self, tokens: list[str]
+    ) -> tuple[list[str], list[int]]:
+        """(terms, positions): position increments once per PRIMARY term;
+        compound sub-parts carry their parent's position. Token-adjacency
+        phrase matching then works at the primary-token level, and a phrase
+        using a compound PART (e.g. "วากาเมะ X" against a doc containing
+        "สาหร่ายวากาเมะX") still lines up, because the part sits at the
+        parent's position."""
         out: list[str] = []
+        pos: list[int] = []
         lower = self.config.lowercase_latin
         stop = self.stop_words
         parts_of = self.compound_parts
+        p = 0
         for t in tokens:
             ts = t.strip()
             if not ts:
@@ -101,18 +114,22 @@ class DocumentTokenizer:
             if ts in stop:
                 continue
             out.append(ts.lower() if lower else ts)
+            pos.append(p)
             parts = parts_of.get(ts)
             if parts:  # compound parts become index terms too (sub-token surface)
                 out.extend(parts)
-        return out
+                pos.extend([p] * len(parts))
+            p += 1
+        return out, pos
 
     def analyze(self, text: str) -> dict:
         """One document -> analysis row (columns of the `docs` table)."""
         tokens = self.tokenize(text)
-        terms = self.index_terms(tokens)
+        terms, positions = self.index_terms_with_positions(tokens)
         return {
             "tokens": tokens,
             "terms": terms,
+            "term_positions": positions,
             "token_count": len(terms),
             "thai_ratio": thai_ratio(text),
             "mixed": is_mixed_content(text),

@@ -19,6 +19,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..sources.documents import read_parquet_clean
 from ..stages.dedup import (
     JaccardVerify,
     MinHasher,
@@ -30,7 +31,7 @@ from ..stages.dedup import (
 def _documents(sf_dir: str):
     import os
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -193,7 +194,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     dim = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     if plant:
         ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow",
                             batch_size=4096)

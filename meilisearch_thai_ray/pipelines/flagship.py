@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import EngineConfig
+from ..sources.documents import read_parquet_clean
 from ..fixtures.pages import _Vocab, _render_html, _thai_sentence
 from ..fixtures.queries import QUERY_FIXTURES
 
@@ -72,6 +73,7 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
         EngineConfig(num_shards=8).dictionary_hash()
         + EXTRACTOR_VERSION
         + TOKENIZER_VERSION
+        + "pos1"  # flagship index stores positions (phrase search)
     )
     key = hashlib.md5(
         (input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
@@ -84,7 +86,7 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
             import shutil
 
             shutil.rmtree(pages_dir)
-        ds = ray.data.read_parquet(
+        ds = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         pages = ds.map_batches(
@@ -92,7 +94,8 @@ def build_flagship_index(sf_dir: str, out_dir: str | None = None) -> str:
         )
         pages.write_parquet(pages_dir)
         open(os.path.join(pages_dir, "_done"), "w").write("ok")
-    build_index(pages_dir, out, EngineConfig(num_shards=8), num_salts=2)
+    build_index(pages_dir, out,
+                EngineConfig(num_shards=8, store_positions=True), num_salts=2)
     return out
 
 
@@ -211,6 +214,53 @@ def flagship_proxy_search_serial(sf_dir: str, k: int = 10):
             "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
             "score": pa.array(np.asarray(scores, dtype=np.float64)),
             "variant_type": pa.array(vtypes, pa.string()),
+        }
+    )
+
+
+def phrase_search(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """True token-adjacency phrase search over the positional flagship index
+    (J5: the Meilisearch quoted-phrase capability, resolved with positional
+    data instead of document text).
+
+    Queries are the deterministic planted Thai sentences of the first
+    n_queries doc_ids — each phrase provably occurs verbatim in exactly its
+    source document, so every query must rank that doc. -> (qid, rank,
+    doc_id, score, source_found)."""
+    import random as _random
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import doc_id_from_url
+    from ..index.search import SearchEngine
+
+    index_dir = build_flagship_index(sf_dir)
+    eng = SearchEngine(index_dir)
+    vocab = _Vocab()
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    src_ids = sorted(t["doc_id"].to_pylist())[:n_queries]
+    qids, ranks, doc_ids, scores, found = [], [], [], [], []
+    for d in src_ids:
+        rng = _random.Random(0xA5F00000 + d)
+        thai = _thai_sentence(rng, vocab, rng.randint(4, 9))
+        expect = doc_id_from_url(f"https://docs.example.th/d/{d:010d}")
+        hits = eng.phrase_topk(thai, k=k)
+        src_hit = any(h[0] == expect for h in hits)
+        for r, (hd, s) in enumerate(hits, 1):
+            qids.append(int(d))
+            ranks.append(r)
+            doc_ids.append(hd)
+            scores.append(s)
+            found.append(src_hit)
+    return pa.table(
+        {
+            "qid": pa.array(np.asarray(qids, dtype=np.int64)),
+            "rank": pa.array(np.asarray(ranks, dtype=np.int64)),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "score": pa.array(np.asarray(scores, dtype=np.float64)),
+            "source_found": pa.array(found, pa.bool_()),
         }
     )
 

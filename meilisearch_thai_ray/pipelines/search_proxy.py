@@ -566,12 +566,20 @@ class SearchProxy:
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
         """Quoted-phrase search (the reference's quoted variant; Meilisearch
-        resolves it with positional data). Without a positional index, exact
-        phrase semantics come from two stages: (1) candidates = docs matching
-        ALL phrase terms (cheap, posting intersection), (2) literal substring
-        verification against the stored doc text — requires docs_path.
-        Works for no-whitespace Thai phrases because the check is substring,
-        not token-adjacency."""
+        resolves it with positional data).
+
+        Positional index available (store_positions=True build): true
+        token-adjacency matching via SearchEngine.phrase_topk — no document
+        text is read. Otherwise: (1) candidates = docs matching ALL phrase
+        terms (posting intersection), (2) literal substring verification
+        against the stored doc text (requires docs_path; works for
+        no-whitespace Thai phrases because the check is substring)."""
+        if getattr(self.engine, "has_positions", False):
+            import re as _re
+
+            return self.engine.phrase_topk(
+                _re.sub(r"\s+", " ", phrase).strip(), k=k
+            )
         if not self.docs_path:
             raise ValueError("phrase search requires docs_path (doc text store)")
         import re

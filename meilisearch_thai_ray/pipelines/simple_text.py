@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..config import EngineConfig
+from ..sources.documents import read_parquet_clean
 from ..stages.ann import BruteForceCosineTopK, merge_topk
 from ..stages.filter_dsl import compile_filter, dsl_to_sql
 from ..stages.multimodal import payload_features
@@ -65,7 +66,7 @@ def input_fingerprint(path: str) -> str:
 # ---------------------------------------------------------------- token stats
 
 def doc_token_stats(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(token_stats, batch_format="pyarrow", batch_size=4096)
 
 
@@ -118,7 +119,7 @@ def _term_partials(batch: pa.Table) -> pa.Table:
 
 
 def term_df(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     partials = ds.map_batches(_term_partials, batch_format="pyarrow", batch_size=4096)
     out = partials.groupby("term").aggregate(
         Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")
@@ -170,7 +171,7 @@ def simple_index_dir(sf_dir: str) -> str:
             import shutil
 
             shutil.rmtree(docs_dir)
-        ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+        ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
         ds.map_batches(_simple_docs_batch, batch_format="pyarrow").write_parquet(docs_dir)
         manifest.mark_phase_done("docs")
     meta = compute_stats(docs_dir, out, cfg)
@@ -227,7 +228,7 @@ def exact_dedup(sf_dir: str):
     from ..stages.text_stats import content_hash
     from ray.data.aggregate import Min
 
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     hashed = ds.map_batches(content_hash, batch_format="pyarrow", batch_size=4096)
     return hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dupes")
@@ -242,7 +243,7 @@ FROM documents GROUP BY md5(text)
 
 
 def doc_fingerprint(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow", batch_size=4096)
 
 
@@ -256,7 +257,7 @@ FROM documents
 # ---------------------------------------------------------------- quality
 
 def doc_quality(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pyarrow", batch_size=4096)
 
 
@@ -277,7 +278,7 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 
 def filter_docs(sf_dir: str):
     expr = compile_filter(FILTER_DSL)
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"], filter=expr
     )
 
@@ -295,7 +296,7 @@ def topk_docs(sf_dir: str, k: int = 10, offset: int = 5):
     the driver merges the tiny partials — ≤ n rows leave each task, no
     all-to-all shuffle at any corpus size."""
     n = offset + k
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "n_chars"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "n_chars"])
 
     def partial_top(batch: pa.Table) -> pa.Table:
         nc = batch["n_chars"].to_numpy(zero_copy_only=False)
@@ -332,7 +333,7 @@ ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 5
 # ---------------------------------------------------------------- lang stats
 
 def lang_stats(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
         Count(alias_name="n"), Sum("n_chars", alias_name="total_chars")
     )
@@ -375,7 +376,7 @@ def _hourly_partials(batch: pa.Table) -> pa.Table:
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the events stream table (§2.9 pattern:
     event-time bucket inside map_batches partials, then a small groupby)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _doc_path(sf_dir, "events"), columns=["event_type", "ts", "value"]
     )
     partials = ds.map_batches(_hourly_partials, batch_format="pyarrow", batch_size=16384)
@@ -414,7 +415,7 @@ def ann_cosine_topk(sf_dir: str, k: int = 10):
     # tiny driver-side read of the query vector (vec_id = 0)
     head = pq.read_table(path, columns=["vec_id", "embedding"])
     qv = head.filter(pc.equal(head["vec_id"], 0))["embedding"][0].as_py()
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceCosineTopK,
         fn_constructor_kwargs={"query_vec": qv, "k": k},
@@ -444,7 +445,7 @@ def lineitem_agg(sf_dir: str):
     per-batch partials -> small groupby, A-category operators)."""
     import polars as pl
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _doc_path(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount"],
@@ -526,7 +527,7 @@ def broadcast_join(sf_dir: str):
         out = out.with_columns(pl.col("o_totalprice").round(2))
         return out.select(["o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"]).to_arrow()
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _doc_path(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -542,7 +543,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 # ---------------------------------------------------------------- multimodal
 
 def mm_features(sf_dir: str):
-    ds = ray.data.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(payload_features, batch_format="pyarrow", batch_size=512)
 
 

@@ -27,6 +27,30 @@ import ray.data
 PAGES_FIELDS = ("url", "warc_ts", "html", "text", "lang")
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None,
+                       **kwargs) -> ray.data.Dataset:
+    """read_parquet with a metadata-stripped schema.
+
+    Pandas-written parquet carries a b'pandas' schema-metadata blob that makes
+    pyarrow.Schema unhashable, so every Ray schema-dedup pass logs
+    "Failed to hash the schemas" per worker. Passing an explicit clean schema
+    at the read removes the metadata at the source (zero extra copies)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        f = next(
+            os.path.join(path, x)
+            for x in sorted(os.listdir(path)) if x.endswith(".parquet")
+        )
+    sch = pq.ParquetFile(f).schema_arrow.remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     ids = batch["id"].to_pylist()
     titles = batch["title"].to_pylist() if "title" in batch.column_names else [""] * len(ids)

@@ -41,6 +41,10 @@ DOCS_SCHEMA = pa.schema(
         ("thai_ratio", pa.float32()),
         ("mixed", pa.bool_()),
         ("lang", pa.string()),
+        # per-occurrence token position of each entry in `terms` (primary
+        # terms count up; compound parts share the parent position) — feeds
+        # the positional posting path (store_positions)
+        ("term_positions", pa.list_(pa.int32())),
         # per-doc processing status (reference semantics:
         # document_processor.py:25-57 ProcessingStatus + error_message):
         # "completed" | "skipped" (no Thai content; still indexed) |
@@ -83,6 +87,7 @@ class ExtractTokenize:
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
         texts: list[str] = []
         terms: list[list[str]] = []
+        positions: list[list[int]] = []
         counts: list[int] = []
         ratios: list[float] = []
         mixed: list[bool] = []
@@ -98,6 +103,7 @@ class ExtractTokenize:
             except Exception as exc:  # dead-letter row
                 texts.append("")
                 terms.append([])
+                positions.append([])
                 counts.append(0)
                 ratios.append(0.0)
                 mixed.append(False)
@@ -106,6 +112,7 @@ class ExtractTokenize:
                 continue
             texts.append(text)
             terms.append(a["terms"])
+            positions.append(a["term_positions"])
             counts.append(a["token_count"])
             ratios.append(a["thai_ratio"])
             mixed.append(a["mixed"])
@@ -124,6 +131,7 @@ class ExtractTokenize:
                 "thai_ratio": pa.array(ratios, pa.float32()),
                 "mixed": pa.array(mixed, pa.bool_()),
                 "lang": pa.array(langs, pa.string()),
+                "term_positions": pa.array(positions, pa.list_(pa.int32())),
                 "status": pa.array(statuses, pa.string()),
                 "error": pa.array(errors, pa.string()),
             },

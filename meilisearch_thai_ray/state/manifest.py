@@ -55,10 +55,10 @@ class BuildManifest:
         return {r["partition"] for r in self.partitions(phase)}
 
 
-def atomic_write_parquet(table, path: str) -> None:
+def atomic_write_parquet(table, path: str, **write_kwargs) -> None:
     """Write a parquet file atomically (tmp in same dir + rename)."""
     import pyarrow.parquet as pq
 
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, **write_kwargs)
     os.replace(tmp, path)

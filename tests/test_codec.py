@@ -60,3 +60,24 @@ def test_block_max_is_upper_bound():
         lo, hi = i * 128, min((i + 1) * 128, n)
         assert bm >= tfn[lo:hi].max() - 0.0  # float64 exact max, no rounding down
         assert bm == tfn[lo:hi].max()
+
+def test_positions_codec_roundtrip():
+    import numpy as np
+
+    from meilisearch_thai_ray.index.codec import (
+        decode_positions,
+        encode_positions,
+    )
+
+    rng = np.random.default_rng(9)
+    pos_lists = [
+        sorted(rng.choice(5000, size=int(rng.integers(1, 30)),
+                          replace=False).tolist())
+        for _ in range(300)
+    ]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.uint64)
+    flat, offs = decode_positions(encode_positions(pos_lists, tfs), tfs)
+    for i, p in enumerate(pos_lists):
+        assert flat[offs[i]:offs[i] + len(p)].tolist() == p
+    # empties
+    assert encode_positions([], np.array([], dtype=np.uint64)) == b""

@@ -352,3 +352,187 @@ def test_completed_layout_mismatch_raises(built, tmp_path):
     shutil.copytree(out, clone)
     with pytest.raises(ValueError, match="layout"):
         build_index(pages_dir, clone, CFG, num_salts=3, batch_size=64)
+
+def test_term_dict_sorted_and_prefix_parity(built):
+    """The sorted term dictionary exists, is globally sorted, sums salted
+    segment dfs, and its pruned range read returns EXACTLY what the full
+    shard scan returns for prefix expansion."""
+    import pyarrow.dataset as pads
+
+    _pages, out, _meta = built
+    d = os.path.join(out, "termdict")
+    t = pads.dataset(d).to_table()
+    terms = t["term"].to_pylist()
+    assert terms == sorted(terms) and len(terms) == len(set(terms))
+    eng = SearchEngine(out)
+    # df in dict == engine df (sums across salts)
+    import random
+
+    rng = random.Random(5)
+    for term in rng.sample(terms, min(20, len(terms))):
+        assert t["df"][terms.index(term)].as_py() == eng.df(term)
+    # prefix parity: dictionary path vs full shard scan
+    for prefix in ["ส", "วา", "x", "a", "ทะ"]:
+        via_dict = eng.expand_prefix(prefix, limit=10)
+        cands = []
+        for shard in range(eng.num_shards):
+            for term, segs in eng._load_shard(shard).items():
+                if term.startswith(prefix):
+                    cands.append((-sum(s[0] for s in segs), term))
+        cands.sort()
+        assert via_dict == [x for _, x in cands[:10]], prefix
+
+
+def test_term_dict_resume(built, tmp_path):
+    """dict phase is independently resumable (marker deleted -> rebuilt
+    byte-identical)."""
+    import shutil
+
+    _pages, out, _meta = built
+    clone = str(tmp_path / "clone")
+    shutil.copytree(out, clone)
+    from meilisearch_thai_ray.index.build import build_term_dict
+
+    before = _hash_tree(os.path.join(clone, "termdict"))
+    os.remove(os.path.join(clone, "_manifest", "dict.done"))
+    build_term_dict(clone)
+    assert _hash_tree(os.path.join(clone, "termdict")) == before
+
+POS_CFG = EngineConfig(num_shards=4, store_positions=True)
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    """English corpus where token adjacency == substring-with-single-spaces,
+    so the positional path can be cross-checked against substring truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("posidx")
+    pages = root / "pages"
+    pages.mkdir()
+    texts = [
+        "red fox jumps over the fence",
+        "fox red jumps scrambled order here",
+        "the quick red fox red fox again",
+        "unrelated words entirely different content",
+        "red stop fox separated by stopword",  # 'stop' is not a stop word; adjacency broken
+        "ends with red fox",
+    ]
+    urls = [f"https://pos.ex/{i}" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([f"<p>{t}</p>".encode() for t in texts], pa.binary()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }),
+        str(pages / "p.parquet"),
+    )
+    out = str(root / "index")
+    build_index(str(pages), out, POS_CFG, num_salts=2, batch_size=64)
+    return out, texts, urls
+
+
+def test_phrase_topk_token_adjacency(pos_index):
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+
+    out, texts, urls = pos_index
+    eng = SearchEngine(out)
+    assert eng.has_positions
+    hits = eng.phrase_topk("red fox", k=10)
+    got = {d for d, _ in hits}
+    expect = {doc_id_from_url(urls[i]) for i, t in enumerate(texts)
+              if "red fox" in t}
+    assert got == expect and len(expect) == 3
+    # scrambled order is NOT a phrase hit
+    assert doc_id_from_url(urls[1]) not in got
+    # word between breaks adjacency
+    assert doc_id_from_url(urls[4]) not in got
+    # phrase ranking is BM25 over the phrase terms, (-score, doc_id) sorted
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_positional_matches_substring_truth(pos_index):
+    """On a single-space English corpus, positional phrase results ==
+    substring results for every bigram of the corpus vocabulary."""
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+
+    out, texts, urls = pos_index
+    eng = SearchEngine(out)
+    vocab = sorted({w for t in texts for w in t.split()})
+    import itertools
+
+    checked = 0
+    for a, b in itertools.islice(itertools.product(vocab, vocab), 400):
+        phrase = f"{a} {b}"
+        got = {d for d, _ in eng.phrase_topk(phrase, k=20)}
+        # word-boundary-aware truth (plain substring would false-match
+        # "by stop" inside "by stopword")
+        expect = {doc_id_from_url(urls[i]) for i, t in enumerate(texts)
+                  if f" {phrase} " in f" {t} "}
+        assert got == expect, phrase
+        checked += 1
+    assert checked >= 390
+
+
+def test_phrase_positional_thai_compound(ray_session, tmp_path):
+    """Thai no-whitespace phrase + compound-part queries work positionally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    texts = [
+        "สาหร่ายวากาเมะอร่อยมาก",       # compound + following word, no spaces
+        "อร่อยมากสาหร่ายวากาเมะ",       # reversed order
+        "สาหร่ายวากาเมะ คือ อาหาร",
+    ]
+    urls = [f"https://th.ex/{i}" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([f"<p>{t}</p>".encode() for t in texts], pa.binary()),
+            "lang": pa.array(["th"] * len(texts), pa.string()),
+        }),
+        str(pages / "p.parquet"),
+    )
+    out = str(tmp_path / "index")
+    build_index(str(pages), out, POS_CFG, num_salts=1, batch_size=64)
+    eng = SearchEngine(out)
+    hits = {d for d, _ in eng.phrase_topk("สาหร่ายวากาเมะอร่อย", k=10)}
+    assert doc_id_from_url(urls[0]) in hits
+    assert doc_id_from_url(urls[1]) not in hits  # reversed != phrase
+    # compound PART leads the phrase: part rides the parent position
+    hits2 = {d for d, _ in eng.phrase_topk("วากาเมะอร่อย", k=10)}
+    assert doc_id_from_url(urls[0]) in hits2
+
+
+def test_spill_shuffle_positions_byte_identical(ray_session, tmp_path):
+    """Sort- and spill-shuffle builds are byte-identical WITH positions."""
+    from meilisearch_thai_ray.index.build import build_docs, build_shards, compute_stats
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 80, rows_per_file=40)
+    outs = {}
+    for mode in ("sort", "spill"):
+        out = str(tmp_path / f"idx_{mode}")
+        docs_dir = build_docs(pages, out, POS_CFG, batch_size=48)
+        meta = compute_stats(docs_dir, out, POS_CFG)
+        build_shards(docs_dir, out, POS_CFG, meta, num_salts=2, shuffle=mode)
+        outs[mode] = _hash_tree(os.path.join(out, "shards"))
+    assert outs["sort"] == outs["spill"]
+
+
+def test_proxy_phrase_prefers_positional(pos_index):
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchProxy
+
+    out, texts, urls = pos_index
+    p = SearchProxy(SearchEngine(out))  # no docs_path: positional path only
+    hits = p.search_phrase("red fox", k=10)
+    assert {d for d, _ in hits} == {
+        doc_id_from_url(urls[i]) for i, t in enumerate(texts) if "red fox" in t
+    }

@@ -186,3 +186,26 @@ def test_html_quoted_gt_in_attribute():
     # block tag with quoted '>' still breaks lines
     html2 = b'<div class="a>b">x</div><p>y</p>'
     assert html_to_text(html2) == "x\ny"
+
+def test_index_terms_positions_invariants():
+    """index_terms_with_positions: terms identical to index_terms; primary
+    positions strictly increase by 1; compound parts share parent position."""
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.kernel.tokenize import DocumentTokenizer
+
+    tok = DocumentTokenizer(EngineConfig())
+    for text in ["สาหร่ายวากาเมะ อร่อยมาก", "hello world foo", "ไทย mixed text",
+                 "และ the ที่ stopword sandwich"]:
+        tokens = tok.tokenize(text)
+        terms, pos = tok.index_terms_with_positions(tokens)
+        assert terms == tok.index_terms(tokens)
+        assert len(terms) == len(pos)
+        # primary positions = first occurrence of each value, consecutive
+        primaries = sorted(set(pos))
+        assert primaries == list(range(len(primaries)))
+        # non-primary entries (compound parts) repeat their parent position
+        seen = set()
+        for t, p in zip(terms, pos):
+            if p in seen:
+                assert t != ""  # part rides the parent position
+            seen.add(p)
