@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a1_lang_stats": st.lang_stats,
         "a4_events_hourly": st.events_hourly,
         "ann_cosine_topk": st.ann_cosine_topk,
+        "ann_ivf_topk": st.ann_ivf_topk,
         "q1_lineitem_agg": st.lineitem_agg,
         "mm_feature_extract": st.mm_features,
         "j1_broadcast_join": st.broadcast_join,

@@ -438,6 +438,51 @@ SELECT vec_id, round(s, 6) AS sim FROM sims ORDER BY round(s, 6) DESC, vec_id LI
 """
 
 
+def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16,
+                 nprobe: int | None = None):
+    """Distributed IVF ANN pipeline: driver-side k-means on a sample ->
+    centroids broadcast into an assign stage -> probe stage keeps only rows
+    in the query's nprobe nearest lists and emits batch-local top-k -> tiny
+    driver merge.
+
+    Default nprobe=nlist (full probe) is EXACT — hash-verified against the
+    same DuckDB oracle as brute force; nprobe<nlist is the approximate scale
+    path (recall asserted >= 0.5 at nprobe=4 in tests)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import IvfAssign, IvfProbeTopK, kmeans_fit
+
+    path = _doc_path(sf_dir, "embeddings")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    qv = head.filter(pc.equal(head["vec_id"], 0))["embedding"][0].as_py()
+    sample = np.asarray(
+        head["embedding"].combine_chunks().values, dtype=np.float64
+    ).reshape(head.num_rows, -1)[:2048]
+    cents = kmeans_fit(sample, k=nlist)
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+
+    assign = IvfAssign(cents)
+    probe = IvfProbeTopK(cents, qv, k=k, nprobe=nprobe or nlist)
+
+    def assign_and_probe(batch: pa.Table) -> pa.Table:
+        # fused assign+probe in ONE pool: two chained strict actor pools
+        # would reserve 2x the CPUs and can starve the read tasks outright
+        # on a small cluster (observed deadlock at 4 CPUs)
+        return probe(assign(batch))
+
+    partials = ds.map_batches(
+        assign_and_probe, batch_format="pyarrow", batch_size=2048
+    )
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return merge_topk(pa.Table.from_pylist(rows), k)
+
+
+SQL["ann_ivf_topk"] = SQL["ann_cosine_topk"]  # full probe == exact cosine
+
+
 # ---------------------------------------------------------------- lineitem Q1
 
 def lineitem_agg(sf_dir: str):

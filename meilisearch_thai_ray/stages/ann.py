@@ -142,6 +142,51 @@ def ivf_search(listed_table: pa.Table, centroids: np.ndarray, query_vec,
                      "sim": pa.array(sims[order].astype(np.float64))})
 
 
+class IvfProbeTopK:
+    """Distributed IVF probe stage: per batch, keep only rows whose ivf_list
+    is among the query's nprobe nearest lists, then emit the batch-local
+    cosine top-k of the survivors. Centroids + query ship once per actor via
+    constructor args; ≤ k rows leave each task; the driver merge is tiny.
+
+    nprobe == nlist probes everything — exact (equals BruteForceCosineTopK,
+    SQL-oracle-verified); smaller nprobe trades recall for a proportional cut
+    of the matmul work (the ANN scale path)."""
+
+    def __init__(self, centroids: np.ndarray, query_vec, k: int = 10,
+                 nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding", round_to: int = 6):
+        q = np.asarray(query_vec, dtype=np.float64)
+        self.qn = q / np.linalg.norm(q)
+        cd = ((np.asarray(centroids, dtype=np.float64) - q[None, :]) ** 2).sum(axis=1)
+        self.probe = np.sort(np.argsort(cd)[:nprobe]).astype(np.int32)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = np.asarray(batch["ivf_list"].to_numpy(zero_copy_only=False))
+        mask = np.isin(lists, self.probe)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        mat = _batch_matrix(sub, self.vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ self.qn) / norms, self.round_to)
+        ids = np.asarray(sub[self.id_col].to_numpy(zero_copy_only=False))
+        k = min(self.k, sims.size)
+        if k < sims.size:
+            kth = np.partition(sims, sims.size - k)[sims.size - k]
+            sel = np.flatnonzero(sims >= kth)
+        else:
+            sel = np.arange(sims.size)
+        return pa.table({"vec_id": pa.array(ids[sel].astype(np.int64)),
+                         "sim": pa.array(sims[sel].astype(np.float64))})
+
+
 class LshBucketAssign:
     """Random-hyperplane LSH: vec -> nbits-bit bucket id (seeded planes built
     once per actor). Query-time: probe buckets within `probe_hamming` bits."""

@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "m1_token_stats", "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
     "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
     "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "ann_cosine_topk",
+    "ann_ivf_topk",
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
 ]
 
@@ -454,3 +455,16 @@ def test_cache_key_tracks_input_identity(ray_session, tmp_path):
     assert fp1 != fp2
     out2 = simple_index_dir(str(d))
     assert out1 != out2  # rebuild triggered, no stale serve
+
+def test_ivf_distributed_partial_probe_recall(ray_session):
+    """The distributed IVF pipeline at nprobe=4/16 finds most of the exact
+    top-10 (the approximate scale path); full probe is covered by the SQL
+    oracle parity test."""
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact = set(ann_cosine_topk(SF)["vec_id"].to_pylist())
+    approx = set(ann_ivf_topk(SF, nprobe=4)["vec_id"].to_pylist())
+    assert len(exact & approx) / 10 >= 0.5
