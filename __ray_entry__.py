@@ -16,6 +16,7 @@ calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
@@ -52,7 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": st.broadcast_join,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
-        "d2_embed_neardup": dp.embedding_neardup_pairs,
+        # plant=True: the driver's synthetic embeddings hold no natural
+        # near-dups, so the entry opts into the deterministic planted fixture
+        # (library default is plant=False — no fabricated pairs)
+        "d2_embed_neardup": functools.partial(dp.embedding_neardup_pairs,
+                                              plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,

@@ -338,11 +338,25 @@ def _guard_shards_layout(out_dir: str, config: EngineConfig,
         "num_shards": config.num_shards,
         "num_salts": num_salts,
         "dictionary_hash": config.dictionary_hash(),
+        # everything baked into the salt files' BYTES belongs here — a resume
+        # with a flipped store_positions (or different BM25/block constants)
+        # must not trust stale parts whose encoded content differs
+        "store_positions": getattr(config, "store_positions", False),
+        "k1": config.k1,
+        "b": config.b,
+        "posting_block": config.posting_block,
     }
     existing = shards_layout(out_dir)
     manifest = BuildManifest(out_dir)
-    if existing == layout:
-        return
+    # keys absent from an older guard version's file are tolerated (legacy
+    # layouts recorded fewer fields); any PRESENT key must match
+    if existing is not None and all(
+        existing.get(k, v) == v for k, v in layout.items()
+    ):
+        if existing != layout:  # legacy file: record the fuller layout
+            existing = None
+        else:
+            return
     if existing is not None:
         if manifest.phase_done("shards"):
             raise ValueError(
@@ -555,6 +569,7 @@ def build_index_fused(pages_path: str, out_dir: str,
     meta_path = os.path.join(out_dir, "meta.json")
     if manifest.phase_done("shards"):
         _guard_shards_layout(out_dir, config, num_salts)  # raises on mismatch
+        build_term_dict(out_dir)  # phase-guarded: heals a crash-after-shards
         with open(meta_path) as f:
             return json.load(f)
     _guard_shards_layout(out_dir, config, num_salts)

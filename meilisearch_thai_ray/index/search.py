@@ -73,9 +73,13 @@ class SearchEngine:
     """
 
     def __init__(self, index_dir: str, config: EngineConfig | None = None,
-                 tokenizer: DocumentTokenizer | None = None):
+                 tokenizer: DocumentTokenizer | None = None,
+                 shard_cache_cap: int = 64):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        # a ShardServer owning > cap shards must RAISE the cap, or warming
+        # its range would evict the shards it just loaded
+        self.shard_cache_cap = shard_cache_cap
         self.index_dir = index_dir
         self.k1 = self.meta["k1"]
         self.b = self.meta["b"]
@@ -120,7 +124,7 @@ class SearchEngine:
                      cols["dls_bin"][i], cols["block_last"][i],
                      cols["block_max"][i], pos[i])
                 )
-        if len(self._shard_cache) > 64:
+        if len(self._shard_cache) > self.shard_cache_cap:
             self._shard_cache.clear()
         self._shard_cache[shard] = terms
         return terms
@@ -459,8 +463,17 @@ class SearchEngine:
         return [t for _, t in cands[:limit]]
 
     def _termdict_prefix(self, prefix: str) -> list[tuple[int, str]] | None:
-        """Range-read the sorted dictionary -> [(-df, term)]; None if absent."""
+        """Range-read the sorted dictionary -> [(-df, term)]; None if absent.
+
+        Gated on the manifest's 'dict' phase marker, not on file presence: a
+        crashed dictionary write leaves files but no marker, and trusting a
+        partial dictionary would silently truncate prefix expansion instead
+        of falling back to the exhaustive shard scan."""
+        from ..state.manifest import BuildManifest
+
         d = os.path.join(self.index_dir, "termdict")
+        if not BuildManifest(self.index_dir).phase_done("dict"):
+            return None
         if not os.path.isdir(d) or not any(
             f.endswith(".parquet") for f in os.listdir(d)
         ):

@@ -40,7 +40,11 @@ class ShardServer:
         from .search import SearchEngine
         from ..functions.hashing import fnv1a64
 
-        self.engine = SearchEngine(index_dir)
+        # cache cap >= owned range: warming [lo, hi) must never evict the
+        # shards it just loaded
+        self.engine = SearchEngine(
+            index_dir, shard_cache_cap=max(64, shard_hi - shard_lo)
+        )
         self.lo, self.hi = shard_lo, shard_hi
         self._hash = fnv1a64
 

@@ -176,24 +176,25 @@ def bucket_cosine_pairs(group: pa.Table, threshold: float,
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
-                            nbits: int = 10, plant: bool = True):
+                            nbits: int = 10, plant: bool = False):
     """Embedding-cosine near-dup: random-hyperplane LSH buckets (one pass)
     -> capped within-bucket exact cosine verification -> (a, b, cos) pairs.
 
     The bucket groupby is the only shuffle; per-bucket work is bounded by
     bucket_cosine_pairs' max_bucket cap (capped buckets are reported, never
-    silent). plant=True appends the deterministic near-dup fixture rows (see
-    _plant_near_dups) so the operator demonstrably finds pairs on the
-    driver's no-natural-near-dup synthetic embeddings."""
+    silent). plant defaults to FALSE — the production operator must never
+    fabricate pairs; the driver's d2_embed_neardup entry opts in explicitly
+    (see _plant_near_dups) because its synthetic embeddings have no natural
+    near-dups to find."""
     import functools
     import os
 
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from ..stages.ann import LshBucketAssign
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    dim = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
+    dim = len(pads.dataset(path).head(1, columns=["embedding"])["embedding"][0])
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     if plant:
         ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow",

@@ -491,8 +491,12 @@ class SearchProxy:
 
     def _rank_optimized(self, candidates: list[tuple], analysis: dict):
         """optimized_score (result_ranker.py:1074-1133): id-only dedup with
-        the basic tie-break (higher score, then variant/engine priority and
-        weight, then lower position) — the production fast path."""
+        the reference's DISJUNCTIVE tie-break (should_replace at :1099-1110):
+        higher score wins; on equal score, replace if EITHER the variant/
+        engine/weight comparison prefers the challenger OR the variant types
+        match and the challenger sat at a lower position. (Yes: with equal
+        types, position can override engine/weight — faithfully mirrored,
+        not an ordered hierarchy.) The production fast path."""
         best: dict[int, tuple] = {}
         for cand in candidates:
             _hit, score, variant, pos = cand

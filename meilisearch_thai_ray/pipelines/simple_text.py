@@ -409,12 +409,14 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 # ---------------------------------------------------------------- ANN top-k
 
 def ann_cosine_topk(sf_dir: str, k: int = 10):
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     path = _doc_path(sf_dir, "embeddings")
-    # tiny driver-side read of the query vector (vec_id = 0)
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    qv = head.filter(pc.equal(head["vec_id"], 0))["embedding"][0].as_py()
+    # tiny driver-side read of the query vector: stats-pruned filtered scan,
+    # never the whole embeddings table
+    qv = pads.dataset(path).to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0
+    )["embedding"][0].as_py()
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceCosineTopK,
@@ -448,16 +450,21 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16,
     Default nprobe=nlist (full probe) is EXACT — hash-verified against the
     same DuckDB oracle as brute force; nprobe<nlist is the approximate scale
     path (recall asserted >= 0.5 at nprobe=4 in tests)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from ..stages.ann import IvfAssign, IvfProbeTopK, kmeans_fit
 
     path = _doc_path(sf_dir, "embeddings")
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    qv = head.filter(pc.equal(head["vec_id"], 0))["embedding"][0].as_py()
+    dset = pads.dataset(path)
+    # O(sample) driver reads: filtered scan for the query vector, head() for
+    # the k-means sample — the corpus itself never reaches the driver
+    qv = dset.to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0
+    )["embedding"][0].as_py()
+    st = dset.head(2048, columns=["embedding"])
     sample = np.asarray(
-        head["embedding"].combine_chunks().values, dtype=np.float64
-    ).reshape(head.num_rows, -1)[:2048]
+        st["embedding"].combine_chunks().values, dtype=np.float64
+    ).reshape(st.num_rows, -1)
     cents = kmeans_fit(sample, k=nlist)
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
 

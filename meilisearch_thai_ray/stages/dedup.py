@@ -150,6 +150,12 @@ class JaccardVerify:
         self._shingles: dict[int, frozenset] = {}
 
     def _shingle_sets(self, doc_ids: list[int]) -> dict[int, frozenset]:
+        # evict BEFORE deciding what to fetch — clearing after would drop
+        # already-cached entries the CURRENT batch still needs, silently
+        # losing those pairs as "doc vanished" (same rule as
+        # SearchProxy._doc_texts)
+        if len(self._shingles) > self.cache_cap:
+            self._shingles.clear()
         missing = [d for d in doc_ids if d not in self._shingles]
         if missing:
             import pyarrow.compute as pc
@@ -159,8 +165,6 @@ class JaccardVerify:
                 columns=["doc_id", "text"],
                 filter=pc.field("doc_id").isin(missing),
             )
-            if len(self._shingles) > self.cache_cap:
-                self._shingles.clear()
             for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
                 self._shingles[d] = frozenset(_shingle_hashes(txt, self.k).tolist())
         return {d: self._shingles[d] for d in doc_ids if d in self._shingles}

@@ -536,3 +536,35 @@ def test_proxy_phrase_prefers_positional(pos_index):
     assert {d for d, _ in hits} == {
         doc_id_from_url(urls[i]) for i, t in enumerate(texts) if "red fox" in t
     }
+
+def test_layout_guard_covers_store_positions(built, tmp_path):
+    """Resuming with a flipped store_positions must not trust stale parts
+    (positions are baked into the salt files' bytes)."""
+    pages_dir, out, _meta = built
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(out, clone)
+    with pytest.raises(ValueError, match="layout"):
+        build_index(pages_dir, clone,
+                    EngineConfig(num_shards=CFG.num_shards, store_positions=True),
+                    num_salts=2, batch_size=64)
+
+
+def test_fused_resume_heals_missing_term_dict(ray_session, tmp_path):
+    """A fused build that crashed after shards completed still gets its term
+    dictionary on the next call (build_term_dict runs before the early
+    return)."""
+    import shutil
+
+    from meilisearch_thai_ray.index.build import build_index_fused
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 60, rows_per_file=30)
+    out = str(tmp_path / "idx")
+    build_index_fused(pages, out, CFG, num_salts=1, batch_size=64)
+    shutil.rmtree(os.path.join(out, "termdict"))
+    os.remove(os.path.join(out, "_manifest", "dict.done"))
+    build_index_fused(pages, out, CFG, num_salts=1, batch_size=64)  # resume path
+    assert os.path.isdir(os.path.join(out, "termdict"))
+    assert os.path.exists(os.path.join(out, "_manifest", "dict.done"))

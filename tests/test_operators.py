@@ -373,7 +373,7 @@ def test_embedding_neardup_planted_fixture_nonempty(ray_session):
         embedding_neardup_pairs,
     )
 
-    pairs = embedding_neardup_pairs(SF).to_pandas()
+    pairs = embedding_neardup_pairs(SF, plant=True).to_pandas()
     assert len(pairs) > 0
     planted = pairs[pairs["b"] >= PLANT_ID_BASE]
     assert len(planted) > 0
@@ -468,3 +468,26 @@ def test_ivf_distributed_partial_probe_recall(ray_session):
     exact = set(ann_cosine_topk(SF)["vec_id"].to_pylist())
     approx = set(ann_ivf_topk(SF, nprobe=4)["vec_id"].to_pylist())
     assert len(exact & approx) / 10 >= 0.5
+
+def test_jaccard_verify_eviction_keeps_current_batch(tmp_path):
+    """Cache eviction happens BEFORE computing the fetch set: a batch whose
+    docs were partly cached must still verify all its pairs after eviction."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.stages.dedup import JaccardVerify
+
+    text = "identical content repeated for every doc " * 5
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([text, text, text], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    v = JaccardVerify(str(tmp_path / "documents.parquet"), threshold=0.9,
+                      cache_cap=0)  # evict on every batch
+    out1 = v(pa.table({"a": pa.array([1], pa.int64()),
+                       "b": pa.array([2], pa.int64())}))
+    assert out1.num_rows == 1
+    # doc 1 is now cached; cap=0 forces eviction — pair (1, 3) must survive
+    out2 = v(pa.table({"a": pa.array([1], pa.int64()),
+                       "b": pa.array([3], pa.int64())}))
+    assert out2.num_rows == 1
