@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k1_topk_docs": st.topk_docs,
         "a1_lang_stats": st.lang_stats,
         "a4_events_hourly": st.events_hourly,
+        "a7_sessionize": st.sessionize,
+        "k4_suggest": st.suggest_terms,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "q1_lineitem_agg": st.lineitem_agg,

@@ -155,7 +155,7 @@ def simple_index_dir(sf_dir: str) -> str:
     """Build (once, cached) a whitespace-tokenizer inverted index over the
     documents table using the SAME distributed build phases as the Thai index
     (stats barrier + salted posting shuffle + codec)."""
-    from ..index.build import build_shards, compute_stats
+    from ..index.build import build_shards, build_term_dict, compute_stats
     from ..state.manifest import BuildManifest
 
     key = hashlib.md5(
@@ -176,6 +176,7 @@ def simple_index_dir(sf_dir: str) -> str:
         manifest.mark_phase_done("docs")
     meta = compute_stats(docs_dir, out, cfg)
     build_shards(docs_dir, out, cfg, meta, num_salts=2)
+    build_term_dict(out)
     return out
 
 
@@ -403,6 +404,111 @@ SQL["a4_events_hourly"] = """
 SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def _sessionize_group(group: pa.Table) -> pa.Table:
+    """map_groups body for groupby(user_id): order one user's events by
+    (ts, event_id), split sessions at >30-min gaps, aggregate per session —
+    all numpy (reduceat over session boundaries), timestamps stay
+    timestamp[us] end-to-end (pandas would degrade them)."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    uid = group["user_id"][0].as_py()
+    ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+    eid = group["event_id"].to_numpy(zero_copy_only=False)
+    val = group["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts))
+    ts, val = ts[order], val[order]
+    n = ts.size
+    new = np.ones(n, dtype=bool)
+    new[1:] = (ts[1:] - ts[:-1]) > gap_us
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(starts.size, uid, dtype=np.int64)),
+            "session_id": pa.array(np.arange(1, starts.size + 1, dtype=np.int64)),
+            "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "total_value": pa.array(
+                np.round(np.add.reduceat(val, starts), 6), pa.float64()
+            ),
+        }
+    )
+
+
+def sessionize(sf_dir: str):
+    """A7: gap-based sessionization over the events stream (§2.9 windowed
+    aggregate the reference lacks — documented partitioning assumption: one
+    user's events must co-locate, so groupby(user_id) is the one shuffle;
+    session logic itself is a per-group vectorized pass. At skewed scale a
+    hot user bounds a task at that user's event count — salt by day if a
+    single user exceeds worker memory)."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return ds.groupby("user_id").map_groups(
+        _sessionize_group, batch_format="pyarrow"
+    )
+
+
+SQL["a7_sessionize"] = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+SUGGEST_PREFIX = "s"
+
+
+def suggest_terms(sf_dir: str, prefix: str = SUGGEST_PREFIX, limit: int = 10):
+    """K4: df-ranked prefix suggestions via the sorted term dictionary of the
+    simple index (stats-pruned range read; cap 10 mirrors the reference's
+    query_processor.py:175 `[:10]`)."""
+    from ..index.search import SearchEngine
+
+    eng = SearchEngine(simple_index_dir(sf_dir))
+    hits = eng._termdict_prefix(prefix)
+    assert hits is not None, "simple index always builds its term dictionary"
+    hits.sort()
+    top = hits[:limit]
+    return pa.table(
+        {
+            "term": pa.array([t for _, t in top], pa.string()),
+            "df": pa.array([-d for d, _ in top], pa.int64()),
+        }
+    )
+
+
+SQL["k4_suggest"] = f"""
+SELECT term, df FROM (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term LIKE '{SUGGEST_PREFIX}%'
+  GROUP BY term
+) ORDER BY df DESC, term LIMIT 10
 """
 
 

@@ -36,8 +36,8 @@ def _to_pandas(obj):
 SQL_CHECKED = [
     "m1_token_stats", "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
     "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
-    "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "ann_cosine_topk",
-    "ann_ivf_topk",
+    "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "a7_sessionize",
+    "k4_suggest", "ann_cosine_topk", "ann_ivf_topk",
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
 ]
 
