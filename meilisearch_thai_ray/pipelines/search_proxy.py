@@ -70,6 +70,40 @@ class QueryVariant:
     terms: list[str] = field(default_factory=list)
 
 
+@dataclass
+class SearchOptions:
+    """Per-request options — the engine-relevant subset of the reference's
+    SearchOptions (search_proxy/models/requests.py:9-48). Transport/service
+    fields (search_timeout_ms, attributes_to_retrieve, index_name) stay out
+    of a data engine. None = use the engine defaults."""
+
+    limit: int = 20                      # requests.py:12 (ge=1, le=100)
+    offset: int = 0                      # requests.py:13
+    filters: dict | None = None          # our filter DSL over docs metadata
+    highlight: bool = False              # M19/M20 span markup on hits
+    crop_length: int = 200               # requests.py:19 (ge=10, le=1000)
+    crop_marker: str = "..."             # requests.py:20
+    matching_strategy: str | None = None  # override per-variant strategy
+    enable_compound_search: bool = True  # requests.py:26
+    boost_exact_matches: float | None = None  # requests.py:27
+    boost_thai_matches: float | None = None   # requests.py:28
+    max_query_variants: int | None = None     # requests.py:31 (ge=1, le=10)
+
+    def __post_init__(self):
+        if not 1 <= self.limit <= 100:
+            raise ValueError("limit must be in [1, 100]")
+        if self.offset < 0:
+            raise ValueError("offset must be >= 0")
+        if not 10 <= self.crop_length <= 1000:
+            raise ValueError("crop_length must be in [10, 1000]")
+        for name in ("boost_exact_matches", "boost_thai_matches"):
+            v = getattr(self, name)
+            if v is not None and not 0.1 <= v <= 5.0:
+                raise ValueError(f"{name} must be in [0.1, 5.0]")
+        if self.max_query_variants is not None and not 1 <= self.max_query_variants <= 10:
+            raise ValueError("max_query_variants must be in [1, 10]")
+
+
 class SearchProxy:
     """Query-side pipeline: analysis -> variants -> per-variant BM25 ->
     boost ranking -> dedup -> top-k."""
@@ -273,7 +307,8 @@ class SearchProxy:
     def generate_variants(self, query: str) -> list[QueryVariant]:
         return self._prepare(query)[3]
 
-    def _prepare(self, query: str):
+    def _prepare(self, query: str, max_variants: int | None = None,
+                 enable_compound: bool = True):
         """One pass of normalize -> analyze -> tokenize -> confidence ->
         variants (the serving hot path runs the Thai trie exactly once)."""
         import re
@@ -309,7 +344,7 @@ class SearchProxy:
             for t in terms:
                 sub = tok.segmenter._alt_segment(t) if len(t) > 4 and is_thai_text(t) else [t]
                 split_terms.extend(sub)
-            if split_terms != terms:
+            if enable_compound and split_terms != terms:
                 add(QueryVariant(" ".join(split_terms), COMPOUND_SPLIT, "newmm",
                                  self._variant_weight(COMPOUND_SPLIT, analysis, confidence),
                                  terms=split_terms))
@@ -331,9 +366,10 @@ class SearchProxy:
                                  self._variant_weight(FALLBACK, analysis, 0.4),
                                  terms=fb_terms))
 
-        if len(variants) > MAX_QUERY_VARIANTS:
+        cap = max_variants if max_variants is not None else MAX_QUERY_VARIANTS
+        if len(variants) > cap:
             variants.sort(key=lambda v: v.weight, reverse=True)
-            variants = variants[:MAX_QUERY_VARIANTS]
+            variants = variants[:cap]
         return analysis, tokens, confidence, variants
 
     # ---------------- execution + ranking ----------------
@@ -366,13 +402,33 @@ class SearchProxy:
         return self.algorithm
 
     def search(self, query: str, k: int = 10,
-               session_id: str | None = None) -> list[dict]:
-        analysis, _tokens, confidence, variants = self._prepare(query)
+               session_id: str | None = None,
+               options: SearchOptions | None = None) -> list[dict]:
+        if options is not None:
+            k = options.limit
+        offset = options.offset if options else 0
+        boost_exact = (options.boost_exact_matches
+                       if options and options.boost_exact_matches is not None
+                       else BOOST_EXACT)
+        boost_thai = (options.boost_thai_matches
+                      if options and options.boost_thai_matches is not None
+                      else BOOST_THAI)
+        analysis, _tokens, confidence, variants = self._prepare(
+            query,
+            max_variants=options.max_query_variants if options else None,
+            enable_compound=options.enable_compound_search if options else True,
+        )
 
         # per-variant matchingStrategy (search_executor.py:731-753):
         # original -> "all", tokenized/compound_split -> "last",
-        # fallback/mixed -> most flexible ("frequency" ~= our "any")
+        # fallback/mixed -> most flexible ("frequency" ~= our "any");
+        # a per-request matching_strategy overrides all variants
         strategies = {ORIGINAL: "all", TOKENIZED: "last", COMPOUND_SPLIT: "last"}
+        if options and options.matching_strategy:
+            # reference "frequency" = most flexible -> our "any"
+            forced = {"frequency": "any"}.get(options.matching_strategy,
+                                              options.matching_strategy)
+            strategies = {v.variant_type: forced for v in variants}
 
         candidates: list[tuple] = []  # (hit_dict, score, variant, position)
         for variant in variants:
@@ -404,10 +460,10 @@ class SearchProxy:
                 score = base
                 score *= variant.weight * 1.0  # variant boost (weight_factor=1.0)
                 if analysis["thai_content_ratio"] > 0.5:
-                    score *= BOOST_THAI
+                    score *= boost_thai
                 text = texts.get(doc_id)
                 if text is not None and qlower and qlower in text.lower():
-                    score *= BOOST_EXACT
+                    score *= boost_exact
                 if variant.variant_type == COMPOUND_SPLIT:
                     score *= BOOST_COMPOUND
                 if confidence > 0.8:
@@ -423,6 +479,12 @@ class SearchProxy:
 
         algorithm = self.select_algorithm(query, session_id)
         ranked, n_unique = self._RANKERS[algorithm](self, candidates, analysis)
+        target = offset + k
+        allowed = None
+        if options and options.filters:
+            allowed = self._filter_allowed(
+                [c[0]["doc_id"] for c in ranked], options.filters
+            )
         out = []
         accepted_texts: list[str] = []
         comparisons = 0
@@ -433,9 +495,11 @@ class SearchProxy:
         )
         if cluster and ranked:
             # prefetch texts for the head of the ranking in one filtered read
-            self._doc_texts([c[0]["doc_id"] for c in ranked[: 5 * k]])
+            self._doc_texts([c[0]["doc_id"] for c in ranked[: 5 * target]])
         for hit, score, variant, pos in ranked:
             if score < MIN_SCORE_THRESHOLD:
+                continue
+            if allowed is not None and hit["doc_id"] not in allowed:
                 continue
             if cluster:
                 # D3 within-result-set clustering (result_ranker.py:635-712):
@@ -471,9 +535,60 @@ class SearchProxy:
                     "dedup_count": len(candidates) - n_unique,
                 }
             )
-            if len(out) >= k:
+            if len(out) >= target:
                 break
+        out = out[offset:]
+        if options and options.highlight and self.docs_path:
+            qterms = self.tokenizer.index_terms(self.tokenizer.tokenize(query))
+            texts = self._doc_texts([h["doc_id"] for h in out])
+            for h in out:
+                h["highlight"] = self._highlight_snippet(
+                    texts.get(h["doc_id"], ""), qterms,
+                    options.crop_length, options.crop_marker,
+                )
         return out
+
+    def _filter_allowed(self, doc_ids: list[int], dsl: dict) -> set[int]:
+        """Per-request metadata filter (reference SearchOptions.filters):
+        evaluate the filter DSL against the docs table restricted to the
+        candidate ids (one pruned read, never a corpus scan)."""
+        if not self.docs_path or not doc_ids:
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from ..stages.filter_dsl import compile_filter
+
+        expr = compile_filter(dsl) & pc.field("doc_id").isin(doc_ids)
+        t = pads.dataset(self.docs_path).to_table(columns=["doc_id"], filter=expr)
+        return set(t["doc_id"].to_pylist())
+
+    def _highlight_snippet(self, text: str, terms: list[str],
+                           crop_length: int, crop_marker: str) -> str:
+        """M19/M20 highlight with cropping (result_enhancer semantics via
+        stages/highlights; crop window centered on the first match)."""
+        from ..stages.highlights import extract_spans, highlight_text
+
+        if not text:
+            return ""
+        spans = extract_spans(text, terms,
+                              self.tokenizer.compound_parts or None)
+        if not spans:
+            crop = text[:crop_length]
+            return crop + (crop_marker if len(text) > crop_length else "")
+        first = spans[0]
+        lo = max(0, first.start - crop_length // 4)
+        hi = min(len(text), lo + crop_length)
+        kept = [s for s in spans if s.start >= lo and s.end <= hi]
+        # re-base span offsets into the crop window
+        from ..stages.highlights import Span
+
+        rebased = [Span(s.start - lo, s.end - lo, s.term, s.kind, s.confidence)
+                   for s in kept]
+        snippet = highlight_text(text[lo:hi], rebased)
+        pre = crop_marker if lo > 0 else ""
+        post = crop_marker if hi < len(text) else ""
+        return pre + snippet + post
 
     # ---------------- ranking-algorithm registry (§2.10 extension point) ----
 

@@ -274,3 +274,93 @@ def test_phrase_search_grows_past_initial_candidate_cap(ray_session, tmp_path):
     assert len(hits) == 1  # found despite ranking 131st in the AND candidates
     texts_found = p._doc_texts([hits[0][0]])
     assert "alphaz betaz" in texts_found[hits[0][0]]
+
+# ---------------- per-request SearchOptions ----------------
+
+def test_search_options_limit_offset_pagination(neardup_index):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    eng, docs_path = neardup_index
+    p = SearchProxy(eng, docs_path=docs_path,
+                    enable_content_similarity_dedup=False)
+    full = p.search("wakameclone seaweed", options=SearchOptions(limit=10))
+    page2 = p.search("wakameclone seaweed",
+                     options=SearchOptions(limit=1, offset=1))
+    assert len(page2) == 1
+    assert page2[0]["doc_id"] == full[1]["doc_id"]
+    assert page2[0]["score"] == full[1]["score"]
+
+
+def test_search_options_filters(neardup_index):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    eng, docs_path = neardup_index
+    p = SearchProxy(eng, docs_path=docs_path)
+    hits = p.search("wakameclone", options=SearchOptions(filters={"lang": "en"}))
+    assert hits  # corpus is lang=en
+    none = p.search("wakameclone", options=SearchOptions(filters={"lang": "th"}))
+    assert none == []
+
+
+def test_search_options_highlight_crop(neardup_index):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    eng, docs_path = neardup_index
+    p = SearchProxy(eng, docs_path=docs_path)
+    hits = p.search("wakameclone",
+                    options=SearchOptions(highlight=True, crop_length=60,
+                                          crop_marker="…"))
+    assert hits and "highlight" in hits[0]
+    h = hits[0]["highlight"]
+    assert "<em>wakameclone</em>" in h
+    assert len(h) <= 60 + 2 * len("…") + len("<em></em>") * 8
+
+
+def test_search_options_boost_and_strategy_override(neardup_index):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    eng, docs_path = neardup_index
+    p = SearchProxy(eng, docs_path=docs_path,
+                    enable_content_similarity_dedup=False)
+    base = p.search("wakameclone", options=SearchOptions(limit=5))
+    boosted = p.search("wakameclone",
+                       options=SearchOptions(limit=5, boost_exact_matches=0.5))
+    assert [h["doc_id"] for h in base] == [h["doc_id"] for h in boosted]
+    assert boosted[0]["score"] != base[0]["score"]  # boost override applied
+    # matching_strategy="any" can only widen the hit set vs "all"
+    any_hits = p.search("wakameclone nonexistentzzz",
+                        options=SearchOptions(limit=10, matching_strategy="frequency"))
+    all_hits = p.search("wakameclone nonexistentzzz",
+                        options=SearchOptions(limit=10, matching_strategy="all"))
+    assert len(any_hits) >= len(all_hits)
+
+
+def test_search_options_validation():
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    with pytest.raises(ValueError):
+        SearchOptions(limit=0)
+    with pytest.raises(ValueError):
+        SearchOptions(limit=101)
+    with pytest.raises(ValueError):
+        SearchOptions(offset=-1)
+    with pytest.raises(ValueError):
+        SearchOptions(crop_length=5)
+    with pytest.raises(ValueError):
+        SearchOptions(boost_exact_matches=9.0)
+    with pytest.raises(ValueError):
+        SearchOptions(max_query_variants=0)
+
+
+def test_search_options_variant_controls(proxy):
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    # max_query_variants=1 keeps only the top-weight variant
+    hits = proxy.search("สาหร่ายวากาเมะ",
+                        options=SearchOptions(limit=5, max_query_variants=1))
+    assert len({h["variant_type"] for h in hits}) <= 1
+    # enable_compound_search=False never emits compound_split hits
+    hits2 = proxy.search("สาหร่ายวากาเมะ",
+                         options=SearchOptions(limit=10,
+                                               enable_compound_search=False))
+    assert all(h["variant_type"] != "compound_split" for h in hits2)
