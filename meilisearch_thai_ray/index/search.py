@@ -202,11 +202,24 @@ class SearchEngine:
         # apply the wrong AND/OR filtering to each other's results
         require_all = len(loaded) if match == "all" else None
         if match == "all":
-            mode = "exhaustive"  # WAND prunes on OR upper bounds; AND filters post-hoc
+            mode = "exhaustive"  # pruning modes use OR upper bounds; AND filters post-hoc
         elif mode == "auto":
-            mode = "wand" if total_postings > 200_000 and len(loaded) > 1 else "exhaustive"
+            # MEASURED on this engine (BASELINE.md): the python-DAAT WAND
+            # loop is 50-100x slower than the vectorized exhaustive path at
+            # every corpus size tried — its crossover effectively never
+            # happens. The scale path for huge posting lists is the
+            # VECTORIZED MaxScore (batch candidate generation from essential
+            # terms + gathered exact scoring), which degrades gracefully to
+            # ~exhaustive cost when pruning doesn't apply.
+            mode = (
+                "maxscore"
+                if total_postings > 100_000 and len(loaded) > 1
+                else "exhaustive"
+            )
         if mode == "wand":
             return self._score_wand(loaded, k)
+        if mode == "maxscore":
+            return self._score_maxscore(loaded, k)
         return self._score_exhaustive(loaded, k, require_all_terms=require_all)
 
     def search_matching(self, query: str, k: int = 10,
@@ -265,6 +278,83 @@ class SearchEngine:
             sel = np.flatnonzero(acc >= kth)
             order = sel[np.lexsort((uniq[sel], -acc[sel]))]
         return [(int(uniq[i]), float(acc[i])) for i in order[:k]]
+
+    def _score_maxscore(self, loaded, k: int) -> list[tuple[int, float]]:
+        """Vectorized MaxScore (Turtle & Flood) — the measured scale path.
+
+        1. θ0: a valid LOWER bound on the final kth-best score, from exact
+           partial scores over the rarest terms (any doc subset's partial
+           scores lower-bound their final scores, so the kth best partial
+           lower-bounds the final kth best).
+        2. Essential split: sort terms by upper bound (w·idf·max tfn)
+           ascending; the maximal prefix whose ub-sum ≤ θ0 is non-essential —
+           a doc appearing ONLY in those terms can never reach the top k.
+        3. Candidates = union of essential terms' postings; exact scores are
+           gathered per term via searchsorted (accumulated in sorted-term
+           order ⇒ bit-identical to the exhaustive path, asserted in tests).
+
+        Everything is numpy batch ops — no per-document python loop (the
+        block-max WAND DAAT loop measured 50-100x slower than exhaustive)."""
+        dfs = np.array([sum(s.n for s in segs) for *_x, segs in loaded],
+                       dtype=np.int64)
+        ubs = np.array(
+            [w * idf_t * max(float(s.block_max.max()) for s in segs if s.n)
+             for _t, w, idf_t, segs in loaded],
+            dtype=np.float64,
+        )
+        # --- θ0 from the cheapest covering subset of rare terms ---
+        by_df = np.argsort(dfs, kind="stable")
+        subset = []
+        covered = 0
+        for i in by_df:
+            subset.append(int(i))
+            covered += int(dfs[i])
+            if covered >= k:
+                break
+        theta0 = 0.0
+        sub_hits = self._score_exhaustive([loaded[i] for i in sorted(subset)], k)
+        if len(sub_hits) >= k:
+            theta0 = sub_hits[-1][1]
+        # --- essential split by ascending ub ---
+        by_ub = np.argsort(ubs, kind="stable")
+        cum = 0.0
+        non_essential: set[int] = set()
+        for i in by_ub:
+            # STRICT <: a doc at exactly θ0 may still enter top-k on the
+            # doc_id tie-break, so it must never be pruned
+            if cum + ubs[i] < theta0:
+                cum += ubs[i]
+                non_essential.add(int(i))
+            else:
+                break
+        if not non_essential:
+            # θ0 pruned nothing: the gather path would only add overhead —
+            # degrade to the plain vectorized exhaustive scorer
+            return self._score_exhaustive(loaded, k)
+        essential = [i for i in range(len(loaded)) if i not in non_essential]
+        cand = np.unique(np.concatenate(
+            [s.doc_ids for i in essential for s in loaded[i][3]]
+        ))
+        if self._dead_arr is not None:
+            cand = cand[~np.isin(cand, self._dead_arr)]
+        if cand.size == 0:
+            return []
+        # --- exact scoring of candidates, sorted-term order ---
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for _term, w, idf_t, segs in loaded:  # loaded is sorted-term order
+            w_idf = w * idf_t
+            for seg in segs:
+                idx = np.searchsorted(seg.doc_ids, cand)
+                idx_c = np.minimum(idx, seg.n - 1)
+                hit = seg.doc_ids[idx_c] == cand
+                acc[hit] += w_idf * seg.tfn[idx_c[hit]]
+        if cand.size <= k:
+            order = np.lexsort((cand, -acc))
+        else:
+            kth = np.partition(acc, cand.size - k)[cand.size - k]
+            sel = np.flatnonzero(acc >= kth)
+            order = sel[np.lexsort((cand[sel], -acc[sel]))]
+        return [(int(cand[i]), float(acc[i])) for i in order[:k]]
 
     def _score_wand(self, loaded, k: int) -> list[tuple[int, float]]:
         """Block-max WAND (document-at-a-time with pivoting and block skips).

@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--mode", choices=["phased", "fused"], default="phased",
                     help="phased = finest resume granularity; fused = throughput")
     ap.add_argument("--shuffle", choices=["sort", "spill"], default="sort")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="store per-occurrence token positions (true phrase "
+                         "search; ~+19%% shard bytes, ~-10%% throughput)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -49,7 +52,8 @@ def main() -> int:
     from meilisearch_thai_ray.config import EngineConfig
     from meilisearch_thai_ray.index import build as b
 
-    cfg = EngineConfig(num_shards=args.num_shards)
+    cfg = EngineConfig(num_shards=args.num_shards,
+                       store_positions=args.store_positions)
     t0 = time.perf_counter()
     if args.mode == "fused":
         meta = b.build_index_fused(args.pages, args.out, cfg,
@@ -60,6 +64,7 @@ def main() -> int:
         meta = b.compute_stats(docs_dir, args.out, cfg)
         b.build_shards(docs_dir, args.out, cfg, meta, num_salts=args.num_salts,
                        shuffle=args.shuffle)
+        b.build_term_dict(args.out)
     wall = time.perf_counter() - t0
     print(json.dumps({
         "out": args.out, "mode": args.mode, "wall_s": round(wall, 2),

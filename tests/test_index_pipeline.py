@@ -568,3 +568,54 @@ def test_fused_resume_heals_missing_term_dict(ray_session, tmp_path):
     build_index_fused(pages, out, CFG, num_salts=1, batch_size=64)  # resume path
     assert os.path.isdir(os.path.join(out, "termdict"))
     assert os.path.exists(os.path.join(out, "_manifest", "dict.done"))
+
+def test_maxscore_identical_to_exhaustive(built):
+    """Vectorized MaxScore returns EXACTLY the exhaustive top-k (ids and
+    bit-identical scores) on every fixture query."""
+    from meilisearch_thai_ray.fixtures.queries import QUERY_FIXTURES
+
+    _pages, out, _meta = built
+    eng = SearchEngine(out)
+    checked = 0
+    for q in QUERY_FIXTURES:
+        terms = eng.query_terms(q["query"])
+        if not terms:
+            continue
+        a = eng.score_topk(terms, 10, mode="exhaustive")
+        m = eng.score_topk(terms, 10, mode="maxscore")
+        assert a == m, q["qid"]
+        checked += bool(a)
+    assert checked >= 20
+
+
+def test_maxscore_prunes_skewed_synthetic():
+    """On a rare+common skewed query MaxScore actually prunes (the common
+    term goes non-essential) and still matches exhaustive bit-for-bit."""
+    import numpy as np
+
+    from meilisearch_thai_ray.index.search import SearchEngine, _Segment
+    from meilisearch_thai_ray.kernel.bm25 import idf as _idf
+
+    eng = SearchEngine.__new__(SearchEngine)
+    eng._dead = set()
+    eng._dead_arr = None
+
+    N = 200_000
+
+    def seg(df, seed):
+        r = np.random.default_rng(seed)
+        ids = np.sort(r.choice(N, size=df, replace=False)).astype(np.uint64)
+        tfn = r.uniform(0.4, 1.6, size=df)
+        nb = (df + 127) // 128
+        bm = np.array([tfn[i * 128:(i + 1) * 128].max() for i in range(nb)])
+        blast = np.array([int(ids[min((i + 1) * 128, df) - 1])
+                          for i in range(nb)], dtype=np.int64)
+        return _Segment(ids, tfn, blast, bm)
+
+    loaded = sorted([
+        ("aaa_rare", 1.0, _idf(N, 500), [seg(500, 3)]),
+        ("mmm_common", 1.0, _idf(N, 100_000), [seg(100_000, 1)]),
+    ])
+    a = eng._score_exhaustive(loaded, 10)
+    m = eng._score_maxscore(loaded, 10)
+    assert a == m and len(a) == 10
