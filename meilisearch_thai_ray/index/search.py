@@ -74,12 +74,17 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, config: EngineConfig | None = None,
                  tokenizer: DocumentTokenizer | None = None,
-                 shard_cache_cap: int = 64):
+                 shard_cache_cap: int = 64,
+                 salts: set[int] | None = None):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         # a ShardServer owning > cap shards must RAISE the cap, or warming
         # its range would evict the shards it just loaded
         self.shard_cache_cap = shard_cache_cap
+        # salts != None restricts this engine to a doc partition (salt =
+        # doc_id % num_salts): local df is then PARTIAL — scoring must use
+        # score_topk_given_idf with globally-summed dfs
+        self._salts = salts
         self.index_dir = index_dir
         self.k1 = self.meta["k1"]
         self.b = self.meta["b"]
@@ -104,7 +109,15 @@ class SearchEngine:
         d = os.path.join(self.index_dir, "shards", f"shard={shard:05d}")
         if not os.path.isdir(d):
             return []
-        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        files = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if self._salts is not None:
+            # doc-partitioned serving: this engine owns only these salt files
+            # (salt = doc_id % num_salts, so each salt is a doc partition)
+            files = [
+                f for f in files
+                if int(f.split("-")[1].split(".")[0]) in self._salts
+            ]
+        return [os.path.join(d, f) for f in files]
 
     def _load_shard(self, shard: int) -> dict[str, list]:
         cached = self._shard_cache.get(shard)
@@ -221,6 +234,26 @@ class SearchEngine:
         if mode == "maxscore":
             return self._score_maxscore(loaded, k)
         return self._score_exhaustive(loaded, k, require_all_terms=require_all)
+
+    def score_topk_given_idf(self, weighted_terms: list[tuple[str, float, float]],
+                             k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive top-k with CALLER-SUPPLIED idf per term — the scoring
+        primitive for doc-partitioned serving, where each actor holds only a
+        doc partition and its local dfs are partial (the driver sums local
+        dfs into global idfs first). weighted_terms must be sorted by term
+        (float-identity depends on sorted-term accumulation order)."""
+        loaded = []
+        for term, w, idf_t in weighted_terms:
+            segs = self.segments(term)
+            if segs:
+                loaded.append((term, float(w), float(idf_t), segs))
+        if not loaded:
+            return []
+        return self._score_exhaustive(loaded, k)
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term df within this engine's (possibly salt-restricted) data."""
+        return {t: df for t in terms if (df := self.df(t)) > 0}
 
     def search_matching(self, query: str, k: int = 10,
                         strategy: str = "last") -> list[tuple[int, float]]:

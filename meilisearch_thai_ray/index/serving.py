@@ -79,6 +79,104 @@ class ShardServer:
         return True
 
 
+@ray.remote
+class DocPartitionServer:
+    """Owns one group of SALT partitions (salt = doc_id % num_salts, so a
+    salt group is a complete doc partition: every term's postings for those
+    docs live in this actor). Scores its docs locally with driver-supplied
+    global idfs and returns ONLY its local top-k — per-query network is
+    O(k), not O(postings), unlike term-routed serving which ships whole
+    posting arrays to the driver."""
+
+    def __init__(self, index_dir: str, salts: list[int]):
+        from .search import SearchEngine
+
+        self.engine = SearchEngine(index_dir, salts=set(salts))
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        return self.engine.local_dfs(terms)
+
+    def topk_given_idf(self, weighted_terms: list[tuple[str, float, float]],
+                       k: int) -> list[tuple[int, float]]:
+        return self.engine.score_topk_given_idf(weighted_terms, k)
+
+    def warm(self) -> int:
+        return self.engine.warm()
+
+    def ping(self) -> bool:
+        return True
+
+
+class DocPartitionedSearchService:
+    """Doc-partitioned serving (the constant-network-per-query scale path).
+
+    Query flow: (1) fan out local_dfs for uncached terms, sum into GLOBAL
+    dfs -> idfs (BM25 idf must see corpus-wide df, a salt-local df is
+    partial); (2) fan out topk_given_idf — each actor scores its complete
+    doc partition exactly and returns its local top-k; (3) driver merges
+    num_servers × k rows by (-score, doc_id). Exact: doc partitions are
+    disjoint and each actor holds ALL terms for its docs, so every doc's
+    full score is computed in exactly one place with the same sorted-term
+    float order as the local engine (equality asserted in tests)."""
+
+    def __init__(self, index_dir: str, num_servers: int = 4):
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_docs = self.meta["n_docs"]
+        num_salts = max(1, int(self.meta.get("num_salts", 1)))
+        num_servers = max(1, min(num_servers, num_salts))
+        groups: list[list[int]] = [[] for _ in range(num_servers)]
+        for s in range(num_salts):
+            groups[s % num_servers].append(s)
+        self.servers = [
+            DocPartitionServer.remote(index_dir, g) for g in groups
+        ]
+        ray.get([s.ping.remote() for s in self.servers])
+        self._df_cache: dict[str, int] = {}
+        from ..index.maintenance import load_tombstones
+
+        self._dead = load_tombstones(index_dir)
+
+    def warm(self) -> int:
+        return sum(ray.get([s.warm.remote() for s in self.servers]))
+
+    def score_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        weights = Counter(terms)
+        ordered = sorted(weights)
+        if not ordered:
+            return []
+        missing = [t for t in ordered if t not in self._df_cache]
+        if missing:
+            partials = ray.get(
+                [s.local_dfs.remote(missing) for s in self.servers]
+            )
+            for t in missing:  # salt partitions are doc-disjoint: dfs sum
+                self._df_cache[t] = sum(p.get(t, 0) for p in partials)
+        weighted = [
+            (t, float(weights[t]), _idf(self.n_docs, self._df_cache[t]))
+            for t in ordered
+            if self._df_cache[t] > 0
+        ]
+        if not weighted:
+            return []
+        locals_ = ray.get(
+            [s.topk_given_idf.remote(weighted, k) for s in self.servers]
+        )
+        merged = [
+            (d, s) for hits in locals_ for d, s in hits if d not in self._dead
+        ]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def shutdown(self) -> None:
+        for s in self.servers:
+            ray.kill(s)
+        self.servers = []
+
+
 class ShardedSearchService:
     """Driver-side facade: spawn actors, route terms, merge exactly."""
 

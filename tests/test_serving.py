@@ -69,3 +69,26 @@ def test_shard_server_rejects_misrouted_term(service):
 def test_service_warm_covers_owned_ranges(service):
     _, svc = service
     assert svc.warm() > 0
+
+def test_doc_partitioned_equals_local(service):
+    """Doc-partitioned (salt-group) serving returns exactly the local
+    engine's top-k: ids AND float-identical scores."""
+    from meilisearch_thai_ray.index.serving import DocPartitionedSearchService
+
+    local, _svc = service
+    svc = DocPartitionedSearchService(local.index_dir, num_servers=2)
+    try:
+        assert svc.warm() > 0
+        tok = DocumentTokenizer(CFG)
+        checked = 0
+        for q in QUERY_FIXTURES:
+            terms = tok.index_terms(tok.tokenize(q["query"]))
+            a = local.score_topk(terms, 10, mode="exhaustive")
+            b = svc.score_topk(terms, 10)
+            assert a == b, q["qid"]
+            checked += bool(a)
+        assert checked >= 20
+        assert svc.score_topk([]) == []
+        assert svc.score_topk(["nonexistentzz"]) == []
+    finally:
+        svc.shutdown()
