@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- SQL-verified (oracle_sql present) ---
         "m1_token_stats": st.doc_token_stats,
+        "m1b_token_count_bpe": st.token_count_bpe,
+        "m2_json_props": st.json_props,
         "a6_corpus_stats": st.corpus_stats,
         "a6_term_df": st.term_df,
         "j4_bm25_topk": st.bm25_topk,

@@ -53,9 +53,9 @@ class _Segment:
     def positions_of(self, idx: int) -> np.ndarray | None:
         """Ascending occurrence positions of posting #idx (None if the index
         was built without store_positions)."""
-        if not self.pos_bin:
-            return None
         if self.pos_flat is None:
+            if not self.pos_bin:  # pre-decoded (shadow-filtered) or absent
+                return None
             from .codec import decode_positions
 
             self.pos_flat, self.pos_offsets = decode_positions(
@@ -75,7 +75,10 @@ class SearchEngine:
     def __init__(self, index_dir: str, config: EngineConfig | None = None,
                  tokenizer: DocumentTokenizer | None = None,
                  shard_cache_cap: int = 64,
-                 salts: set[int] | None = None):
+                 salts: set[int] | None = None,
+                 avgdl_override: float | None = None,
+                 n_docs_override: int | None = None,
+                 shadow: "np.ndarray | None" = None):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         # a ShardServer owning > cap shards must RAISE the cap, or warming
@@ -85,11 +88,25 @@ class SearchEngine:
         # doc_id % num_salts): local df is then PARTIAL — scoring must use
         # score_topk_given_idf with globally-summed dfs
         self._salts = salts
+        # generational serving (index/incremental.py): shadow = doc_ids
+        # superseded by a NEWER generation (filtered out of every segment at
+        # decode time), avgdl/n_docs overridden with the COMBINED corpus
+        # stats (tfn is computed at load, so overriding avgdl rescales
+        # exactly; block metadata is rebuilt from the decoded tfn)
+        self._shadow = (
+            np.asarray(shadow, dtype=np.uint64) if shadow is not None
+            and len(shadow) else None
+        )
         self.index_dir = index_dir
         self.k1 = self.meta["k1"]
         self.b = self.meta["b"]
-        self.avgdl = self.meta["avgdl"]
-        self.n_docs = self.meta["n_docs"]
+        self.avgdl = (
+            avgdl_override if avgdl_override is not None else self.meta["avgdl"]
+        )
+        self.n_docs = (
+            n_docs_override if n_docs_override is not None else self.meta["n_docs"]
+        )
+        self._stats_overridden = avgdl_override is not None
         self.num_shards = self.meta["num_shards"]
         self.block = self.meta["posting_block"]
         self._shard_cache: dict[int, dict[str, list]] = {}
@@ -156,11 +173,47 @@ class SearchEngine:
         segs = []
         for n_docs, docs_bin, tfs_bin, dls_bin, block_last, block_max, pos_bin in raw:
             doc_ids, tfs, dls = decode_segment(docs_bin, tfs_bin, dls_bin, n_docs)
+            keep = None
+            if self._shadow is not None:
+                keep = ~np.isin(doc_ids, self._shadow)
+                if not keep.any():
+                    continue
+                if keep.all():
+                    keep = None
+            pos_flat = pos_offsets = None
+            if keep is not None and pos_bin:
+                # positions decode by tf offsets: filtering tfs would misalign
+                # the varint stream, so decode BEFORE filtering, then slice
+                from .codec import decode_positions
+
+                flat, offs = decode_positions(pos_bin, tfs)
+                kept_idx = np.flatnonzero(keep)
+                parts = [flat[offs[i]:offs[i] + int(tfs[i])] for i in kept_idx]
+                pos_flat = (np.concatenate(parts) if parts
+                            else np.empty(0, np.uint64))
+                kc = tfs[kept_idx].astype(np.int64)
+                pos_offsets = np.cumsum(kc) - kc
+                pos_bin = b""
+            if keep is not None:
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
             tfn = tfn_scores(tfs, dls, self.avgdl, self.k1, self.b)
-            segs.append(_Segment(doc_ids, tfn,
-                                 np.asarray(block_last, dtype=np.int64),
-                                 np.asarray(block_max, dtype=np.float64),
-                                 tfs=tfs, pos_bin=pos_bin))
+            if keep is not None or self._stats_overridden:
+                # stored block metadata was computed with the build-time
+                # avgdl over the unfiltered postings — rebuild it from the
+                # decoded tfn so every upper bound stays valid
+                n = doc_ids.size
+                starts = np.arange(0, n, self.block)
+                block_max_a = np.maximum.reduceat(tfn, starts)
+                ends = np.minimum(starts + self.block, n) - 1
+                block_last_a = doc_ids[ends].astype(np.int64)
+            else:
+                block_last_a = np.asarray(block_last, dtype=np.int64)
+                block_max_a = np.asarray(block_max, dtype=np.float64)
+            seg = _Segment(doc_ids, tfn, block_last_a, block_max_a,
+                           tfs=tfs, pos_bin=pos_bin)
+            if pos_flat is not None:
+                seg.pos_flat, seg.pos_offsets = pos_flat, pos_offsets
+            segs.append(seg)
         if len(self._seg_cache) > 100_000:
             self._seg_cache.clear()
         self._seg_cache[term] = segs

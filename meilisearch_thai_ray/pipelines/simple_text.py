@@ -407,6 +407,65 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = None
+
+
+def bpe_token_counts(batch: pa.Table) -> pa.Table:
+    """M1b: BPE-ish token counting — letter runs, digit runs, and individual
+    punctuation marks each count as one token (the coarse shape of a BPE
+    pre-tokenizer). Pattern is RE2-compatible so the DuckDB oracle evaluates
+    the SAME regex; the compiled regex is cached per worker process."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_ISH_PATTERN)
+    counts = [len(_BPE_RE.findall(t)) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "n_bpe": pa.array(np.asarray(counts, dtype=np.int64))}
+    )
+
+
+def token_count_bpe(sf_dir: str):
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_counts, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+SQL["m1b_token_count_bpe"] = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    f"'{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe FROM documents"
+)
+
+
+def _json_props_batch(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    out = df.with_columns(
+        pl.col("props").str.json_path_match("$.k")
+        .cast(pl.Int64, strict=False).alias("k")
+    ).select(["event_id", "k"])
+    return out.to_arrow()
+
+
+def json_props(sf_dir: str):
+    """M2: semi-structured parsing — extract a typed field from the events
+    table's JSON props column (vectorized polars json_path_match)."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir, "events"), columns=["event_id", "props"]
+    )
+    return ds.map_batches(_json_props_batch, batch_format="pyarrow",
+                          batch_size=16384)
+
+
+SQL["m2_json_props"] = (
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+)
+
+
 SESSION_GAP_MIN = 30
 
 
