@@ -65,9 +65,14 @@ def _gen_dirs(index_dir: str, complete_only: bool = True) -> list[str]:
 
 
 def _base_config(meta: dict) -> EngineConfig:
+    kw = {}
+    for key in ("k1", "b", "posting_block"):  # honor non-default base builds
+        if key in meta:
+            kw[key] = meta[key]
     return EngineConfig(
         num_shards=meta["num_shards"],
         store_positions=bool(meta.get("store_positions", False)),
+        **kw,
     )
 
 
@@ -226,3 +231,99 @@ class GenerationalEngine(SearchEngine):
                 merged[term] = merged.get(term, 0) - negdf
         cands = sorted((-df, t) for t, df in merged.items())
         return [t for _, t in cands[:limit]]
+
+
+def compact(index_dir: str, out_dir: str, *,
+            num_salts: int | None = None,
+            config: EngineConfig | None = None) -> dict:
+    """Merge base + completed delta generations + tombstones into a fresh
+    single-generation index at out_dir — the incremental escape hatch: when
+    deltas stop being small next to the base, compaction restores
+    single-index serving cost (and makes N/avgdl/df physically true again).
+
+    Reference analog: Meilisearch's own background compaction of its LMDB
+    index after incremental updates (the reference's client only observes
+    it; client.py upserts + task polling). Semantics here:
+
+      * newest wins — a doc_id in a newer generation drops every older
+        version (same shadowing rule GenerationalEngine applies at decode);
+      * tombstones of the base index drop the doc from EVERY generation;
+      * stored `terms` are reused (no re-extraction/tokenization, exactly
+        like maintenance.reindex), so the dictionary/extractor hashes of the
+        source index carry forward into the new meta.json;
+      * resumable through the standard phased build manifest; the source
+        index is untouched (it is the backup until the caller swaps dirs).
+
+    The compacted index serves bit-identically to
+    GenerationalEngine(index_dir) — asserted in tests."""
+    from ..state.manifest import BuildManifest
+    from .build import build_shards, build_term_dict, compute_stats
+    from .maintenance import load_tombstones
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        base_meta = json.load(f)
+    cfg = config or _base_config(base_meta)
+    if num_salts is None:
+        num_salts = max(1, int(base_meta.get("num_salts", 1)))
+    gen_dirs = _gen_dirs(index_dir)
+    docsets = [_read_docset(g) for g in gen_dirs]
+    ids = [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+           for t in docsets]
+    dead = load_tombstones(index_dir)
+    dead_arr = (np.fromiter(dead, dtype=np.int64) if dead else None)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = BuildManifest(out_dir)
+    docs_dst = os.path.join(out_dir, "docs")
+    if not manifest.phase_done("docs"):
+        # the fragment loop is not atomic: discard a crashed run's partial
+        # copy rather than trusting it (per-file writes ARE atomic)
+        if os.path.isdir(docs_dst):
+            for f in os.listdir(docs_dst):
+                os.remove(os.path.join(docs_dst, f))
+        os.makedirs(docs_dst, exist_ok=True)
+        levels = [os.path.join(index_dir, "docs")] + [
+            os.path.join(g, "docs") for g in gen_dirs
+        ]
+        part = 0
+        for lvl, docs_src in enumerate(levels):
+            # drop = union of NEWER generations' docsets (+ tombstones):
+            # identical to the shadow GenerationalEngine applies at decode
+            newer = ids[lvl:]
+            drops = list(newer) + ([dead_arr] if dead_arr is not None else [])
+            drop = (np.unique(np.concatenate(drops)) if drops else None)
+            dset = pads.dataset(docs_src)
+            for frag in dset.get_fragments():
+                t = frag.to_table()
+                if drop is not None and drop.size:
+                    keep = ~np.isin(
+                        t["doc_id"].to_numpy(zero_copy_only=False), drop
+                    )
+                    t = t.filter(pa.array(keep))
+                if t.num_rows:
+                    atomic_write_parquet(
+                        t, os.path.join(docs_dst, f"docs-{part:05d}.parquet")
+                    )
+                    part += 1
+        manifest.mark_phase_done(
+            "docs", {"source": index_dir, "generations": len(gen_dirs)}
+        )
+    meta = compute_stats(docs_dst, out_dir, cfg)
+    meta["num_salts"] = num_salts
+    build_shards(docs_dst, out_dir, cfg, meta, num_salts=num_salts)
+    build_term_dict(out_dir)
+    # reused terms were tokenized with the SOURCE dictionary/extractor —
+    # carry their hashes forward or needs_reindex() would be masked; also
+    # persist the salt layout the query reader needs
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        new_meta = json.load(f)
+    for key in ("dictionary_hash", "extractor_version"):
+        if key in base_meta:
+            new_meta[key] = base_meta[key]
+    new_meta["num_salts"] = num_salts
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return new_meta

@@ -51,7 +51,7 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
     config = config or EngineConfig()
     if not force and not needs_reindex(index_dir, config) and not _tombstones(index_dir):
         return None
-    from .build import build_shards, compute_stats
+    from .build import build_shards, build_term_dict, compute_stats
 
     from ..state.manifest import BuildManifest
 
@@ -80,6 +80,7 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
         manifest.mark_phase_done("docs", {"source": docs_src})
     meta = compute_stats(docs_dst, out_dir, config)
     build_shards(docs_dst, out_dir, config, meta, num_salts=num_salts)
+    build_term_dict(out_dir)  # sorted term dictionary (prefix-suggest scale path)
     # the reused `terms` were tokenized with the SOURCE index's dictionary —
     # carry ITS hash forward, or needs_reindex() would be permanently masked
     import json as _json

@@ -205,3 +205,82 @@ def test_incremental_delete_applies_across_generations(incr, tmp_path):
     ge = GenerationalEngine(clone)
     for terms in QUERIES:
         assert victim not in {d for d, _ in ge.score_topk(terms, k=50)}
+
+
+def test_compact_bit_identical_to_generational(incr, tmp_path):
+    """compact() folds base+deltas into one index that serves exactly like
+    the generational view — and exactly like a rebuild of the merge."""
+    _root, base, ref, _a, _b = incr
+    from meilisearch_thai_ray.index.incremental import compact
+
+    out = str(tmp_path / "compacted")
+    meta = compact(base, out)
+    ge = GenerationalEngine(base)
+    ce = SearchEngine(out)
+    assert not os.path.isdir(os.path.join(out, "deltas"))
+    assert meta["n_docs"] == ge.n_docs and ce.avgdl == ge.avgdl
+    for key in ("dictionary_hash", "extractor_version"):
+        assert meta[key] == ge.meta[key]
+    for terms in QUERIES:
+        for t in set(terms):
+            assert ce.df(t) == ge.df(t), t
+        assert ce.score_topk(terms, 20) == ge.score_topk(terms, 20), terms
+    # positions survive compaction: phrase search still works
+    assert ce.phrase_topk("updated", k=5)
+    # prefix dictionary was rebuilt (sorted termdict, not shard fallback)
+    assert os.path.isdir(os.path.join(out, "termdict"))
+    assert ce.expand_prefix("wa")
+
+
+def test_compact_idempotent_resume(incr, tmp_path):
+    """Re-running compact on a completed output is a no-op (phases skip)."""
+    _root, base, _ref, _a, _b = incr
+    from meilisearch_thai_ray.index.incremental import compact
+
+    out = str(tmp_path / "cmp")
+    m1 = compact(base, out)
+
+    def _bytes(d):
+        out_b = {}
+        for root, _dirs, fs in os.walk(os.path.join(d, "shards")):
+            for f in fs:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out_b[os.path.relpath(p, d)] = fh.read()
+        return out_b
+
+    before = _bytes(out)
+    m2 = compact(base, out)
+    assert m1 == m2
+    assert _bytes(out) == before
+
+
+def test_compact_drops_tombstones_everywhere(incr, tmp_path):
+    """Tombstoned docs (base AND delta residents) are physically gone after
+    compaction, and the result is bit-identical to a rebuild of the merged
+    corpus minus the deleted urls."""
+    root, base, _ref, a, b = incr
+    import shutil
+
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+    from meilisearch_thai_ray.index.incremental import compact
+    from meilisearch_thai_ray.index.maintenance import delete_docs
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(base, clone)
+    gone_urls = ["https://inc.ex/5", "https://inc.ex/new0"]  # base + delta
+    delete_docs(clone, [doc_id_from_url(u) for u in gone_urls])
+    out = str(tmp_path / "cmp")
+    compact(clone, out)
+    merged = [(u, t) for u, t in _merged(a, b) if u not in gone_urls]
+    _mk_pages(str(tmp_path / "pagesMD"), merged)
+    ref2 = str(tmp_path / "ref2")
+    build_index(str(tmp_path / "pagesMD"), ref2, CFG, num_salts=2,
+                batch_size=64)
+    ce, re = SearchEngine(out), SearchEngine(ref2)
+    assert ce.n_docs == re.n_docs and ce.avgdl == re.avgdl
+    gone_ids = {doc_id_from_url(u) for u in gone_urls}
+    for terms in QUERIES:
+        hits = ce.score_topk(terms, 50)
+        assert hits == re.score_topk(terms, 50), terms
+        assert not gone_ids & {d for d, _ in hits}
