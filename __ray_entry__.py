@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": st.lineitem_agg,
         "mm_feature_extract": st.mm_features,
         "j1_broadcast_join": st.broadcast_join,
+        "d3_ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
+        "d3_cosine_pairs_exact": dp.embed_cosine_pairs,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
@@ -73,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
 
-    return dict(SQL)
+    return {**SQL, **DEDUP_SQL}

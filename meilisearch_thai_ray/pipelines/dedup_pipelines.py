@@ -227,3 +227,130 @@ def lang_id(sf_dir: str):
     return _documents(sf_dir).map_batches(
         LangId, batch_format="pyarrow", batch_size=1024, concurrency=2
     )
+
+
+# ---------------- exact blocked all-pairs similarity joins ----------------
+# SQL-verified counterparts of the sketch pipelines above (see
+# stages/similarity_join.py for the operator and its scale contract).
+
+SQL: dict[str, str] = {}
+
+
+def _collect_pairs(pairs_ds, empty_cols: dict) -> pa.Table:
+    """Verified pairs only — a provably tiny set — merged and sorted on the
+    driver for deterministic output."""
+    tables = [x for x in ray.get(pairs_ds.to_arrow_refs()) if x.num_rows]
+    if not tables:
+        return pa.table(empty_cols)
+    t = pa.concat_tables(tables)
+    order = np.lexsort((t["b"].to_numpy(), t["a"].to_numpy()))
+    return t.take(pa.array(order))
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        n: int = 3, n_blocks: int = 4):
+    """D3: EXACT word-n-gram Jaccard near-dup pairs over documents —
+    (a, b, jac) for every pair with similarity >= threshold. No sketching,
+    no recall loss: this is the exact oracle the MinHash-LSH pipeline
+    approximates (subset relation asserted in tests)."""
+    import tempfile
+
+    from ..stages.similarity_join import (
+        BlockPairJaccard,
+        ShinglePrep,
+        block_pair_items,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="simjoin_jac_", dir="/tmp")
+    _documents(sf_dir).map_batches(
+        ShinglePrep,
+        fn_constructor_kwargs={"n": n, "n_blocks": n_blocks},
+        batch_format="pyarrow", batch_size=4096, concurrency=2,
+    ).write_parquet(tmp, partition_cols=["block"])
+    pairs = ray.data.from_items(block_pair_items(n_blocks)).map_batches(
+        BlockPairJaccard,
+        fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
+        batch_format="pyarrow", batch_size=1, concurrency=2,
+    )
+    return _collect_pairs(pairs, {
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "jac": pa.array([], pa.float64()),
+    })
+
+
+SQL["d3_ngram_jaccard_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM w
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jac
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+class _EmbedPrep:
+    """(vec_id, embedding) -> (doc_id, v list<float64>, block)."""
+
+    def __init__(self, n_blocks: int):
+        self.n_blocks = n_blocks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array(
+                [], pa.list_(pa.float64()))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "v": col.cast(pa.list_(pa.float64())),
+            "block": pa.array((ids % self.n_blocks).astype(np.int32)),
+        })
+
+
+def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
+                       n_blocks: int = 4):
+    """D3: EXACT embedding-cosine pairs >= threshold — the zero-recall-loss
+    counterpart of embedding_neardup_pairs (whose LSH buckets can miss
+    pairs). Threshold compares the 6-dp-rounded cosine, same as the oracle."""
+    import os
+    import tempfile
+
+    from ..stages.similarity_join import BlockPairCosine, block_pair_items
+
+    tmp = tempfile.mkdtemp(prefix="simjoin_cos_", dir="/tmp")
+    read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).map_batches(
+        _EmbedPrep, fn_constructor_kwargs={"n_blocks": n_blocks},
+        batch_format="pyarrow", batch_size=4096, concurrency=2,
+    ).write_parquet(tmp, partition_cols=["block"])
+    pairs = ray.data.from_items(block_pair_items(n_blocks)).map_batches(
+        BlockPairCosine,
+        fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
+        batch_format="pyarrow", batch_size=1, concurrency=2,
+    )
+    return _collect_pairs(pairs, {
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    })
+
+
+SQL["d3_cosine_pairs_exact"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
+"""

@@ -1,0 +1,232 @@
+"""Exact blocked all-pairs similarity join (n-gram Jaccard / embedding cosine).
+
+The EXACT counterpart of the sketch-based dedup family (stages/dedup.py
+MinHash-LSH, SimHash; pipelines/dedup_pipelines.py LSH cosine buckets):
+enumerate every pair whose similarity clears a threshold, with no candidate
+generation and no recall loss. Reference analog: the all-pairs verify the
+proxy applies within a result set (result_ranker.py:635-712 clusters
+near-identical hits by pairwise similarity) lifted to a corpus-level,
+distributed operator.
+
+Shape — the classic blocked nested-loop similarity join:
+
+  1. prep `map_batches` computes each row's compact join key (sorted unique
+     shingle-hash array, or the embedding) and a deterministic block id
+     (doc_id % n_blocks), then spills blocks to hive-partitioned parquet
+     (this is the exchange — same role as the explicit spill shuffle in
+     index/build.py);
+  2. the driver fans out the P*(P+1)/2 block pairs as a tiny from_items
+     dataset; each task loads two blocks (per-actor block cache: a block is
+     read once per actor, not once per pair) and emits only pairs >= the
+     threshold.
+
+Work is O(n^2 / P^2) per task and bounded by block size — the operator is
+distributed and memory-safe at any n, but the TOTAL work is inherently
+quadratic: this is the verification/small-corpus path and the exact oracle
+for the sketch pipelines, not the 100-TB path (that remains MinHash-LSH /
+SimHash / LSH-bucketed cosine, which are sub-quadratic by candidate
+pruning). Tests assert the sketch pipelines' pairs are a subset of this
+operator's exact pair set.
+
+Float/SQL parity: Jaccard is a ratio of exact integers (bit-identical to
+DuckDB's list_intersect arithmetic); cosine is rounded to 6 dp on both
+sides BEFORE thresholding so the kept set matches the oracle exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS_RE = re.compile(r"\s+")
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique FNV-1a64 hashes of the word n-grams of `text`.
+
+    Words = regex \\s+ split with empties dropped — the exact tokenization
+    the DuckDB oracle applies (string_split_regex + list_filter), so both
+    sides shingle identically. Hashing shrinks shingles to 8 bytes each;
+    a cross-doc hash collision altering an intersection count has
+    probability ~2^-64 per shingle pair (accepted and documented)."""
+    from ..functions.hashing import fnv1a64_batch
+
+    words = [w for w in _WS_RE.split(text) if w]
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(fnv1a64_batch(grams))
+
+
+class ShinglePrep:
+    """map_batches: (doc_id, text) -> (doc_id, sh list<uint64>, block)."""
+
+    def __init__(self, n: int = 3, n_blocks: int = 4,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.n, self.n_blocks = n, n_blocks
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        shingles = [word_ngram_hashes(t, self.n)
+                    for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "sh": pa.array([s.tolist() for s in shingles],
+                           pa.list_(pa.uint64())),
+            "block": pa.array((ids % self.n_blocks).astype(np.int32)),
+        })
+
+
+def _load_list_block(block_dir: str, value_col: str):
+    """-> (ids int64[n], flat values, offsets int64[n+1]) from one block."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(block_dir):  # a block id with zero rows
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(1, np.int64))
+    t = pads.dataset(block_dir).to_table(columns=["doc_id", value_col])
+    t = t.sort_by("doc_id")  # deterministic task output regardless of file order
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t[value_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return ids, flat, offs
+
+
+def _project_shared(flat: np.ndarray, offs: np.ndarray,
+                    shared: np.ndarray) -> np.ndarray:
+    """Boolean membership matrix (n_docs, len(shared)) of each doc's sorted
+    shingle array against the shared vocabulary. Fully vectorized."""
+    n = offs.size - 1
+    m = np.zeros((n, shared.size), dtype=bool)
+    if flat.size == 0 or shared.size == 0:
+        return m
+    pos = np.searchsorted(shared, flat)
+    ok = pos < shared.size
+    safe = np.where(ok, pos, 0)
+    ok &= shared[safe] == flat
+    rows = np.repeat(np.arange(n), np.diff(offs))
+    m[rows[ok], pos[ok]] = True
+    return m
+
+
+class BlockPairJaccard:
+    """Actor: one (i, j) block pair -> exact Jaccard pairs >= threshold.
+
+    Kernel: the two blocks' vocabularies are intersected FIRST — only
+    shingles present in both blocks can contribute to any intersection —
+    then each doc set is projected onto that (typically tiny) shared
+    vocabulary and intersection counts come from one boolean matmul.
+    Near-dup-free block pairs cost O(union scan), not O(n_a * n_b * s)."""
+
+    def __init__(self, blocks_dir: str, threshold: float = 0.5):
+        self.blocks_dir = blocks_dir
+        self.threshold = threshold
+        self._cache: dict[int, tuple] = {}
+
+    def _block(self, b: int):
+        got = self._cache.get(b)
+        if got is None:
+            import os
+
+            ids, flat, offs = _load_list_block(
+                os.path.join(self.blocks_dir, f"block={b}"), "sh")
+            sizes = np.diff(offs).astype(np.float64)
+            got = (ids, flat, offs, sizes, np.unique(flat))
+            if len(self._cache) > 8:
+                self._cache.clear()
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, fa, oa, la, va = self._block(i)
+            ids_b, fb, ob, lb, vb = self._block(j)
+            shared = np.intersect1d(va, vb) if i != j else va
+            ma = _project_shared(fa, oa, shared)
+            mb = ma if i == j else _project_shared(fb, ob, shared)
+            inter = ma.astype(np.float64) @ mb.T.astype(np.float64)
+            union = la[:, None] + lb[None, :] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+            mask = jac >= self.threshold
+            if i == j:
+                # intra-block: strict id order picks each unordered pair once
+                # (and kills the diagonal)
+                mask &= ids_a[:, None] < ids_b[None, :]
+            # cross-block: the unordered pair appears in exactly ONE (i, j)
+            # task, but the lower id may live in EITHER block — emit sorted
+            ra, rb = np.nonzero(mask)
+            out_a.append(np.minimum(ids_a[ra], ids_b[rb]))
+            out_b.append(np.maximum(ids_a[ra], ids_b[rb]))
+            out_j.append(jac[ra, rb])
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+            "b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+            "jac": pa.array(
+                np.round(np.concatenate(out_j), 6) if out_j else [],
+                pa.float64()),
+        })
+
+
+class BlockPairCosine:
+    """Actor: one (i, j) block pair -> exact cosine pairs >= threshold
+    (threshold applied to the 6-dp-rounded value, matching the oracle)."""
+
+    def __init__(self, blocks_dir: str, threshold: float = 0.42):
+        self.blocks_dir = blocks_dir
+        self.threshold = threshold
+        self._cache: dict[int, tuple] = {}
+
+    def _block(self, b: int):
+        got = self._cache.get(b)
+        if got is None:
+            import os
+
+            ids, flat, offs = _load_list_block(
+                os.path.join(self.blocks_dir, f"block={b}"), "v")
+            dim = int(np.diff(offs)[0]) if offs.size > 1 else 0
+            mat = flat.astype(np.float64).reshape(-1, dim) if dim else \
+                np.empty((0, 0))
+            norms = np.linalg.norm(mat, axis=1)
+            unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+            got = (ids, unit)
+            if len(self._cache) > 8:
+                self._cache.clear()
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, ua = self._block(i)
+            ids_b, ub = self._block(j)
+            if not ids_a.size or not ids_b.size:
+                continue
+            cos = np.round(ua @ ub.T, 6)
+            mask = cos >= self.threshold
+            if i == j:  # see BlockPairJaccard: id order only intra-block
+                mask &= ids_a[:, None] < ids_b[None, :]
+            ra, rb = np.nonzero(mask)
+            out_a.append(np.minimum(ids_a[ra], ids_b[rb]))
+            out_b.append(np.maximum(ids_a[ra], ids_b[rb]))
+            out_c.append(cos[ra, rb])
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+            "b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+            "cos": pa.array(np.concatenate(out_c) if out_c else [],
+                            pa.float64()),
+        })
+
+
+def block_pair_items(n_blocks: int) -> list[dict]:
+    """All unordered block pairs (i <= j): the task fan-out."""
+    return [{"i": i, "j": j}
+            for i in range(n_blocks) for j in range(i, n_blocks)]

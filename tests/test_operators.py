@@ -40,6 +40,7 @@ SQL_CHECKED = [
     "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "a7_sessionize",
     "k4_suggest", "ann_cosine_topk", "ann_ivf_topk",
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
+    "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
 ]
 
 
@@ -78,6 +79,49 @@ def test_minhash_finds_near_dups():
     assert b_base & b_near, "near-dup must share at least one LSH band"
     assert not (b_base & b_far)
     assert jaccard(base, near) > 0.7 > jaccard(base, far)
+
+
+def test_similarity_join_block_invariance(ray_session, tmp_path):
+    """The blocked all-pairs join's output is invariant to n_blocks (the
+    block decomposition is pure parallelism, never semantics), and finds
+    exactly the planted near-dup pairs."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        embed_cosine_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    texts[10] = texts[3] + " zeta"          # planted near-dup of 3
+    texts[20] = texts[3][: len(texts[3]) - 6]  # planted near-dup of 3
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    emb = rng.normal(size=(30, 16)).astype(np.float32)
+    emb[17] = emb[4] + 0.01 * rng.normal(size=16).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(30), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in emb],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    def rows(t):
+        return list(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                        t.column(2).to_pylist()))
+
+    j1 = rows(ngram_jaccard_pairs(sf, threshold=0.5, n_blocks=1))
+    j3 = rows(ngram_jaccard_pairs(sf, threshold=0.5, n_blocks=3))
+    assert j1 == j3 and {(a, b) for a, b, _ in j1} >= {(3, 10), (3, 20)}
+    c1 = rows(embed_cosine_pairs(sf, threshold=0.95, n_blocks=1))
+    c4 = rows(embed_cosine_pairs(sf, threshold=0.95, n_blocks=4))
+    assert c1 == c4 and [(a, b) for a, b, _ in c1] == [(4, 17)]
 
 
 def test_simhash_hamming():
