@@ -539,6 +539,189 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------- as-of join
+
+def _asof_group(group: pa.Table) -> pa.Table:
+    """One user's purchase+click events -> each purchase matched to the
+    latest click at-or-before it (vectorized searchsorted, no row loop)."""
+    is_p = pc.equal(group["event_type"], "purchase").to_numpy(
+        zero_copy_only=False)
+    ts = group["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    ids = group["event_id"].to_numpy(zero_copy_only=False)
+    val = group["value"].to_numpy(zero_copy_only=False)
+    p_ts, p_ids = ts[is_p], ids[is_p]
+    c_ts, c_ids, c_val = ts[~is_p], ids[~is_p], val[~is_p]
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "click_event_id": pa.array([], pa.int64()),
+        "click_ts": pa.array([], pa.timestamp("us")),
+        "click_value": pa.array([], pa.float64()),
+    })
+    if not p_ts.size or not c_ts.size:
+        return empty
+    order = np.argsort(c_ts, kind="stable")
+    c_ts, c_ids, c_val = c_ts[order], c_ids[order], c_val[order]
+    # greatest click ts <= purchase ts (ASOF semantics); ties impossible to
+    # mis-pick: (user_id, ts) is unique per side by construction of event ts
+    idx = np.searchsorted(c_ts, p_ts, side="right") - 1
+    keep = idx >= 0
+    if not keep.any():
+        return empty
+    idx = idx[keep]
+    uid = group["user_id"][0].as_py()
+    n = int(keep.sum())
+    return pa.table({
+        "event_id": pa.array(p_ids[keep].astype(np.int64)),
+        "user_id": pa.array(np.full(n, uid, dtype=np.int64)),
+        "ts": pa.array(p_ts[keep]).cast(pa.timestamp("us")),
+        "click_event_id": pa.array(c_ids[idx].astype(np.int64)),
+        "click_ts": pa.array(c_ts[idx]).cast(pa.timestamp("us")),
+        "click_value": pa.array(c_val[idx], pa.float64()),
+    })
+
+
+def asof_join(sf_dir: str):
+    """J6: AS-OF join — each purchase event joined to the same user's most
+    recent click at-or-before it. Ray Data has no asof operator; the
+    composition is the documented pattern for it: ONE co-partitioning
+    shuffle (groupby user_id — both sides ride the same exchange because
+    they're one filtered read), then a per-group vectorized merge. Skew
+    bound: a task holds one user's events; salt hot users by time range if
+    a single key exceeds worker memory."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pc.field("event_type").isin(["purchase", "click"]),
+    )
+    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")
+
+
+SQL["j6_asof_join"] = """
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------- grouped top-N
+
+TOPN_PER_GROUP = 3
+
+
+def _topn_per_lang(batch: pa.Table) -> pa.Table:
+    """Partial grouped top-N: per batch, keep at most N rows per lang —
+    output is bounded by N x n_langs rows regardless of batch size."""
+    import polars as pl
+
+    return (
+        pl.from_arrow(batch)
+        .sort(["lang", "n_chars", "doc_id"],
+              descending=[False, True, False])
+        .group_by("lang", maintain_order=True)
+        .head(TOPN_PER_GROUP)
+        .to_arrow()
+    )
+
+
+def grouped_topn(sf_dir: str):
+    """K2b: top-N rows per group WITHOUT a global sort — per-batch partial
+    top-N (combiner) then one tiny merge over <= N x n_langs x n_batches
+    partial rows. The grouped analog of the shuffle-free topk_docs."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+    partials = ds.map_batches(
+        _topn_per_lang, batch_format="pyarrow", batch_size=8192
+    )
+    import polars as pl
+
+    merged = pl.from_arrow(pa.Table.from_pylist(partials.take_all()))
+    out = (
+        merged.sort(["lang", "n_chars", "doc_id"],
+                    descending=[False, True, False])
+        .group_by("lang", maintain_order=True)
+        .head(TOPN_PER_GROUP)
+        .with_columns(
+            pl.col("doc_id").cum_count().over("lang").alias("rk")
+        )
+        .select(["lang", "doc_id", "n_chars", "rk"])
+        .with_columns(pl.col("rk").cast(pl.Int64))
+    )
+    return out.to_arrow()
+
+
+SQL["k2_grouped_topn"] = f"""
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {TOPN_PER_GROUP}
+"""
+
+
+# ------------------------------------------------------------- sliding window
+
+MA_WINDOW = 3
+
+
+def _rolling_group(group: pa.Table) -> pa.Table:
+    """One event_type's hourly counts -> trailing {MA_WINDOW}-row moving
+    average over observed hours (cumsum difference, no loop)."""
+    hour = group["hour"].cast(pa.timestamp("us")).to_numpy(
+        zero_copy_only=False)
+    n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(hour, kind="stable")
+    hour, n = hour[order], n[order]
+    s = np.concatenate([[0], np.cumsum(n.astype(np.float64))])
+    i = np.arange(n.size)
+    lo = np.maximum(i - (MA_WINDOW - 1), 0)
+    ma = (s[i + 1] - s[lo]) / (i - lo + 1)
+    return pa.table({
+        "event_type": group["event_type"].take(pa.array(order)),
+        "hour": pa.array(hour).cast(pa.timestamp("us")),
+        "n": pa.array(n),
+        "ma3": pa.array(np.round(ma, 6), pa.float64()),
+    })
+
+
+def sliding_window_ma(sf_dir: str):
+    """A8: sliding-window aggregate — trailing moving average of hourly event
+    counts per type. Stage 1 reuses the tumbling-window combiner pattern
+    (per-batch partials -> small groupby); stage 2 is a per-type ordered
+    pass, co-partitioned by the groupby (n_types groups, each tiny)."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+    partials = ds.map_batches(_hourly_partials, batch_format="pyarrow",
+                              batch_size=16384)
+    hourly = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_part", alias_name="n")
+    )
+    return hourly.groupby("event_type").map_groups(
+        _rolling_group, batch_format="pyarrow"
+    )
+
+
+SQL["a8_sliding_window"] = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN {MA_WINDOW - 1} PRECEDING
+                          AND CURRENT ROW), 6) AS ma3
+FROM h
+"""
+
+
 SUGGEST_PREFIX = "s"
 
 

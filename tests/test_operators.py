@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "k4_suggest", "ann_cosine_topk", "ann_ivf_topk",
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
+    "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
 ]
 
 
