@@ -58,8 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
         "d3_cosine_pairs_exact": dp.embed_cosine_pairs,
         "j6_asof_join": st.asof_join,
+        "j7_range_join": st.range_join,
         "k2_grouped_topn": st.grouped_topn,
         "a8_sliding_window": st.sliding_window_ma,
+        "q3_shipping": st.q3_shipping,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural

@@ -608,6 +608,65 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# ---------------------------------------------------------------- range join
+
+RANGE_JOIN_MIN = 5
+
+
+def _range_count_group(group: pa.Table) -> pa.Table:
+    """One user's error+click events -> per-error count of clicks in the
+    trailing window (two searchsorted bounds, no pair materialization)."""
+    is_e = pc.equal(group["event_type"], "error").to_numpy(
+        zero_copy_only=False)
+    ts = group["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    ids = group["event_id"].to_numpy(zero_copy_only=False)
+    e_ts, e_ids = ts[is_e], ids[is_e]
+    if not e_ts.size:
+        return pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n_clicks": pa.array([], pa.int64()),
+        })
+    c_ts = np.sort(ts[~is_e])
+    win = np.timedelta64(RANGE_JOIN_MIN * 60 * 1_000_000, "us")
+    lo = np.searchsorted(c_ts, e_ts - win, side="left")
+    hi = np.searchsorted(c_ts, e_ts, side="right")
+    uid = group["user_id"][0].as_py()
+    return pa.table({
+        "event_id": pa.array(e_ids.astype(np.int64)),
+        "user_id": pa.array(np.full(e_ids.size, uid, dtype=np.int64)),
+        "n_clicks": pa.array((hi - lo).astype(np.int64)),
+    })
+
+
+def range_join(sf_dir: str):
+    """J7: RANGE (interval-band) join — per error event, how many clicks the
+    same user made in the preceding {RANGE_JOIN_MIN} minutes (inclusive
+    bounds, matching BETWEEN). Same shape as the as-of join: one
+    co-partitioning shuffle carries both sides, then the band [ts-w, ts] is
+    resolved with two vectorized searchsorted bounds per group — the pair
+    blow-up of a naive inequality join never materializes."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["error", "click"]),
+    )
+    return ds.groupby("user_id").map_groups(
+        _range_count_group, batch_format="pyarrow"
+    )
+
+
+SQL["j7_range_join"] = f"""
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL {RANGE_JOIN_MIN} MINUTE AND e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
 # ---------------------------------------------------------------- grouped top-N
 
 TOPN_PER_GROUP = 3
@@ -662,6 +721,111 @@ SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
                             ORDER BY n_chars DESC, doc_id) AS rk
   FROM documents
 ) WHERE rk <= {TOPN_PER_GROUP}
+"""
+
+
+# ------------------------------------------------------- multi-table join (Q3)
+
+Q3_DATE = "1995-03-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def _q3_group(group: pa.Table) -> pa.Table:
+    """One orderkey's rows: at most one dim (order) row + its qualifying
+    lineitems. No dim row => the order failed its filters => emit nothing."""
+    is_dim = pc.equal(group["side"], 1).to_numpy(zero_copy_only=False)
+    if not is_dim.any() or is_dim.all():
+        return pa.table({
+            "orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        })
+    d = np.flatnonzero(is_dim)[0]
+    rev = group["rev"].to_numpy(zero_copy_only=False)[~is_dim]
+    return pa.table({
+        "orderkey": pa.array([group["orderkey"][0].as_py()], pa.int64()),
+        "revenue": pa.array([np.round(rev.sum(), 6)], pa.float64()),
+        "o_orderdate": pa.array(
+            [group["o_orderdate"][d].as_py()], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [group["o_orderpriority"][d].as_py()], pa.string()),
+    })
+
+
+def q3_shipping(sf_dir: str):
+    """Q3-style 3-table join: broadcast semi-join on the SMALL side
+    (filtered customer keys via ray.put, read inside every orders task) +
+    a TRUE distributed co-partition join for the two large sides — orders
+    and lineitem are harmonized to one schema, unioned, and co-located by
+    ONE groupby(orderkey) shuffle; each group resolves the join and its
+    partial aggregate in the same pass (nothing wider than one order ever
+    materializes)."""
+    import datetime
+
+    import ray
+
+    cutoff = datetime.datetime.fromisoformat(Q3_DATE)
+    cust = read_parquet_clean(
+        _doc_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == Q3_SEGMENT,
+    )
+    keys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in cust.iter_batches(batch_format="pyarrow", batch_size=8192)
+    ] or [np.empty(0, np.int64)]))
+    keys_ref = ray.put(keys)  # broadcast once, read per task
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        keep = np.isin(batch["o_custkey"].to_numpy(zero_copy_only=False), ks)
+        t = batch.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table({
+            "orderkey": t["o_orderkey"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "rev": pa.array(np.zeros(n), pa.float64()),
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "o_orderpriority": t["o_orderpriority"].cast(pa.string()),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+        })
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff,
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    return orders.union(lines).groupby("orderkey").map_groups(
+        _q3_group, batch_format="pyarrow"
+    )
+
+
+SQL["q3_shipping"] = f"""
+SELECT l_orderkey AS orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
 """
 
 
