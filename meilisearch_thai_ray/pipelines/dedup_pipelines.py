@@ -247,8 +247,17 @@ def _collect_pairs(pairs_ds, empty_cols: dict) -> pa.Table:
     return t.take(pa.array(order))
 
 
+def _auto_blocks(path: str, target_rows: int = 1250) -> int:
+    """Block count from parquet metadata (no data read): a bounded block
+    size bounds each task's memory and the pair-matrix allocation."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    return int(max(4, min(32, -(-n // target_rows))))
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                        n: int = 3, n_blocks: int = 4):
+                        n: int = 3, n_blocks: int | None = None):
     """D3: EXACT word-n-gram Jaccard near-dup pairs over documents —
     (a, b, jac) for every pair with similarity >= threshold. No sketching,
     no recall loss: this is the exact oracle the MinHash-LSH pipeline
@@ -261,16 +270,24 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         block_pair_items,
     )
 
+    import os
+
+    if n_blocks is None:
+        n_blocks = _auto_blocks(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="simjoin_jac_", dir="/tmp")
     _documents(sf_dir).map_batches(
         ShinglePrep,
         fn_constructor_kwargs={"n": n, "n_blocks": n_blocks},
         batch_format="pyarrow", batch_size=4096, concurrency=2,
     ).write_parquet(tmp, partition_cols=["block"])
-    pairs = ray.data.from_items(block_pair_items(n_blocks)).map_batches(
+    items = block_pair_items(n_blocks)
+    pairs = ray.data.from_items(items).map_batches(
         BlockPairJaccard,
         fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
-        batch_format="pyarrow", batch_size=1, concurrency=2,
+        batch_format="pyarrow", batch_size=1,
+        # autoscaling pool: grows to the task count without reserving CPUs
+        # a small test session doesn't have
+        concurrency=(1, min(8, len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -319,7 +336,7 @@ class _EmbedPrep:
 
 
 def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
-                       n_blocks: int = 4):
+                       n_blocks: int | None = None):
     """D3: EXACT embedding-cosine pairs >= threshold — the zero-recall-loss
     counterpart of embedding_neardup_pairs (whose LSH buckets can miss
     pairs). Threshold compares the 6-dp-rounded cosine, same as the oracle."""
@@ -328,6 +345,9 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
 
     from ..stages.similarity_join import BlockPairCosine, block_pair_items
 
+    if n_blocks is None:
+        n_blocks = _auto_blocks(os.path.join(sf_dir, "embeddings.parquet"),
+                                target_rows=4096)
     tmp = tempfile.mkdtemp(prefix="simjoin_cos_", dir="/tmp")
     read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -336,10 +356,12 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
         _EmbedPrep, fn_constructor_kwargs={"n_blocks": n_blocks},
         batch_format="pyarrow", batch_size=4096, concurrency=2,
     ).write_parquet(tmp, partition_cols=["block"])
-    pairs = ray.data.from_items(block_pair_items(n_blocks)).map_batches(
+    items = block_pair_items(n_blocks)
+    pairs = ray.data.from_items(items).map_batches(
         BlockPairCosine,
         fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
-        batch_format="pyarrow", batch_size=1, concurrency=2,
+        batch_format="pyarrow", batch_size=1,
+        concurrency=(1, min(8, len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
