@@ -76,12 +76,46 @@ def _base_config(meta: dict) -> EngineConfig:
     )
 
 
+def _pages_fingerprint(pages_path: str) -> str:
+    """Cheap identity of a pages source (file names + sizes, no data read):
+    guards a resumed generation against silently 'completing' with a
+    DIFFERENT corpus than the one the resume call intended to add."""
+    import hashlib
+
+    h = hashlib.sha256()
+    p = os.path.abspath(pages_path)
+    files = (
+        sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if os.path.isdir(p) else [os.path.basename(p)]
+    )
+    base = p if os.path.isdir(p) else os.path.dirname(p)
+    for f in files:
+        h.update(f"{f}:{os.path.getsize(os.path.join(base, f))}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def add_documents(index_dir: str, pages_path: str, *,
                   config: EngineConfig | None = None,
                   batch_size: int = 256) -> str:
     """Ingest a pages parquet as a new delta generation. Returns the
     generation directory. Resumable: re-running after a crash resumes the
-    generation's own phased build; the `complete` marker is written last."""
+    generation's own phased build; the `complete` marker is written last.
+
+    Safety rails on the resume path: an incomplete generation is resumed
+    only if (a) no LIVE process holds its lock (a concurrent adder never
+    silently co-builds the same directory) and (b) its recorded pages
+    source matches this call's — resuming a crashed add of corpus A with
+    corpus B would mark A's phases complete and silently never ingest B."""
     from .build import build_index
 
     with open(os.path.join(index_dir, "meta.json")) as f:
@@ -92,29 +126,60 @@ def add_documents(index_dir: str, pages_path: str, *,
             "dictionary changed since the base build — incremental adds "
             "would mix incompatible tokenizations; run a full reindex"
         )
+    fp = _pages_fingerprint(pages_path)
     deltas = os.path.join(index_dir, DELTAS_SUBDIR)
     os.makedirs(deltas, exist_ok=True)
-    # claim the next ordinal (exclusive mkdir: concurrent adders get
-    # distinct generations); an INCOMPLETE existing gen is resumed
     gen_dir = None
     existing = sorted(
         n for n in os.listdir(deltas) if n.startswith("gen-")
     )
     for name in existing:
         g = os.path.join(deltas, name)
-        if not os.path.exists(os.path.join(g, "complete")):
-            gen_dir = g  # resume the crashed add
-            break
+        if os.path.exists(os.path.join(g, "complete")):
+            continue
+        # incomplete generation: resume it only if it is ours to resume
+        lock_p = os.path.join(g, "lock")
+        try:
+            with open(lock_p) as f:
+                owner = int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            owner = 0
+        if owner and owner != os.getpid() and _pid_alive(owner):
+            raise RuntimeError(
+                f"delta generation {g} is currently being built by live "
+                f"pid {owner}; wait for it or remove its lock if stale"
+            )
+        src_p = os.path.join(g, "source.json")
+        if os.path.exists(src_p):
+            with open(src_p) as f:
+                src = json.load(f)
+            if src.get("fingerprint") != fp:
+                raise ValueError(
+                    f"incomplete generation {g} was started from a different "
+                    f"pages source ({src.get('pages_path')}); re-run with "
+                    "that source to finish it, or delete the directory"
+                )
+        gen_dir = g  # safe to resume the crashed add
+        break
     if gen_dir is None:
         n = len(existing)
         while True:
             cand = os.path.join(deltas, f"gen-{n:04d}")
             try:
-                os.makedirs(cand)
+                os.makedirs(cand)  # exclusive: concurrent adders get distinct gens
                 gen_dir = cand
                 break
             except FileExistsError:
                 n += 1
+        with open(os.path.join(gen_dir, "source.json.tmp"), "w") as f:
+            json.dump({"pages_path": os.path.abspath(pages_path),
+                       "fingerprint": fp}, f)
+        os.replace(os.path.join(gen_dir, "source.json.tmp"),
+                   os.path.join(gen_dir, "source.json"))
+    with open(os.path.join(gen_dir, "lock.tmp"), "w") as f:
+        f.write(str(os.getpid()))
+    os.replace(os.path.join(gen_dir, "lock.tmp"),
+               os.path.join(gen_dir, "lock"))
     build_index(pages_path, gen_dir, cfg,
                 num_salts=max(1, int(base_meta.get("num_salts", 1))),
                 batch_size=batch_size)
@@ -136,6 +201,10 @@ def add_documents(index_dir: str, pages_path: str, *,
         f.write("ok")
     os.replace(os.path.join(gen_dir, "complete.tmp"),
                os.path.join(gen_dir, "complete"))
+    try:
+        os.remove(os.path.join(gen_dir, "lock"))
+    except FileNotFoundError:
+        pass
     return gen_dir
 
 
@@ -223,11 +292,15 @@ class GenerationalEngine(SearchEngine):
 
     def expand_prefix(self, prefix: str, limit: int = 10) -> list[str]:
         """df-ranked prefix terms across generations (dfs summed; shadowed
-        old postings are a negligible over-count for ranking suggestions)."""
+        old postings are a negligible over-count for ranking suggestions).
+        _prefix_hits falls back to a shard scan per engine, so a legacy
+        pre-dictionary base still contributes its vocabulary."""
+        if not prefix:
+            return []
         merged: dict[str, int] = {}
-        for hits in ([super()._termdict_prefix(prefix)]
-                     + [e._termdict_prefix(prefix) for e in self._gen_engines]):
-            for negdf, term in hits or []:
+        for hits in ([super()._prefix_hits(prefix)]
+                     + [e._prefix_hits(prefix) for e in self._gen_engines]):
+            for negdf, term in hits:
                 merged[term] = merged.get(term, 0) - negdf
         cands = sorted((-df, t) for t, df in merged.items())
         return [t for _, t in cands[:limit]]
@@ -254,11 +327,20 @@ def compact(index_dir: str, out_dir: str, *,
       * resumable through the standard phased build manifest; the source
         index is untouched (it is the backup until the caller swaps dirs).
 
-    The compacted index serves bit-identically to
-    GenerationalEngine(index_dir) — asserted in tests."""
+    Serving identity (asserted in tests): with no tombstones the compacted
+    index serves bit-identically to GenerationalEngine(index_dir). WITH
+    tombstones it serves bit-identically to a REBUILD of the merged corpus
+    minus the deleted docs — which differs from the generational view by
+    design: live engines keep deletes' stale N/avgdl/df until compaction
+    (maintenance.py delete semantics); compaction is precisely the moment
+    those stats become physically true again."""
     from ..state.manifest import BuildManifest
     from .build import build_shards, build_term_dict, compute_stats
-    from .maintenance import load_tombstones
+    from .maintenance import (
+        copy_docs_dropping,
+        finalize_carried_meta,
+        load_tombstones,
+    )
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         base_meta = json.load(f)
@@ -266,9 +348,11 @@ def compact(index_dir: str, out_dir: str, *,
     if num_salts is None:
         num_salts = max(1, int(base_meta.get("num_salts", 1)))
     gen_dirs = _gen_dirs(index_dir)
-    docsets = [_read_docset(g) for g in gen_dirs]
-    ids = [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-           for t in docsets]
+    ids = [
+        _read_docset(g)["doc_id"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        for g in gen_dirs
+    ]
     dead = load_tombstones(index_dir)
     dead_arr = (np.fromiter(dead, dtype=np.int64) if dead else None)
 
@@ -276,35 +360,18 @@ def compact(index_dir: str, out_dir: str, *,
     manifest = BuildManifest(out_dir)
     docs_dst = os.path.join(out_dir, "docs")
     if not manifest.phase_done("docs"):
-        # the fragment loop is not atomic: discard a crashed run's partial
-        # copy rather than trusting it (per-file writes ARE atomic)
-        if os.path.isdir(docs_dst):
-            for f in os.listdir(docs_dst):
-                os.remove(os.path.join(docs_dst, f))
-        os.makedirs(docs_dst, exist_ok=True)
-        levels = [os.path.join(index_dir, "docs")] + [
-            os.path.join(g, "docs") for g in gen_dirs
-        ]
-        part = 0
-        for lvl, docs_src in enumerate(levels):
-            # drop = union of NEWER generations' docsets (+ tombstones):
-            # identical to the shadow GenerationalEngine applies at decode
-            newer = ids[lvl:]
-            drops = list(newer) + ([dead_arr] if dead_arr is not None else [])
-            drop = (np.unique(np.concatenate(drops)) if drops else None)
-            dset = pads.dataset(docs_src)
-            for frag in dset.get_fragments():
-                t = frag.to_table()
-                if drop is not None and drop.size:
-                    keep = ~np.isin(
-                        t["doc_id"].to_numpy(zero_copy_only=False), drop
-                    )
-                    t = t.filter(pa.array(keep))
-                if t.num_rows:
-                    atomic_write_parquet(
-                        t, os.path.join(docs_dst, f"docs-{part:05d}.parquet")
-                    )
-                    part += 1
+        # per level: drop the union of NEWER generations' docsets (the same
+        # shadow GenerationalEngine applies at decode) plus tombstones
+        levels = []
+        for lvl, src_dir in enumerate(
+            [index_dir] + gen_dirs
+        ):
+            drops = list(ids[lvl:]) + (
+                [dead_arr] if dead_arr is not None else []
+            )
+            drop = np.unique(np.concatenate(drops)) if drops else None
+            levels.append((os.path.join(src_dir, "docs"), drop))
+        copy_docs_dropping(levels, docs_dst)
         manifest.mark_phase_done(
             "docs", {"source": index_dir, "generations": len(gen_dirs)}
         )
@@ -312,18 +379,4 @@ def compact(index_dir: str, out_dir: str, *,
     meta["num_salts"] = num_salts
     build_shards(docs_dst, out_dir, cfg, meta, num_salts=num_salts)
     build_term_dict(out_dir)
-    # reused terms were tokenized with the SOURCE dictionary/extractor —
-    # carry their hashes forward or needs_reindex() would be masked; also
-    # persist the salt layout the query reader needs
-    meta_path = os.path.join(out_dir, "meta.json")
-    with open(meta_path) as f:
-        new_meta = json.load(f)
-    for key in ("dictionary_hash", "extractor_version"):
-        if key in base_meta:
-            new_meta[key] = base_meta[key]
-    new_meta["num_salts"] = num_salts
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    return new_meta
+    return finalize_carried_meta(out_dir, base_meta, num_salts=num_salts)

@@ -39,6 +39,55 @@ def needs_reindex(index_dir: str, config: EngineConfig) -> bool:
     )
 
 
+def copy_docs_dropping(levels: list[tuple[str, "np.ndarray | None"]],
+                       docs_dst: str) -> None:
+    """Fragment-wise copy of one or more docs dirs into docs_dst, dropping
+    each level's doc_ids. Discards any partial copy first (per-file writes
+    are atomic but the loop is not — a crashed run's partials must never be
+    trusted); the CALLER guards the phase marker."""
+    if os.path.isdir(docs_dst):
+        for f in os.listdir(docs_dst):
+            os.remove(os.path.join(docs_dst, f))
+    os.makedirs(docs_dst, exist_ok=True)
+    part = 0
+    for docs_src, drop in levels:
+        for frag in pads.dataset(docs_src).get_fragments():
+            t = frag.to_table()
+            if drop is not None and len(drop):
+                keep = ~np.isin(
+                    t["doc_id"].to_numpy(zero_copy_only=False), drop
+                )
+                t = t.filter(pa.array(keep))
+            if t.num_rows:
+                atomic_write_parquet(
+                    t, os.path.join(docs_dst, f"docs-{part:05d}.parquet")
+                )
+                part += 1
+
+
+def finalize_carried_meta(out_dir: str, src_meta: dict,
+                          num_salts: int | None = None) -> dict:
+    """Rewrite out_dir's meta.json carrying the SOURCE index's dictionary /
+    extractor hashes (reused `terms` were tokenized with the source
+    dictionary — recording the current one would permanently mask
+    needs_reindex) and persisting the salt layout the query reader needs."""
+    import json
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        new_meta = json.load(f)
+    for key in ("dictionary_hash", "extractor_version"):
+        if key in src_meta:
+            new_meta[key] = src_meta[key]
+    if num_salts is not None:
+        new_meta["num_salts"] = num_salts
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return new_meta
+
+
 def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
             num_salts: int = 1, force: bool = False) -> dict | None:
     """Rebuild the posting shards of an existing index from its docs table,
@@ -48,6 +97,8 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
     re-run (cheap path, dictionary unchanged). When needs_reindex() is true
     the tokenization itself is stale: rebuild from the original pages with
     build.build_index instead."""
+    import json
+
     config = config or EngineConfig()
     if not force and not needs_reindex(index_dir, config) and not _tombstones(index_dir):
         return None
@@ -61,42 +112,16 @@ def reindex(index_dir: str, out_dir: str, config: EngineConfig | None = None, *,
     docs_dst = os.path.join(out_dir, "docs")
     dead = _tombstones(index_dir)
     if not manifest.phase_done("docs"):
-        # per-fragment writes are atomic but the loop is not: a partial copy
-        # from a crashed run must be discarded, never trusted (resume safety)
-        if os.path.isdir(docs_dst):
-            for f in os.listdir(docs_dst):
-                os.remove(os.path.join(docs_dst, f))
-        os.makedirs(docs_dst, exist_ok=True)
-        dset = pads.dataset(docs_src)
-        for i, frag in enumerate(dset.get_fragments()):
-            t = frag.to_table()
-            if dead:
-                mask = np.isin(
-                    t["doc_id"].to_numpy(zero_copy_only=False), list(dead),
-                    invert=True,
-                )
-                t = t.filter(pa.array(mask))
-            atomic_write_parquet(t, os.path.join(docs_dst, f"docs-{i:05d}.parquet"))
+        drop = (np.fromiter(dead, dtype=np.int64) if dead else None)
+        copy_docs_dropping([(docs_src, drop)], docs_dst)
         manifest.mark_phase_done("docs", {"source": docs_src})
     meta = compute_stats(docs_dst, out_dir, config)
+    meta["num_salts"] = num_salts
     build_shards(docs_dst, out_dir, config, meta, num_salts=num_salts)
     build_term_dict(out_dir)  # sorted term dictionary (prefix-suggest scale path)
-    # the reused `terms` were tokenized with the SOURCE index's dictionary —
-    # carry ITS hash forward, or needs_reindex() would be permanently masked
-    import json as _json
-
     with open(os.path.join(index_dir, "meta.json")) as f:
-        src_meta = _json.load(f)
-    meta_path = os.path.join(out_dir, "meta.json")
-    with open(meta_path) as f:
-        new_meta = _json.load(f)
-    for key in ("dictionary_hash", "extractor_version"):
-        if key in src_meta:
-            new_meta[key] = src_meta[key]
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
+        src_meta = json.load(f)
+    new_meta = finalize_carried_meta(out_dir, src_meta, num_salts=num_salts)
     meta.update(new_meta)
     return meta
 

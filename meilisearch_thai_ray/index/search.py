@@ -626,17 +626,24 @@ class SearchEngine:
         pre-dictionary indexes."""
         if not prefix:
             return []
+        hits = self._prefix_hits(prefix)
+        hits.sort()
+        return [t for _, t in hits[:limit]]
+
+    def _prefix_hits(self, prefix: str) -> list[tuple[int, str]]:
+        """[(-df, term)] for every indexed term with this prefix — termdict
+        range read when available, exhaustive shard scan otherwise (so
+        callers merging several engines never silently lose a legacy
+        pre-dictionary layout's vocabulary)."""
         hits = self._termdict_prefix(prefix)
         if hits is not None:
-            hits.sort()
-            return [t for _, t in hits[:limit]]
+            return hits
         cands: list[tuple[int, str]] = []
         for shard in range(self.num_shards):
             for term, segs in self._load_shard(shard).items():
                 if term.startswith(prefix):
                     cands.append((-sum(s[0] for s in segs), term))
-        cands.sort()
-        return [t for _, t in cands[:limit]]
+        return cands
 
     def _termdict_prefix(self, prefix: str) -> list[tuple[int, str]] | None:
         """Range-read the sorted dictionary -> [(-df, term)]; None if absent.

@@ -236,10 +236,17 @@ def lang_id(sf_dir: str):
 SQL: dict[str, str] = {}
 
 
-def _collect_pairs(pairs_ds, empty_cols: dict) -> pa.Table:
+def _collect_pairs(pairs_ds, empty_cols: dict, spill_dir: str) -> pa.Table:
     """Verified pairs only — a provably tiny set — merged and sorted on the
-    driver for deterministic output."""
-    tables = [x for x in ray.get(pairs_ds.to_arrow_refs()) if x.num_rows]
+    driver for deterministic output. The block spill is a single-use
+    intermediate (unlike the bench corpus cache): always removed, or
+    repeated runs would fill /tmp with a full spilled corpus per call."""
+    import shutil
+
+    try:
+        tables = [x for x in ray.get(pairs_ds.to_arrow_refs()) if x.num_rows]
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
     if not tables:
         return pa.table(empty_cols)
     t = pa.concat_tables(tables)
@@ -292,13 +299,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "jac": pa.array([], pa.float64()),
-    })
+    }, tmp)
 
 
-SQL["d3_ngram_jaccard_pairs"] = r"""
+from ..stages.similarity_join import WS_REGEX as _WS
+
+SQL["d3_ngram_jaccard_pairs"] = rf"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(text, '{_WS}'), x -> x <> '') AS ws
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -366,7 +375,7 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "cos": pa.array([], pa.float64()),
-    })
+    }, tmp)
 
 
 SQL["d3_cosine_pairs_exact"] = """

@@ -407,7 +407,10 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit ASCII whitespace (not \s): Python re's \s is Unicode-aware while
+# DuckDB's RE2 \s is ASCII-only — the shared literal class keeps the Ray and
+# oracle tokenizations identical even on U+00A0-style whitespace
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 _BPE_RE = None
 
 
@@ -461,9 +464,17 @@ def json_props(sf_dir: str):
                           batch_size=16384)
 
 
-SQL["m2_json_props"] = (
-    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
-)
+# integer-regexp guard, not CAST of the JSON value: DuckDB's casts round
+# non-integer numerics ('12.5' -> 13) where polars' strict=False cast
+# yields NULL — the guard makes the oracle NULL them too, matching the
+# pipeline's semantics exactly
+SQL["m2_json_props"] = r"""
+SELECT event_id,
+       CAST(CASE WHEN regexp_full_match(
+                 json_extract_string(props, '$.k'), '[-+]?[0-9]+')
+            THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+FROM events
+"""
 
 
 SESSION_GAP_MIN = 30

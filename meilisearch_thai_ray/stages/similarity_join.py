@@ -40,7 +40,11 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_WS_RE = re.compile(r"\s+")
+# explicit ASCII whitespace class, NOT \s: Python's \s is Unicode-aware
+# (U+00A0 etc.) while DuckDB's RE2 \s is ASCII-only — sharing this literal
+# class keeps both sides' tokenization identical on any input
+WS_REGEX = r"[ \t\n\f\r]+"
+_WS_RE = re.compile(WS_REGEX)
 
 
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:

@@ -207,6 +207,53 @@ def test_incremental_delete_applies_across_generations(incr, tmp_path):
         assert victim not in {d for d, _ in ge.score_topk(terms, k=50)}
 
 
+def test_resume_refuses_different_pages_source(incr, tmp_path):
+    """A crashed add of corpus A must not be 'resumed' with corpus B — the
+    completed phase markers would skip B's extraction entirely and the
+    generation would silently contain A."""
+    _root, base, _ref, _a, _b = incr
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(base, clone)
+    gen = os.path.join(clone, "deltas", "gen-0000")
+    os.remove(os.path.join(gen, "complete"))
+    _mk_pages(str(tmp_path / "other"),
+              [("https://x/other", "entirely different corpus")])
+    with pytest.raises(ValueError, match="different pages source"):
+        add_documents(clone, str(tmp_path / "other"))
+    # the ORIGINAL source still resumes fine
+    _mk_pages(str(tmp_path / "pagesB3"), _corpus_b())
+    out = add_documents(clone, str(tmp_path / "pagesB3"))
+    assert out.endswith("gen-0000")
+
+
+def test_resume_refuses_live_lock(incr, tmp_path):
+    """An incomplete generation locked by a LIVE process is never co-built."""
+    _root, base, _ref, _a, _b = incr
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(base, clone)
+    gen = os.path.join(clone, "deltas", "gen-0000")
+    os.remove(os.path.join(gen, "complete"))
+    with open(os.path.join(gen, "lock"), "w") as f:
+        f.write("1")  # pid 1 is always alive
+    _mk_pages(str(tmp_path / "pagesB4"), _corpus_b())
+    with pytest.raises(RuntimeError, match="live"):
+        add_documents(clone, str(tmp_path / "pagesB4"))
+    # a stale lock (dead pid) is taken over and the add completes
+    import subprocess
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(gen, "lock"), "w") as f:
+        f.write(str(dead.pid))
+    out = add_documents(clone, str(tmp_path / "pagesB4"))
+    assert out.endswith("gen-0000")
+    assert not os.path.exists(os.path.join(gen, "lock"))
+
+
 def test_compact_bit_identical_to_generational(incr, tmp_path):
     """compact() folds base+deltas into one index that serves exactly like
     the generational view — and exactly like a rebuild of the merge."""

@@ -83,6 +83,60 @@ def test_minhash_finds_near_dups():
     assert jaccard(base, near) > 0.7 > jaccard(base, far)
 
 
+def test_bpe_and_shingle_whitespace_parity_unicode():
+    """Python \\s is Unicode-aware, RE2 \\s is ASCII-only — the shared
+    explicit ASCII class must make both sides tokenize U+00A0 (and \\v)
+    identically."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        BPE_ISH_PATTERN,
+        bpe_token_counts,
+    )
+    from meilisearch_thai_ray.stages.similarity_join import WS_REGEX, _WS_RE
+
+    texts = ["hello world", "tab\tsep", "a\x0bb", "x   y", "a  b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    ours = bpe_token_counts(t)["n_bpe"].to_pylist()
+    con = duckdb.connect()
+    con.register("d", t)
+    theirs = [r[0] for r in con.execute(
+        f"SELECT CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) "
+        "AS BIGINT) FROM d ORDER BY doc_id"
+    ).fetchall()]
+    assert ours == theirs
+    # split parity for the shingle tokenizer
+    for s in texts:
+        py = [w for w in _WS_RE.split(s) if w]
+        sql = con.execute(
+            "SELECT list_filter(string_split_regex(?, ?), x -> x <> '')",
+            [s, WS_REGEX],
+        ).fetchone()[0]
+        assert py == sql, s
+
+
+def test_json_props_noninteger_parity():
+    """polars strict=False cast vs the oracle's string TRY_CAST: both must
+    NULL out non-integer / missing k values (CAST(JSON AS BIGINT) would
+    round instead)."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.simple_text import SQL, _json_props_batch
+
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "props": ['{"k": 69}', '{"k": 12.5}', '{"k": "7"}', '{}',
+                  '{"k": null}'],
+    })
+    ours = _json_props_batch(t)["k"].to_pylist()
+    con = duckdb.connect()
+    con.register("events", t)
+    theirs = [r[1] for r in con.execute(
+        SQL["m2_json_props"] + " ORDER BY event_id").fetchall()]
+    assert ours == theirs == [69, None, 7, None, None]
+
+
 def test_similarity_join_block_invariance(ray_session, tmp_path):
     """The blocked all-pairs join's output is invariant to n_blocks (the
     block decomposition is pure parallelism, never semantics), and finds
