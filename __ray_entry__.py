@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k2_grouped_topn": st.grouped_topn,
         "a8_sliding_window": st.sliding_window_ma,
         "q3_shipping": st.q3_shipping,
+        "k5_hash_sample": st.hash_sample,
         # --- rows-only (not SQL-expressible) ---
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural

@@ -550,6 +550,43 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# ------------------------------------------------------- deterministic sample
+
+SAMPLE_HEX = "0"  # keep doc_ids whose md5 starts with this nibble (1/16)
+
+
+def _hash_sample_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic hash sample: md5 of the decimal doc_id — reproducible
+    across runs/engines (unlike random_sample), uniform regardless of id
+    patterns (unlike doc_id % k), and exactly re-computable by the oracle."""
+    import hashlib
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    keep = np.fromiter(
+        (hashlib.md5(str(int(d)).encode()).hexdigest().startswith(SAMPLE_HEX)
+         for d in ids),
+        dtype=bool, count=ids.size,
+    )
+    return batch.filter(pa.array(keep))
+
+
+def hash_sample(sf_dir: str):
+    """K5: deterministic 1/16 sample of documents (hash-based systematic
+    sampling — the scale-safe way to subsample: a pure per-batch filter, no
+    shuffle, no RNG state, idempotent on resume)."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(_hash_sample_batch, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+SQL["k5_hash_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '{SAMPLE_HEX}%'
+"""
+
+
 # ---------------------------------------------------------------- as-of join
 
 def _asof_group(group: pa.Table) -> pa.Table:

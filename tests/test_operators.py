@@ -42,7 +42,7 @@ SQL_CHECKED = [
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
-    "j7_range_join", "q3_shipping",
+    "j7_range_join", "q3_shipping", "k5_hash_sample",
 ]
 
 
