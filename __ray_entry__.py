@@ -29,6 +29,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from meilisearch_thai_ray.pipelines import corpus_stats as cs
     from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
     from meilisearch_thai_ray.pipelines import flagship
     from meilisearch_thai_ray.pipelines import simple_text as st
@@ -63,7 +64,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a8_sliding_window": st.sliding_window_ma,
         "q3_shipping": st.q3_shipping,
         "k5_hash_sample": st.hash_sample,
+        "a9_distinct_users": cs.distinct_users,
+        "k6_heavy_hitters": cs.heavy_hitter_words,
+        "a10_quantiles_exact": cs.quantiles_exact,
+        "m8b_repetition": cs.repetition_stats,
+        "m21_pii_scan": cs.pii_scan,
+        "k7_stratified_sample": cs.stratified_sample,
         # --- rows-only (not SQL-expressible) ---
+        "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
         # near-dups, so the entry opts into the deterministic planted fixture
@@ -81,7 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from meilisearch_thai_ray.pipelines.corpus_stats import SQL as STATS_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
 
-    return {**SQL, **DEDUP_SQL}
+    return {**SQL, **DEDUP_SQL, **STATS_SQL}

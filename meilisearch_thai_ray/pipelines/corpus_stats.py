@@ -1,0 +1,468 @@
+"""Corpus-scale statistics pipelines (training-data-engine operators).
+
+Every operator here is built on a MERGEABLE PARTIAL: each batch emits a
+tiny summary (unique pairs, a sketch, a compressed histogram, a partial
+top-N), partials move through at most one small shuffle, and the raw
+corpus never converges anywhere. That is the only aggregation shape that
+survives 100 TB.
+
+Reference analog: the reference tracks corpus/processing statistics as
+in-process metric singletons (src/meilisearch_integration/document_processor.py
+ProcessingMetrics, src/tokenizer/query_processor.py cache stats); here the
+same questions are answered by distributed aggregates over the corpus.
+
+SQL-verified here (driver gate, DuckDB hash parity):
+  a9_distinct_users    exact COUNT DISTINCT per group via per-batch dedup
+  k6_heavy_hitters     EXACT heavy hitters via Misra-Gries pass + exact
+                       recount pass (never shuffles the full vocabulary)
+  a10_quantiles_exact  exact quantile_disc via compressed-histogram merge
+  m8b_repetition       Gopher-style repetition/quality signals per doc
+  m21_pii_scan         PII pattern counts + redacted-text digest per doc
+  k7_stratified_sample deterministic fixed-size per-group hash sample
+Rows-only (approximate by design; error bound asserted in pytest):
+  a9_hll_distinct      HyperLogLog distinct per group (fixed 16 KiB state)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.documents import read_parquet_clean
+from ..stages.sketches import (
+    HyperLogLog,
+    MisraGries,
+    quantile_disc_from_hist,
+)
+from ..stages.similarity_join import WS_REGEX
+
+SQL: dict[str, str] = {}
+
+_EVENT_COLS = ["event_type", "user_id"]
+
+
+def _events(sf_dir: str, columns: list[str]):
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=columns)
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
+
+
+# ------------------------------------------------- exact distinct per group
+
+def _unique_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (event_type, user_id) -> distinct pairs only.
+    This is what shrinks the shuffle: the exchange moves at most
+    (batches x distinct-per-batch) rows, not the raw event stream."""
+    import polars as pl
+
+    return pl.from_arrow(batch).unique(subset=_EVENT_COLS).to_arrow()
+
+
+def _count_distinct_group(group: pa.Table) -> pa.Table:
+    users = group["user_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "event_type": pa.array([group["event_type"][0].as_py()]),
+        "n_users": pa.array([int(np.unique(users).size)], pa.int64()),
+    })
+
+
+def distinct_users(sf_dir: str):
+    """A9: exact distinct users per event_type. Shape: per-batch local
+    dedup (combiner) -> one groupby(event_type) -> per-group np.unique.
+    Group state is bounded by the TRUE distinct count — for unbounded key
+    cardinality use hll_distinct_users (fixed 16 KiB per group)."""
+    ds = _events(sf_dir, _EVENT_COLS)
+    return (
+        ds.map_batches(_unique_pairs, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .map_groups(_count_distinct_group, batch_format="pyarrow")
+    )
+
+
+SQL["a9_distinct_users"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# -------------------------------------------------- HLL distinct per group
+
+_HLL_P = 14
+
+
+class _HllPartial:
+    """Per-batch HLL partials: (event_type, registers binary). 16 KiB per
+    (batch, group) — constant regardless of cardinality."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        types, regs = [], []
+        for (et,), g in df.group_by("event_type"):
+            h = HyperLogLog(_HLL_P)
+            h.update_ints(g["user_id"].to_numpy())
+            types.append(et)
+            regs.append(h.registers.tobytes())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "registers": pa.array(regs, pa.binary()),
+        })
+
+
+def _hll_merge_group(group: pa.Table) -> pa.Table:
+    h = HyperLogLog(_HLL_P)
+    for buf in group["registers"].to_pylist():
+        h.merge(HyperLogLog(_HLL_P, np.frombuffer(buf, dtype=np.uint8).copy()))
+    return pa.table({
+        "event_type": pa.array([group["event_type"][0].as_py()]),
+        "approx_users": pa.array([int(round(h.estimate()))], pa.int64()),
+    })
+
+
+def hll_distinct_users(sf_dir: str):
+    """A9b: approximate distinct users per event_type via HyperLogLog
+    (p=14, ~0.8% relative error — bound asserted in pytest vs the exact
+    operator). The 100-TB path: every partial is a fixed 16 KiB register
+    array and the merge is an elementwise max."""
+    ds = _events(sf_dir, _EVENT_COLS)
+    return (
+        ds.map_batches(_HllPartial, batch_format="pyarrow",
+                       batch_size=32768, concurrency=(1, 4))
+        .groupby("event_type")
+        .map_groups(_hll_merge_group, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------- exact two-pass heavy hitters
+
+HH_DENOM = 200  # heavy hitter = word with count >= ceil(total/200) (0.5%)
+_MG_K = 1024
+
+_WORD_RE = f"[^{WS_REGEX[1:-2]}]+"  # complement of the shared ws class
+
+
+def _batch_words(batch: pa.Table):
+    import polars as pl
+
+    s = pl.from_arrow(batch)["text"].str.extract_all(_WORD_RE).explode()
+    return s.drop_nulls().to_numpy()
+
+
+class _MgPass:
+    """Pass 1: per-batch Misra-Gries partial. Emits <= k (word, cnt) rows
+    plus one marker row (word='' — impossible as a real word since the
+    splitter drops empties) carrying the batch's total word count and the
+    shrink error; the union of partials preserves the MG guarantee:
+    true(w) <= sum cnt(w) + sum err."""
+
+    def __init__(self, k: int = _MG_K):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = _batch_words(batch)
+        n = int(words.size)
+        if n == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(words, return_counts=True)
+        err = 0
+        if u.size > self.k:
+            thresh = int(np.partition(c, -self.k - 1)[-self.k - 1])
+            keep = c > thresh
+            u, c = u[keep], c[keep] - thresh
+            err = thresh
+        return pa.table({
+            "word": pa.array(np.concatenate([u, [""]]), pa.string()),
+            "cnt": pa.array(np.concatenate([c, [err]]), pa.int64()),
+            "n": pa.array([0] * u.size + [n], pa.int64()),
+        })
+
+
+def heavy_hitter_words(sf_dir: str, denom: int = HH_DENOM, k: int = _MG_K):
+    """K6: EXACT heavy-hitter words — every word with count >= ceil(N/denom)
+    with its exact count — WITHOUT ever shuffling the full vocabulary.
+
+    Pass 1 (sketch): per-batch Misra-Gries partials (<= k rows/batch) ->
+    one groupby(word).sum over sketch rows -> candidate set C with NO false
+    negatives (MG invariant: true(w) <= est(w) + total_err; requires
+    k > denom, checked). Pass 2 (exact): candidates broadcast in the task
+    closure; each batch counts ONLY candidate words exactly; one tiny
+    groupby(word).sum -> exact counts -> threshold filter. Total exchanged
+    data is O(k) rows per batch regardless of vocabulary size."""
+    if k <= denom:
+        raise ValueError(f"MG capacity k={k} must exceed denom={denom} "
+                         "for the no-false-negative guarantee")
+    ds = _docs(sf_dir, ["text"])
+    part = (
+        ds.map_batches(_MgPass, fn_constructor_kwargs={"k": k},
+                       batch_format="pyarrow", batch_size=4096,
+                       concurrency=(1, 4))
+        .groupby("word").sum(["cnt", "n"])
+    )
+    rows = part.take_all()  # <= union of per-batch top-k: bounded, tiny
+    total_n = total_err = 0
+    est: dict[str, int] = {}
+    for r in rows:
+        if r["word"] == "":
+            total_n += int(r["sum(n)"])
+            total_err += int(r["sum(cnt)"])
+        else:
+            est[r["word"]] = int(r["sum(cnt)"])
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if total_n == 0:
+        return empty
+    min_count = -(-total_n // denom)  # ceil
+    cand = frozenset(w for w, c in est.items() if c + total_err >= min_count)
+    if not cand:
+        return empty
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        words = _batch_words(batch)
+        if words.size == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(words, return_counts=True)
+        keep = np.fromiter((w in cand for w in u.tolist()), dtype=bool,
+                           count=u.size)
+        return pa.table({"word": pa.array(u[keep], pa.string()),
+                         "cnt": pa.array(c[keep], pa.int64())})
+
+    exact = (
+        ds.map_batches(_recount, batch_format="pyarrow", batch_size=4096)
+        .groupby("word").sum("cnt")
+    )
+    out = [(r["word"], int(r["sum(cnt)"])) for r in exact.take_all()
+           if denom * int(r["sum(cnt)"]) >= total_n]
+    out.sort()
+    return pa.table({
+        "word": pa.array([w for w, _ in out], pa.string()),
+        "cnt": pa.array([c for _, c in out], pa.int64()),
+    })
+
+
+SQL["k6_heavy_hitters"] = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '{WS_REGEX}'),
+                x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+GROUP BY word
+HAVING {HH_DENOM} * count(*) >= (SELECT count(*) FROM w)
+"""
+
+
+# ------------------------------------- exact quantiles via histogram merge
+
+_QUANTS = [0.5, 0.9, 0.99]
+
+
+def _hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch compressed histogram: (lang, v, cnt) rows — one row per
+    DISTINCT value per lang, the run-length-compressed partial that makes
+    exact distributed quantiles an O(distinct-values) problem."""
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    agg = df.group_by(["lang", "n_chars"]).len()
+    return pa.table({
+        "lang": agg["lang"].to_arrow(),
+        "v": agg["n_chars"].to_arrow().cast(pa.int64()),
+        "cnt": agg["len"].to_arrow().cast(pa.int64()),
+    })
+
+
+def _quantiles_group(group: pa.Table) -> pa.Table:
+    v = group["v"].to_numpy(zero_copy_only=False)
+    cnt = group["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, cnt = v[order], cnt[order]
+    # collapse duplicate values from different partials
+    uniq, inv = np.unique(v, return_inverse=True)
+    merged = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(merged, inv, cnt)
+    hist = np.zeros(int(uniq[-1]) + 1, dtype=np.int64) if uniq.size else \
+        np.zeros(1, dtype=np.int64)
+    hist[uniq] = merged
+    p50, p90, p99 = quantile_disc_from_hist(hist, _QUANTS)
+    return pa.table({
+        "lang": pa.array([group["lang"][0].as_py()]),
+        "p50": pa.array([p50], pa.int64()),
+        "p90": pa.array([p90], pa.int64()),
+        "p99": pa.array([p99], pa.int64()),
+    })
+
+
+def quantiles_exact(sf_dir: str):
+    """A10: EXACT discrete quantiles of n_chars per language — per-batch
+    compressed histogram partials, one tiny groupby(lang) over
+    (lang, value, count) rows, never a global sort of the column."""
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return (
+        ds.map_batches(_hist_partial, batch_format="pyarrow",
+                       batch_size=16384)
+        .groupby("lang")
+        .map_groups(_quantiles_group, batch_format="pyarrow")
+    )
+
+
+SQL["a10_quantiles_exact"] = """
+SELECT lang,
+       quantile_disc(n_chars, 0.5)  AS p50,
+       quantile_disc(n_chars, 0.9)  AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------- repetition / quality (Gopher-ish)
+
+def repetition_stats(sf_dir: str):
+    """M8b: Gopher-style repetition signals per document — word count,
+    distinct word count, duplicate-word fraction, mean word length. Pure
+    vectorized per-batch map (polars string kernels), zero shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE)
+        ).with_columns(
+            word_count=pl.col("ws").list.len().cast(pl.Int64),
+            distinct_word_count=pl.col("ws").list.n_unique().cast(pl.Int64),
+            nonws=(pl.col("text").str.len_chars()
+                   - pl.col("text").str.count_matches(
+                       f"[{WS_REGEX[1:-2]}]")).cast(pl.Float64),
+        ).with_columns(
+            dup_word_frac=(1.0 - pl.col("distinct_word_count")
+                           / pl.col("word_count")).round(6),
+            mean_word_len=(pl.col("nonws") / pl.col("word_count")).round(6),
+        )
+        return df.select(["doc_id", "word_count", "distinct_word_count",
+                          "dup_word_frac", "mean_word_len"]).to_arrow()
+
+    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=8192)
+
+
+SQL["m8b_repetition"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws,
+         length(regexp_replace(text, '{WS_REGEX}', '', 'g')) AS nonws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS word_count,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_word_count,
+       round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+           AS dup_word_frac,
+       round(nonws / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len
+FROM w
+"""
+
+
+# ------------------------------------------------------------- PII scanning
+
+# RE2-compatible patterns, shared verbatim with the oracle (no \s, no
+# lookaround — identical semantics in Rust regex, RE2 and Python re)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+
+
+def pii_scan(sf_dir: str):
+    """M21: PII pattern scan per document — email/phone match counts plus
+    the md5 digest of the redacted text (digest, not the text itself, so
+    the result stays tiny and the redaction is still hash-verifiable).
+    Vectorized count/replace kernels; md5 is per-row C hashing."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_columns(
+            n_emails=pl.col("text").str.count_matches(EMAIL_RE)
+            .cast(pl.Int64),
+            n_phones=pl.col("text").str.count_matches(PHONE_RE)
+            .cast(pl.Int64),
+            red=pl.col("text")
+            .str.replace_all(EMAIL_RE, "[EMAIL]")
+            .str.replace_all(PHONE_RE, "[PHONE]"),
+        )
+        digests = [hashlib.md5(t.encode()).hexdigest()
+                   for t in df["red"].to_list()]
+        return df.select(["doc_id", "n_emails", "n_phones"]).with_columns(
+            redacted_md5=pl.Series(digests)).to_arrow()
+
+    return ds.map_batches(_scan, batch_format="pyarrow", batch_size=8192)
+
+
+SQL["m21_pii_scan"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------- stratified hash sample
+
+STRAT_N = 20  # sample size per group
+
+
+def _strat_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: keep only each lang's N smallest (md5, doc_id)
+    keys — bounded output, so the merge input is N x langs x batches."""
+    import polars as pl
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    h = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+    df = pl.from_arrow(batch).with_columns(h=pl.Series(h))
+    return (df.sort(["h", "doc_id"]).group_by("lang", maintain_order=True)
+            .head(STRAT_N).to_arrow())
+
+
+def stratified_sample(sf_dir: str):
+    """K7: deterministic fixed-size per-language sample — the N smallest
+    md5(doc_id) keys per lang. Reproducible across runs/engines (same
+    sample on resume), uniform within each stratum, and shuffle-free:
+    per-batch partial top-N per group + one tiny driver merge."""
+    import polars as pl
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    partials = ds.map_batches(_strat_partial, batch_format="pyarrow",
+                              batch_size=8192)
+    merged = pl.from_arrow(pa.Table.from_pylist(partials.take_all()))
+    out = (merged.sort(["h", "doc_id"])
+           .group_by("lang", maintain_order=True).head(STRAT_N)
+           .select(["doc_id", "lang"]).sort(["lang", "doc_id"]))
+    return out.to_arrow()
+
+
+SQL["k7_stratified_sample"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents
+) WHERE rn <= {STRAT_N}
+"""

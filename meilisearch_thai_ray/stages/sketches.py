@@ -1,0 +1,203 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+Three classic one-pass, mergeable summaries — the aggregation shapes that
+stay cheap at 100 TB because every worker emits a tiny fixed-size partial
+and the merge is associative (no shuffle of raw values ever happens):
+
+- HyperLogLog (Flajolet et al. 2007): approximate COUNT DISTINCT in
+  m = 2^p bytes with ~1.04/sqrt(m) relative error. Partial = the register
+  array; merge = elementwise max.
+- Misra-Gries (1982) / frequent items: every item with true frequency
+  > n/k is guaranteed to be in the k-counter summary, and counts are
+  under-estimated by at most n/k. Partial = the counter dict; merge =
+  counter addition + decrement (Berinde et al. 2010 preserves the bound).
+  Used as pass 1 of the EXACT two-pass heavy-hitters pipeline
+  (pipelines/corpus_stats.py): the sketch only proposes candidates, a
+  second broadcast-filtered counting pass makes the output exact.
+- Bounded-domain histogram: for integer columns with a bounded value range
+  (lengths, counts, small measures) a dense bincount partial gives EXACT
+  distributions — and therefore exact quantiles — with one tiny merge.
+
+Reference analog: the reference keeps corpus statistics (document counts,
+language distribution, processing metrics) as in-memory singletons
+(src/tokenizer/query_processor.py cache stats, src/api/ health metrics);
+here they are distributed aggregates over the corpus itself.
+
+All kernels are integer-domain vectorized; note this VM's pathologies
+(large int64->float64 astype is ~1 us/element — see CLAUDE.md), so bit
+lengths use an integer binary search, never a float log2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# ------------------------------------------------------------ hashing kernel
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform 64-bit mix of an int array.
+    (Steele et al. 2014 — the standard avalanche used to hash integer keys;
+    numpy uint64 arithmetic wraps mod 2^64 like the C original.)"""
+    z = x.astype(np.uint64, copy=True)
+    z += _SM_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SM_M1
+    z = (z ^ (z >> np.uint64(27))) * _SM_M2
+    return z ^ (z >> np.uint64(31))
+
+
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0): integer binary search —
+    6 compares, no float conversion (exact for all 64 bits, and avoids this
+    box's slow int->float astype)."""
+    x = x.astype(np.uint64, copy=True)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = x >= (np.uint64(1) << s)
+        out[big] += shift
+        x[big] >>= s
+    out[x > 0] += 1
+    return out
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+# alpha_m bias constant for m >= 128 (Flajolet et al. 2007, Fig. 3)
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HyperLogLog:
+    """Dense HLL over 64-bit hashed keys. p register-index bits, m = 2^p
+    uint8 registers; estimate error ~1.04/sqrt(m) (0.8% at p=14)."""
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def update_ints(self, ids: np.ndarray) -> "HyperLogLog":
+        """Absorb a batch of integer keys (vectorized, no per-row loop)."""
+        if ids.size == 0:
+            return self
+        h = splitmix64(np.asarray(ids))
+        q = 64 - self.p
+        idx = (h >> np.uint64(q)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(q)) - np.uint64(1))
+        # rho = leading-zero count of the q-bit suffix + 1
+        rho = (q - bit_length_u64(rest) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        # registers are uint8 (tiny array): float conversion here is cheap
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        if raw <= 2.5 * m:  # small-range: linear counting on empty registers
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * float(np.log(m / zeros))
+        return float(raw)
+
+
+def hll_partial_batch(ids: np.ndarray, p: int = 14) -> np.ndarray:
+    """One batch -> the register partial (the thing that travels)."""
+    return HyperLogLog(p).update_ints(ids).registers
+
+
+# ------------------------------------------------------------- Misra-Gries
+
+class MisraGries:
+    """k-counter frequent-items summary over string items.
+
+    Invariants (summary S over a stream of n items):
+      * est(x) <= true(x) <= est(x) + err where err <= n/k
+      * every x with true(x) > n/k is present in S
+    Merge of two summaries (counter-add then keep top-k, subtracting the
+    (k+1)-th count) preserves err <= n_total/k (Berinde et al. 2010)."""
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.counts: dict[str, int] = {}
+        self.n = 0  # stream length absorbed (for the error bound)
+
+    def update_batch(self, items: np.ndarray, counts: np.ndarray) -> None:
+        """Absorb pre-aggregated (unique item, count) pairs — callers
+        np.unique their batch first so this touches each DISTINCT item once."""
+        c = self.counts
+        for it, ct in zip(items.tolist(), counts.tolist()):
+            c[it] = c.get(it, 0) + ct
+        self.n += int(counts.sum())
+        if len(c) > 2 * self.k:  # amortized shrink
+            self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64,
+                           count=len(self.counts))
+        # subtract the (k+1)-th largest count, drop non-positive
+        thresh = int(np.partition(vals, -self.k - 1)[-self.k - 1])
+        self.counts = {it: ct - thresh for it, ct in self.counts.items()
+                       if ct - thresh > 0}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for it, ct in other.counts.items():
+            self.counts[it] = self.counts.get(it, 0) + ct
+        self.n += other.n
+        self._shrink()
+        return self
+
+    def error_bound(self) -> int:
+        """Counts are exact within +[0, bound]; every item with true count
+        > bound is guaranteed present."""
+        return -(-self.n // self.k)  # ceil(n / k)
+
+    def candidates(self, min_count: int) -> list[str]:
+        """Every item whose TRUE count could be >= min_count (no false
+        negatives by the summary invariant)."""
+        bound = self.error_bound()
+        return [it for it, ct in self.counts.items()
+                if ct + bound >= min_count]
+
+
+# ------------------------------------------- bounded-domain exact histogram
+
+def bincount_partial(values: np.ndarray, domain: int) -> np.ndarray:
+    """Dense exact histogram partial for a bounded non-negative int column.
+    Values >= domain are clipped into the top bucket (callers size `domain`
+    from known schema bounds; the clip is reported by the caller)."""
+    v = np.clip(values, 0, domain - 1)
+    return np.bincount(v, minlength=domain)
+
+
+def quantile_disc_from_hist(hist: np.ndarray, qs: list[float]) -> list[int]:
+    """Discrete quantiles (DuckDB quantile_disc semantics: the element at
+    zero-based rank ceil(q * n) - 1 of the sorted column, clamped to 0)."""
+    n = int(hist.sum())
+    if n == 0:
+        return [0 for _ in qs]
+    cum = np.cumsum(hist)
+    out = []
+    for q in qs:
+        rank = max(0, int(np.ceil(q * n)) - 1)
+        out.append(int(np.searchsorted(cum, rank + 1, side="left")))
+    return out

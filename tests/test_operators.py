@@ -43,6 +43,8 @@ SQL_CHECKED = [
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
     "j7_range_join", "q3_shipping", "k5_hash_sample",
+    "a9_distinct_users", "k6_heavy_hitters", "a10_quantiles_exact",
+    "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Sketch kernels (stages/sketches.py) and the corpus-stats pipelines built
+on them: HLL error bound + merge associativity, Misra-Gries no-false-negative
+guarantee (shrink path exercised), exact two-pass heavy hitters vs a Counter,
+quantile_disc parity, HLL-vs-exact pipeline bound."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from meilisearch_thai_ray.stages.sketches import (
+    HyperLogLog,
+    MisraGries,
+    bincount_partial,
+    bit_length_u64,
+    quantile_disc_from_hist,
+    splitmix64,
+)
+
+
+def test_bit_length_u64_matches_python():
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        np.array([0, 1, 2, 3, 255, 2**31, 2**63, 2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**63, 1000).astype(np.uint64),
+    ])
+    got = bit_length_u64(xs)
+    want = np.array([int(x).bit_length() for x in xs.tolist()])
+    assert np.array_equal(got, want)
+
+
+def test_splitmix64_is_uniformish_and_deterministic():
+    ids = np.arange(100_000, dtype=np.int64)
+    h1, h2 = splitmix64(ids), splitmix64(ids)
+    assert np.array_equal(h1, h2)
+    # top byte should be close to uniform over 256 buckets
+    counts = np.bincount((h1 >> np.uint64(56)).astype(np.int64),
+                         minlength=256)
+    assert counts.min() > 200 and counts.max() < 600
+
+
+@pytest.mark.parametrize("true_n", [50, 5000, 200_000])
+def test_hll_error_bound_and_merge(true_n):
+    ids = np.random.default_rng(42).choice(10**12, true_n, replace=False)
+    whole = HyperLogLog(14).update_ints(ids)
+    est = whole.estimate()
+    # p=14 => sigma ~0.8%; assert a generous 4-sigma envelope
+    assert abs(est - true_n) / true_n < 0.04
+    parts = [HyperLogLog(14).update_ints(c) for c in np.array_split(ids, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert np.array_equal(merged.registers, whole.registers)
+
+
+def test_misra_gries_guarantee_with_shrink():
+    rng = np.random.default_rng(7)
+    heavy = np.repeat(np.arange(10), 5000)          # 10 items x 5000
+    tail = rng.integers(1000, 200_000, 150_000)      # long tail
+    stream = np.concatenate([heavy, tail]).astype(str)
+    rng.shuffle(stream)
+    mg = MisraGries(k=64)
+    for chunk in np.array_split(stream, 11):
+        part = MisraGries(k=64)
+        u, c = np.unique(chunk, return_counts=True)
+        part.update_batch(u, c)
+        mg.merge(part)
+    assert len(mg.counts) <= 2 * 64  # bounded state
+    true = collections.Counter(stream.tolist())
+    bound = mg.error_bound()
+    # guarantee 1: every item with true count > bound is present
+    for item, cnt in true.items():
+        if cnt > bound:
+            assert item in mg.counts, item
+    # guarantee 2: estimates never overcount and undercount <= bound
+    for item, est in mg.counts.items():
+        assert est <= true[item] <= est + bound
+    # candidates(min_count) has no false negatives
+    cands = set(mg.candidates(4000))
+    assert {i for i, c in true.items() if c >= 4000} <= cands
+
+
+def test_quantile_disc_matches_duckdb_on_random_data():
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 500, 10_000)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    want = duckdb.sql(
+        f"SELECT quantile_disc(v, {qs}) FROM (SELECT unnest(?) v)",
+        params=[vals.tolist()],
+    ).fetchone()[0]
+    hist = bincount_partial(vals, 512)
+    got = quantile_disc_from_hist(hist, qs)
+    assert list(want) == got
+
+
+def _write_events(d, n_users=3000, n_rows=20_000):
+    rng = np.random.default_rng(11)
+    users = rng.integers(0, n_users, n_rows)
+    types = np.array(["view", "click", "buy"])[rng.integers(0, 3, n_rows)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(n_rows), pa.int64()),
+            "ts": pa.array([0] * n_rows, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.zeros(n_rows), pa.float64()),
+            "props": pa.array(["{}"] * n_rows, pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+
+
+def test_hll_pipeline_within_bound_of_exact(ray_session, tmp_path):
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        distinct_users,
+        hll_distinct_users,
+    )
+
+    _write_events(tmp_path)
+    exact = {r["event_type"]: r["n_users"]
+             for r in distinct_users(str(tmp_path)).take_all()}
+    approx = {r["event_type"]: r["approx_users"]
+              for r in hll_distinct_users(str(tmp_path)).take_all()}
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.04, (et, n, approx[et])
+
+
+def test_heavy_hitters_exact_vs_counter_with_tiny_k(ray_session, tmp_path):
+    """k small enough that the MG shrink path actually runs; the two-pass
+    output must still be EXACTLY the >= ceil(n/denom) set with exact
+    counts (sketch only proposes candidates, never decides)."""
+    import re
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import heavy_hitter_words
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i:04d}" for i in range(400)])
+    weights = np.concatenate([np.full(8, 60.0), np.ones(392)])
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, 40, p=weights)) for _ in range(300)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 300, pa.string()),
+            "source": pa.array(["t"] * 300, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = heavy_hitter_words(str(tmp_path), denom=50, k=64).to_pandas()
+    words = [w for t in texts for w in re.findall(r"[^ \t\n\f\r]+", t)]
+    true = collections.Counter(words)
+    n = len(words)
+    want = sorted((w, c) for w, c in true.items() if 50 * c >= n)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        STRAT_N,
+        stratified_sample,
+    )
+
+    a = stratified_sample("/root/testdata/sf0.001").to_pandas()
+    b = stratified_sample("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    assert (a.groupby("lang").size() <= STRAT_N).all()
