@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m8b_repetition": cs.repetition_stats,
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,
+        "j8_latest_event": cs.latest_event_per_user,
+        "a11_bigram_pmi": cs.bigram_pmi,
         # --- rows-only (not SQL-expressible) ---
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,

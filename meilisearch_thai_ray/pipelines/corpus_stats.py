@@ -19,6 +19,10 @@ SQL-verified here (driver gate, DuckDB hash parity):
   m8b_repetition       Gopher-style repetition/quality signals per doc
   m21_pii_scan         PII pattern counts + redacted-text digest per doc
   k7_stratified_sample deterministic fixed-size per-group hash sample
+  j8_latest_event      distributed argmax (newest row per key — the
+                       newest-capture-wins Common-Crawl ingestion shape)
+  a11_bigram_pmi       collocations: combiner bigram counts + targeted
+                       unigram recount; integer-threshold selection
 Rows-only (approximate by design; error bound asserted in pytest):
   a9_hll_distinct      HyperLogLog distinct per group (fixed 16 KiB state)
 """
@@ -465,4 +469,169 @@ SELECT doc_id, lang FROM (
              AS rn
   FROM documents
 ) WHERE rn <= {STRAT_N}
+"""
+
+
+# ------------------------------------------- newest-wins per key (argmax)
+
+_EV_FULL = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _latest_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: keep only each user's newest row — the exchange
+    then moves <= users x batches rows, never the raw event stream. This is
+    the Common-Crawl ingestion shape (newest capture per URL wins),
+    exercised here on (user_id, ts)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    return (df.sort(["user_id", "ts", "event_id"],
+                    descending=[False, True, True])
+            .group_by("user_id", maintain_order=True).head(1).to_arrow())
+
+
+def _latest_group(group: pa.Table) -> pa.Table:
+    import polars as pl
+
+    df = pl.from_arrow(group).sort(["ts", "event_id"],
+                                   descending=[True, True])
+    return df.head(1).select(_EV_FULL).to_arrow()
+
+
+def latest_event_per_user(sf_dir: str):
+    """J8: distributed argmax — each user's newest event (ties broken by
+    event_id), via per-batch partial argmax + one groupby(user_id). The
+    newest-wins-by-key dedup every snapshot ingestion needs."""
+    ds = _events(sf_dir, _EV_FULL)
+    return (
+        ds.map_batches(_latest_partial, batch_format="pyarrow",
+                       batch_size=16384)
+        .groupby("user_id")
+        .map_groups(_latest_group, batch_format="pyarrow")
+    )
+
+
+SQL["j8_latest_event"] = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- bigram PMI collocations
+
+PMI_MIN_COUNT = 5
+
+
+class _BigramPass:
+    """Pass 1 partials: per-batch bigram counts (vectorized polars
+    explode/shift — adjacent words within a doc) plus a marker row
+    (bigram='', impossible since words are non-empty) carrying the batch's
+    unigram and bigram totals."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE))
+        e = df.select(pl.col("doc_id"), pl.col("ws")).explode("ws")
+        nu = int(e["ws"].drop_nulls().len())
+        e = e.with_columns(nxt=pl.col("ws").shift(-1),
+                           nd=pl.col("doc_id").shift(-1))
+        bg = (e.filter((pl.col("doc_id") == pl.col("nd"))
+                       & pl.col("ws").is_not_null())
+              .select(bigram=pl.col("ws") + " " + pl.col("nxt")))
+        counts = bg.group_by("bigram").len()
+        return pa.table({
+            "bigram": pa.array(counts["bigram"].to_list() + [""],
+                               pa.string()),
+            "cnt": pa.array(counts["len"].to_list() + [0], pa.int64()),
+            "nu": pa.array([0] * counts.height + [nu], pa.int64()),
+            "nb": pa.array([0] * counts.height + [bg.height], pa.int64()),
+        })
+
+
+def bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT):
+    """A11: pointwise mutual information of adjacent word pairs — the
+    collocation signal. Selection is by INTEGER count threshold (never by a
+    float PMI cut, so the kept set is float-robust); PMI is a reported
+    column rounded to 6 dp.
+
+    Scale shape: bigram counts via per-batch combiner + one groupby (the
+    exchange carries distinct-bigrams-per-batch rows); the unigram counts
+    needed for PMI are only those appearing in surviving bigrams, counted
+    in a second broadcast-filtered pass — the full vocabulary is never
+    joined."""
+    import math
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    part = (
+        ds.map_batches(_BigramPass, batch_format="pyarrow", batch_size=4096,
+                       concurrency=(1, 4))
+        .groupby("bigram").sum(["cnt", "nu", "nb"])
+    )
+    n_uni = n_bi = 0
+    kept: list[tuple[str, int]] = []
+    for r in part.take_all():
+        if r["bigram"] == "":
+            n_uni += int(r["sum(nu)"])
+            n_bi += int(r["sum(nb)"])
+        elif int(r["sum(cnt)"]) >= min_count:
+            kept.append((r["bigram"], int(r["sum(cnt)"])))
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+    if not kept or n_uni == 0 or n_bi == 0:
+        return empty
+    needed = frozenset(w for bg, _ in kept for w in bg.split(" "))
+
+    def _unigram_counts(batch: pa.Table) -> pa.Table:
+        words = _batch_words(batch)
+        if words.size == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(words, return_counts=True)
+        keep = np.fromiter((w in needed for w in u.tolist()), dtype=bool,
+                           count=u.size)
+        return pa.table({"word": pa.array(u[keep], pa.string()),
+                         "cnt": pa.array(c[keep], pa.int64())})
+
+    uni = {r["word"]: int(r["sum(cnt)"])
+           for r in ds.map_batches(_unigram_counts, batch_format="pyarrow",
+                                   batch_size=4096)
+           .groupby("word").sum("cnt").take_all()}
+    kept.sort()
+    pmi = [round(math.log((c / n_bi)
+                          / ((uni[b.split(" ")[0]] / n_uni)
+                             * (uni[b.split(" ")[1]] / n_uni))), 6)
+           for b, c in kept]
+    return pa.table({
+        "bigram": pa.array([b for b, _ in kept], pa.string()),
+        "cnt": pa.array([c for _, c in kept], pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    })
+
+
+SQL["a11_bigram_pmi"] = f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+uni AS (SELECT unnest(ws) AS wd FROM w),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w),
+nu AS (SELECT count(*) n FROM uni), nb AS (SELECT count(*) n FROM bg),
+uc AS (SELECT wd, count(*) c FROM uni GROUP BY wd),
+bc AS (SELECT bigram, count(*) c FROM bg GROUP BY bigram
+       HAVING count(*) >= {PMI_MIN_COUNT})
+SELECT bc.bigram, CAST(bc.c AS BIGINT) AS cnt,
+       round(ln((bc.c / CAST(nb.n AS DOUBLE))
+                / ((u1.c / CAST(nu.n AS DOUBLE))
+                   * (u2.c / CAST(nu.n AS DOUBLE)))), 6) AS pmi
+FROM bc, nu, nb
+JOIN uc u1 ON u1.wd = string_split(bc.bigram, ' ')[1]
+JOIN uc u2 ON u2.wd = string_split(bc.bigram, ' ')[2]
 """
