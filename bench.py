@@ -181,7 +181,7 @@ def run_scaling() -> dict:
     # levels under the same load regime, where sequential lo-lo-hi-hi would
     # bias whichever level hit the quiet window
     best: dict[int, dict] = {}
-    for _ in range(reps):
+    for _ in range(max(1, reps)):
         for ncpu in (lo_n, hi_n):
             r = one_run(ncpu)
             if ncpu not in best or r["value"] < best[ncpu]["value"]:
@@ -189,21 +189,23 @@ def run_scaling() -> dict:
     lo, hi = best[lo_n], best[hi_n]
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
-    # two-point Amdahl fit t(n) = S + P/n: separates fixed per-job cost
-    # (startup, barriers — amortized away at scale) from the scaling work
-    par = (t_lo - t_hi) / (1.0 / lo_n - 1.0 / hi_n)
-    ser = max(0.0, t_lo - par / lo_n)
-    return {
+    out = {
         "metric": f"scaling_{lo_n}_to_{hi_n}_cpus",
         f"sec_{lo_n}": t_lo,
         f"sec_{hi_n}": t_hi,
         f"docs_per_sec_{lo_n}": lo["docs_per_sec"],
         f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "amdahl_serial_sec": round(ser, 2),
-        "amdahl_parallel_core_sec": round(par, 1),
         "bench_docs": int(env_base.get("BENCH_DOCS", BENCH_DOCS)),
     }
+    if lo_n != hi_n:  # SCALE_LO == SCALE_HI is a same-level variance probe
+        # two-point Amdahl fit t(n) = S + P/n: separates fixed per-job cost
+        # (startup, barriers — amortized away at scale) from scaling work
+        par = (t_lo - t_hi) / (1.0 / lo_n - 1.0 / hi_n)
+        ser = max(0.0, t_lo - par / lo_n)
+        out["amdahl_serial_sec"] = round(ser, 2)
+        out["amdahl_parallel_core_sec"] = round(par, 1)
+    return out
 
 
 if __name__ == "__main__":

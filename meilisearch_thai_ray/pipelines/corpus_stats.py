@@ -39,11 +39,7 @@ import ray
 import ray.data
 
 from ..sources.documents import read_parquet_clean
-from ..stages.sketches import (
-    HyperLogLog,
-    MisraGries,
-    quantile_disc_from_hist,
-)
+from ..stages.sketches import HyperLogLog, mg_shrink
 from ..stages.similarity_join import WS_REGEX
 
 SQL: dict[str, str] = {}
@@ -163,6 +159,20 @@ def _batch_words(batch: pa.Table):
     return s.drop_nulls().to_numpy()
 
 
+def _count_allowed_words(batch: pa.Table, allowed: frozenset,
+                         col: str = "word") -> pa.Table:
+    """Exact per-batch counts restricted to a broadcast candidate set —
+    the pass-2 kernel shared by heavy_hitter_words and bigram_pmi."""
+    words = _batch_words(batch)
+    if words.size == 0:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    u, c = np.unique(words, return_counts=True)
+    keep = np.isin(u, list(allowed))
+    return pa.table({col: pa.array(u[keep], pa.string()),
+                     "cnt": pa.array(c[keep], pa.int64())})
+
+
 class _MgPass:
     """Pass 1: per-batch Misra-Gries partial. Emits <= k (word, cnt) rows
     plus one marker row (word='' — impossible as a real word since the
@@ -181,12 +191,7 @@ class _MgPass:
                              "cnt": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         u, c = np.unique(words, return_counts=True)
-        err = 0
-        if u.size > self.k:
-            thresh = int(np.partition(c, -self.k - 1)[-self.k - 1])
-            keep = c > thresh
-            u, c = u[keep], c[keep] - thresh
-            err = thresh
+        u, c, err = mg_shrink(u, c, self.k)
         return pa.table({
             "word": pa.array(np.concatenate([u, [""]]), pa.string()),
             "cnt": pa.array(np.concatenate([c, [err]]), pa.int64()),
@@ -233,19 +238,9 @@ def heavy_hitter_words(sf_dir: str, denom: int = HH_DENOM, k: int = _MG_K):
     if not cand:
         return empty
 
-    def _recount(batch: pa.Table) -> pa.Table:
-        words = _batch_words(batch)
-        if words.size == 0:
-            return pa.table({"word": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        u, c = np.unique(words, return_counts=True)
-        keep = np.fromiter((w in cand for w in u.tolist()), dtype=bool,
-                           count=u.size)
-        return pa.table({"word": pa.array(u[keep], pa.string()),
-                         "cnt": pa.array(c[keep], pa.int64())})
-
     exact = (
-        ds.map_batches(_recount, batch_format="pyarrow", batch_size=4096)
+        ds.map_batches(lambda b: _count_allowed_words(b, cand),
+                       batch_format="pyarrow", batch_size=4096)
         .groupby("word").sum("cnt")
     )
     out = [(r["word"], int(r["sum(cnt)"])) for r in exact.take_all()
@@ -292,16 +287,21 @@ def _hist_partial(batch: pa.Table) -> pa.Table:
 def _quantiles_group(group: pa.Table) -> pa.Table:
     v = group["v"].to_numpy(zero_copy_only=False)
     cnt = group["cnt"].to_numpy(zero_copy_only=False)
-    order = np.argsort(v, kind="stable")
-    v, cnt = v[order], cnt[order]
-    # collapse duplicate values from different partials
+    # collapse duplicate values from different partials; memory stays
+    # O(distinct values) — never a dense array over the value RANGE, which
+    # one pathological outlier value would blow up
     uniq, inv = np.unique(v, return_inverse=True)
     merged = np.zeros(uniq.size, dtype=np.int64)
     np.add.at(merged, inv, cnt)
-    hist = np.zeros(int(uniq[-1]) + 1, dtype=np.int64) if uniq.size else \
-        np.zeros(1, dtype=np.int64)
-    hist[uniq] = merged
-    p50, p90, p99 = quantile_disc_from_hist(hist, _QUANTS)
+    cum = np.cumsum(merged)
+    n = int(cum[-1])
+    # DuckDB quantile_disc rank rule: element at zero-based rank
+    # ceil(q * n) - 1 of the sorted column (see sketches.quantile_disc_from_hist)
+    p50, p90, p99 = (
+        int(uniq[np.searchsorted(
+            cum, max(0, int(np.ceil(q * n)) - 1) + 1, side="left")])
+        for q in _QUANTS
+    )
     return pa.table({
         "lang": pa.array([group["lang"][0].as_py()]),
         "p50": pa.array([p50], pa.int64()),
@@ -352,9 +352,13 @@ def repetition_stats(sf_dir: str):
                    - pl.col("text").str.count_matches(
                        f"[{WS_REGEX[1:-2]}]")).cast(pl.Float64),
         ).with_columns(
-            dup_word_frac=(1.0 - pl.col("distinct_word_count")
-                           / pl.col("word_count")).round(6),
-            mean_word_len=(pl.col("nonws") / pl.col("word_count")).round(6),
+            # NULL (not NaN) when word_count == 0 — the SQL oracle's x/0
+            # is NULL and the gate hashes NaN and NULL differently
+            dup_word_frac=pl.when(pl.col("word_count") > 0)
+            .then((1.0 - pl.col("distinct_word_count")
+                   / pl.col("word_count")).round(6)),
+            mean_word_len=pl.when(pl.col("word_count") > 0)
+            .then((pl.col("nonws") / pl.col("word_count")).round(6)),
         )
         return df.select(["doc_id", "word_count", "distinct_word_count",
                           "dup_word_frac", "mean_word_len"]).to_arrow()
@@ -587,20 +591,10 @@ def bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT):
         return empty
     needed = frozenset(w for bg, _ in kept for w in bg.split(" "))
 
-    def _unigram_counts(batch: pa.Table) -> pa.Table:
-        words = _batch_words(batch)
-        if words.size == 0:
-            return pa.table({"word": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        u, c = np.unique(words, return_counts=True)
-        keep = np.fromiter((w in needed for w in u.tolist()), dtype=bool,
-                           count=u.size)
-        return pa.table({"word": pa.array(u[keep], pa.string()),
-                         "cnt": pa.array(c[keep], pa.int64())})
-
     uni = {r["word"]: int(r["sum(cnt)"])
-           for r in ds.map_batches(_unigram_counts, batch_format="pyarrow",
-                                   batch_size=4096)
+           for r in ds.map_batches(
+               lambda b: _count_allowed_words(b, needed),
+               batch_format="pyarrow", batch_size=4096)
            .groupby("word").sum("cnt").take_all()}
     kept.sort()
     pmi = [round(math.log((c / n_bi)

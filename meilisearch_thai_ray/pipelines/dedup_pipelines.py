@@ -107,7 +107,11 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6,
             f"{max_verify}; verifying the first {max_verify} by (a, b) (raise "
             "bands/rows per band for a self-similar corpus)"
         )
-        cand = cand.limit(max_verify)  # already sorted by (a, b)
+        # the dedup stage's OUTPUT block order is not guaranteed (Ray does
+        # not preserve order across map tasks), so the deterministic
+        # "first max_verify by (a, b)" contract needs a re-sort — paid only
+        # in this degenerate over-cap path
+        cand = cand.sort(["a", "b"]).limit(max_verify)
     verified = cand.map_batches(
         JaccardVerify,
         fn_constructor_kwargs={"docs_path": docs_path, "threshold": threshold},

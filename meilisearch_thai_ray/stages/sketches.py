@@ -118,12 +118,21 @@ class HyperLogLog:
         return float(raw)
 
 
-def hll_partial_batch(ids: np.ndarray, p: int = 14) -> np.ndarray:
-    """One batch -> the register partial (the thing that travels)."""
-    return HyperLogLog(p).update_ints(ids).registers
-
-
 # ------------------------------------------------------------- Misra-Gries
+
+def mg_shrink(items: np.ndarray, counts: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """The Misra-Gries decrement step on (unique item, count) arrays: keep
+    at most k items by subtracting the (k+1)-th largest count from all and
+    dropping non-positives. Returns (items, counts, err) where err is the
+    subtracted threshold — each surviving count is undercounted by exactly
+    err, each dropped item's true batch count was <= err. Shared by the
+    MisraGries summary class and the vectorized _MgPass pipeline stage."""
+    if items.size <= k:
+        return items, counts, 0
+    thresh = int(np.partition(counts, -k - 1)[-k - 1])
+    keep = counts > thresh
+    return items[keep], counts[keep] - thresh, thresh
 
 class MisraGries:
     """k-counter frequent-items summary over string items.
@@ -152,12 +161,11 @@ class MisraGries:
     def _shrink(self) -> None:
         if len(self.counts) <= self.k:
             return
+        items = np.array(list(self.counts.keys()), dtype=object)
         vals = np.fromiter(self.counts.values(), dtype=np.int64,
                            count=len(self.counts))
-        # subtract the (k+1)-th largest count, drop non-positive
-        thresh = int(np.partition(vals, -self.k - 1)[-self.k - 1])
-        self.counts = {it: ct - thresh for it, ct in self.counts.items()
-                       if ct - thresh > 0}
+        items, vals, _ = mg_shrink(items, vals, self.k)
+        self.counts = dict(zip(items.tolist(), vals.tolist()))
 
     def merge(self, other: "MisraGries") -> "MisraGries":
         for it, ct in other.counts.items():

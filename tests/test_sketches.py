@@ -171,3 +171,40 @@ def test_stratified_sample_deterministic(ray_session):
     b = stratified_sample("/root/testdata/sf0.001").to_pandas()
     assert a.equals(b)
     assert (a.groupby("lang").size() <= STRAT_N).all()
+
+
+def test_repetition_stats_null_not_nan_on_empty_text(ray_session, tmp_path):
+    """Zero-word docs must yield NULL (like the SQL oracle's x/0), never
+    NaN — the gate hashes them differently."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        SQL,
+        repetition_stats,
+    )
+
+    texts = ["   ", "", "aa bb aa"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    ours = repetition_stats(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(SQL["m8b_repetition"]).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ours[sorted(ours.columns)],
+                                  theirs[sorted(theirs.columns)],
+                                  check_dtype=False)
+    assert ours["dup_word_frac"].isna()[:2].all()
+    assert not np.isnan(ours["dup_word_frac"][2])
