@@ -30,6 +30,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import corpus_stats as cs
+    from meilisearch_thai_ray.pipelines import curate as cur
     from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
     from meilisearch_thai_ray.pipelines import flagship
     from meilisearch_thai_ray.pipelines import simple_text as st
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k7_stratified_sample": cs.stratified_sample,
         "j8_latest_event": cs.latest_event_per_user,
         "a11_bigram_pmi": cs.bigram_pmi,
+        "d7_curate": cur.curated_docs,
         # --- rows-only (not SQL-expressible) ---
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,
@@ -92,7 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.corpus_stats import SQL as STATS_SQL
+    from meilisearch_thai_ray.pipelines.curate import SQL as CURATE_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
 
-    return {**SQL, **DEDUP_SQL, **STATS_SQL}
+    return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL}

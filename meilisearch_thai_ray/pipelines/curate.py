@@ -1,0 +1,154 @@
+"""End-to-end training-data curation pipeline.
+
+The composite a 100-TB pretraining-corpus build actually runs, staged the
+way each filter is cheapest:
+
+  1. QUALITY  — per-batch vectorized repetition/length signals (zero
+     shuffle): drop docs with < MIN_WORDS words or a duplicate-word
+     fraction above MAX_DUP_FRAC (Gopher-style repetition gate).
+  2. EXACT DEDUP — md5(text) hash-partitioned groupby; the lowest doc_id
+     of each identical-text group survives. Uniform hash keys, no skew.
+  3. NEAR-DUP — exact word-3-gram Jaccard pairs over the SURVIVORS
+     (pipelines/dedup_pipelines.jaccard_pairs_ds, the blocked all-pairs
+     join); any doc that is the HIGHER id of a pair >= JACCARD_THR is
+     dropped. The rule "drop every b of a qualifying (a < b) pair" is
+     order-free and deterministic (no clustering tie-breaks), and it is
+     what the SQL oracle states. At 100 TB the pair stage swaps to the
+     MinHash-LSH sketch (same drop rule over verified pairs) — the exact
+     join here keeps the driver gate zero-recall-loss verifiable.
+  4. OUTPUT — the curated (doc_id, lang, n_chars) set, or
+     curate_to_parquet() for a resumable lang-partitioned parquet sink.
+
+Reference analog: the reference's ingest applies per-document validation
+and skips duplicates/failures before indexing
+(src/meilisearch_integration/document_processor.py:25-57, 319-343); this
+pipeline is that gate generalized to corpus curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.documents import read_parquet_clean
+from ..stages.similarity_join import WS_REGEX
+from .dedup_pipelines import jaccard_pairs_ds
+
+SQL: dict[str, str] = {}
+
+MIN_WORDS = 20
+MAX_DUP_FRAC = 0.7
+JACCARD_THR = 0.6
+
+_WORD_RE = f"[^{WS_REGEX[1:-2]}]+"
+
+
+def _quality_filter(batch: pa.Table) -> pa.Table:
+    """Stage 1: vectorized repetition gate. The comparison is done on the
+    UNROUNDED fraction, exactly like the SQL oracle's WHERE clause."""
+    import polars as pl
+
+    df = pl.from_arrow(batch).with_columns(
+        ws=pl.col("text").str.extract_all(_WORD_RE)
+    ).with_columns(
+        wc=pl.col("ws").list.len().cast(pl.Int64),
+        du=pl.col("ws").list.n_unique().cast(pl.Int64),
+    )
+    kept = df.filter(
+        (pl.col("wc") >= MIN_WORDS)
+        & (1.0 - pl.col("du") / pl.col("wc") <= MAX_DUP_FRAC)
+    )
+    return kept.select(["doc_id", "lang", "n_chars", "text"]).to_arrow()
+
+
+def _hash_text(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    h = [hashlib.md5(t.encode()).hexdigest()
+         for t in batch["text"].to_pylist()]
+    return batch.append_column("h", pa.array(h, pa.string()))
+
+
+def _min_id_row(group: pa.Table) -> pa.Table:
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    return group.take(pa.array([int(np.argmin(ids))])).drop_columns(["h"])
+
+
+def curated_docs(sf_dir: str, n_blocks: int = 4):
+    """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
+    gate, exact dedup, and exact near-dup drop. See module docstring for
+    the staging and the 100-TB swap points."""
+    import os
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars", "text"],
+    )
+    survivors = (
+        ds.map_batches(_quality_filter, batch_format="pyarrow",
+                       batch_size=4096)
+        .map_batches(_hash_text, batch_format="pyarrow", batch_size=4096)
+        .groupby("h")
+        .map_groups(_min_id_row, batch_format="pyarrow")
+        .materialize()  # reused twice: pair join input + final filter
+    )
+    pairs = jaccard_pairs_ds(
+        survivors.select_columns(["doc_id", "text"]),
+        threshold=JACCARD_THR, n=3, n_blocks=n_blocks,
+    )
+    drop = frozenset(pairs["b"].to_pylist())  # pairs are tiny by definition
+
+    def _final(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, list(drop)) if drop else \
+            np.ones(ids.size, dtype=bool)
+        return batch.filter(pa.array(keep)).select(
+            ["doc_id", "lang", "n_chars"])
+
+    return survivors.map_batches(_final, batch_format="pyarrow",
+                                 batch_size=8192)
+
+
+def curate_to_parquet(sf_dir: str, out_dir: str, n_blocks: int = 4) -> dict:
+    """Write the curated set as lang-partitioned parquet (one directory
+    per lang — the resumable layout: a re-run can skip finished
+    partitions). Returns {"rows": n, "out_dir": out_dir}."""
+    ds = curated_docs(sf_dir, n_blocks=n_blocks)
+    ds = ds.materialize()
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    return {"rows": ds.count(), "out_dir": out_dir}
+
+
+SQL["d7_curate"] = f"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, n_chars, text, ws FROM q
+  WHERE len(ws) >= {MIN_WORDS}
+    AND 1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+        <= {MAX_DUP_FRAC}
+),
+d AS (
+  SELECT f.* FROM f
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS mid FROM f GROUP BY md5(text))
+       m ON md5(f.text) = m.h AND f.doc_id = m.mid
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM d
+),
+p AS (
+  SELECT b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THR}
+)
+SELECT doc_id, lang, n_chars FROM d
+WHERE doc_id NOT IN (SELECT b FROM p)
+"""

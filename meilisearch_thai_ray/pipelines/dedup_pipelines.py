@@ -290,12 +290,12 @@ def _auto_blocks(path: str, target_rows: int = 1250) -> int:
     return int(max(4, min(32, -(-n // target_rows))))
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                        n: int = 3, n_blocks: int | None = None):
-    """D3: EXACT word-n-gram Jaccard near-dup pairs over documents —
-    (a, b, jac) for every pair with similarity >= threshold. No sketching,
-    no recall loss: this is the exact oracle the MinHash-LSH pipeline
-    approximates (subset relation asserted in tests)."""
+def jaccard_pairs_ds(ds, threshold: float = 0.5, n: int = 3,
+                     n_blocks: int = 4):
+    """EXACT word-n-gram Jaccard pairs (a, b, jac >= threshold) over any
+    (doc_id, text) Dataset — the blocked all-pairs join from
+    stages/similarity_join.py, reusable as a stage inside larger pipelines
+    (e.g. curate.py runs it over the quality+dedup survivor set)."""
     import tempfile
 
     from ..stages.similarity_join import (
@@ -304,12 +304,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         block_pair_items,
     )
 
-    import os
-
-    if n_blocks is None:
-        n_blocks = _auto_blocks(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="simjoin_jac_", dir="/tmp")
-    _documents(sf_dir).map_batches(
+    ds.map_batches(
         ShinglePrep,
         fn_constructor_kwargs={"n": n, "n_blocks": n_blocks},
         batch_format="pyarrow", batch_size=4096, concurrency=2,
@@ -327,6 +323,20 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "jac": pa.array([], pa.float64()),
     }, tmp)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        n: int = 3, n_blocks: int | None = None):
+    """D3: EXACT word-n-gram Jaccard near-dup pairs over documents —
+    (a, b, jac) for every pair with similarity >= threshold. No sketching,
+    no recall loss: this is the exact oracle the MinHash-LSH pipeline
+    approximates (subset relation asserted in tests)."""
+    import os
+
+    if n_blocks is None:
+        n_blocks = _auto_blocks(os.path.join(sf_dir, "documents.parquet"))
+    return jaccard_pairs_ds(_documents(sf_dir), threshold=threshold, n=n,
+                            n_blocks=n_blocks)
 
 
 from ..stages.similarity_join import WS_REGEX as _WS

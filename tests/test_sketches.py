@@ -208,3 +208,65 @@ def test_repetition_stats_null_not_nan_on_empty_text(ray_session, tmp_path):
                                   check_dtype=False)
     assert ours["dup_word_frac"].isna()[:2].all()
     assert not np.isnan(ours["dup_word_frac"][2])
+
+
+def test_curate_pipeline_stages_all_active(ray_session, tmp_path):
+    """Planted corpus where each curation stage must fire: a too-short doc
+    (quality), an exact duplicate (dedup keeps the lower id), and a pair of
+    near-identical long docs (near-dup drops the higher id). Verified
+    against the SQL oracle AND by explicit membership."""
+    import duckdb
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.curate import SQL, curated_docs
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    texts = {
+        1: base,                                   # survives
+        2: "short doc",                            # quality-dropped (<20 w)
+        3: base,                                   # exact dup of 1 -> drop
+        4: base + " tail999",                      # near-dup of 1 -> drop
+        5: " ".join(f"other{i:03d}" for i in range(40)),  # survives
+        6: ("rep " * 40).strip(),                  # dup_word_frac too high
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+            "lang": pa.array(["en", "en", "en", "th", "th", "en"],
+                             pa.string()),
+            "source": pa.array(["t"] * 6, pa.string()),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    ours = curated_docs(str(tmp_path), n_blocks=2).to_pandas()
+    assert sorted(ours["doc_id"]) == [1, 5]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(SQL["d7_curate"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        ours.sort_values("doc_id").reset_index(drop=True)[sorted(ours.columns)],
+        theirs.sort_values("doc_id").reset_index(drop=True)[sorted(theirs.columns)],
+        check_dtype=False)
+
+
+def test_curate_to_parquet_partitioned_and_complete(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    from meilisearch_thai_ray.pipelines.curate import (
+        curate_to_parquet,
+        curated_docs,
+    )
+
+    out = str(tmp_path / "curated")
+    res = curate_to_parquet("/root/testdata/sf0.001", out)
+    want = curated_docs("/root/testdata/sf0.001").to_pandas()
+    assert res["rows"] == len(want)
+    got = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    import os
+
+    assert any(p.startswith("lang=") for p in os.listdir(out))
