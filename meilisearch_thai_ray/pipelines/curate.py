@@ -74,7 +74,7 @@ def _min_id_row(group: pa.Table) -> pa.Table:
     return group.take(pa.array([int(np.argmin(ids))])).drop_columns(["h"])
 
 
-def curated_docs(sf_dir: str, n_blocks: int = 4):
+def curated_docs(sf_dir: str, n_blocks: int | None = None):
     """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
     gate, exact dedup, and exact near-dup drop. See module docstring for
     the staging and the 100-TB swap points."""
@@ -92,15 +92,22 @@ def curated_docs(sf_dir: str, n_blocks: int = 4):
         .map_groups(_min_id_row, batch_format="pyarrow")
         .materialize()  # reused twice: pair join input + final filter
     )
+    if n_blocks is None:
+        # same block sizing as _auto_blocks: ~750 rows/block balances task
+        # granularity against per-actor block loads (A/B'd in BASELINE.md)
+        n_blocks = int(max(4, min(32, -(-survivors.count() // 750))))
     pairs = jaccard_pairs_ds(
         survivors.select_columns(["doc_id", "text"]),
         threshold=JACCARD_THR, n=3, n_blocks=n_blocks,
     )
-    drop = frozenset(pairs["b"].to_pylist())  # pairs are tiny by definition
+    # pairs are tiny by definition; a sorted array broadcast in the task
+    # closure beats per-batch set conversion
+    drop = np.unique(pairs["b"].to_numpy(zero_copy_only=False)) \
+        if pairs.num_rows else np.empty(0, dtype=np.int64)
 
     def _final(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, list(drop)) if drop else \
+        keep = ~np.isin(ids, drop) if drop.size else \
             np.ones(ids.size, dtype=bool)
         return batch.filter(pa.array(keep)).select(
             ["doc_id", "lang", "n_chars"])
@@ -109,7 +116,8 @@ def curated_docs(sf_dir: str, n_blocks: int = 4):
                                  batch_size=8192)
 
 
-def curate_to_parquet(sf_dir: str, out_dir: str, n_blocks: int = 4) -> dict:
+def curate_to_parquet(sf_dir: str, out_dir: str,
+                      n_blocks: int | None = None) -> dict:
     """Write the curated set as lang-partitioned parquet (one directory
     per lang — the resumable layout: a re-run can skip finished
     partitions). Returns {"rows": n, "out_dir": out_dir}."""

@@ -281,7 +281,7 @@ def _collect_pairs(pairs_ds, empty_cols: dict, spill_dir: str) -> pa.Table:
     return t.take(pa.array(order))
 
 
-def _auto_blocks(path: str, target_rows: int = 1250) -> int:
+def _auto_blocks(path: str, target_rows: int = 750) -> int:
     """Block count from parquet metadata (no data read): a bounded block
     size bounds each task's memory and the pair-matrix allocation."""
     import pyarrow.parquet as pq
@@ -317,7 +317,7 @@ def jaccard_pairs_ds(ds, threshold: float = 0.5, n: int = 3,
         batch_format="pyarrow", batch_size=1,
         # autoscaling pool: grows to the task count without reserving CPUs
         # a small test session doesn't have
-        concurrency=(1, min(8, len(items))),
+        concurrency=(1, min(12, len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -407,7 +407,7 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
         BlockPairCosine,
         fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
         batch_format="pyarrow", batch_size=1,
-        concurrency=(1, min(8, len(items))),
+        concurrency=(1, min(12, len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
