@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j8_latest_event": cs.latest_event_per_user,
         "a11_bigram_pmi": cs.bigram_pmi,
         "d7_curate": cur.curated_docs,
+        "j9_postings_export": st.postings_export,
         # --- rows-only (not SQL-expressible) ---
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,

@@ -223,6 +223,55 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _decode_segments(batch: pa.Table) -> pa.Table:
+    """One batch of encoded shard segments -> (term, doc_id, tf) rows.
+    Distributed codec round-trip: varint-delta doc ids + varint tfs."""
+    from ..index.codec import decode_segment
+
+    terms_out, ids_out, tfs_out = [], [], []
+    n_docs = batch["n_docs"].to_pylist()
+    docs_b = batch["docs_bin"].to_pylist()
+    tfs_b = batch["tfs_bin"].to_pylist()
+    dls_b = batch["dls_bin"].to_pylist()
+    for i, term in enumerate(batch["term"].to_pylist()):
+        doc_ids, tfs, _ = decode_segment(docs_b[i], tfs_b[i], dls_b[i],
+                                         n_docs[i])
+        terms_out.append(np.full(doc_ids.size, term, dtype=object))
+        ids_out.append(doc_ids.astype(np.int64))
+        tfs_out.append(tfs.astype(np.int64))
+    if not terms_out:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    return pa.table({
+        "term": pa.array(np.concatenate(terms_out), pa.string()),
+        "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+        "tf": pa.array(np.concatenate(tfs_out), pa.int64()),
+    })
+
+
+def postings_export(sf_dir: str):
+    """J9: export the BUILT inverted index back to (term, doc_id, tf) rows —
+    a distributed decode over the shard parquet files. SQL parity here
+    verifies the ENTIRE build path cell-by-cell: tokenize -> stats barrier ->
+    salted posting shuffle -> varint/delta codec -> shard layout; any
+    encode/decode or shuffle defect surfaces as a hash mismatch."""
+    idx = simple_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(idx, "shards"),
+        columns=["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"],
+    )
+    return ds.map_batches(_decode_segments, batch_format="pyarrow",
+                          batch_size=2048)
+
+
+SQL["j9_postings_export"] = """
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term, doc_id
+"""
+
+
 # ---------------------------------------------------------------- dedup family
 
 def exact_dedup(sf_dir: str):
