@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_suggest": st.suggest_terms,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
+        "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,
         "q1_lineitem_agg": st.lineitem_agg,
         "mm_feature_extract": st.mm_features,
         "j1_broadcast_join": st.broadcast_join,

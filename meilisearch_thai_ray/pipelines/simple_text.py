@@ -1099,6 +1099,43 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16,
 SQL["ann_ivf_topk"] = SQL["ann_cosine_topk"]  # full probe == exact cosine
 
 
+def ann_ivf_dtrain_topk(sf_dir: str, k: int = 10, nlist: int = 16,
+                        nprobe: int | None = None, iters: int = 4):
+    """ANN-IVF with DISTRIBUTED k-means training (stages/ann.py
+    kmeans_fit_distributed: per-batch partial sums, broadcast centroids per
+    Lloyd iteration — the full-corpus trainer a 100-TB index needs, vs
+    ann_ivf_topk's driver-side sample). Full probe stays exact, so the same
+    brute-force SQL oracle verifies the whole pipeline end-to-end."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann import IvfAssign, IvfProbeTopK, kmeans_fit_distributed
+
+    path = _doc_path(sf_dir, "embeddings")
+    qv = pads.dataset(path).to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0
+    )["embedding"][0].as_py()
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+    cents = kmeans_fit_distributed(ds, k=nlist, iters=iters)
+
+    assign = IvfAssign(cents)
+    probe = IvfProbeTopK(cents, qv, k=k, nprobe=nprobe or nlist)
+
+    def assign_and_probe(batch: pa.Table) -> pa.Table:
+        return probe(assign(batch))
+
+    partials = ds.map_batches(
+        assign_and_probe, batch_format="pyarrow", batch_size=2048
+    )
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return merge_topk(pa.Table.from_pylist(rows), k)
+
+
+SQL["ann_ivf_dtrain_topk"] = SQL["ann_cosine_topk"]  # full probe == exact
+
+
 # ---------------------------------------------------------------- lineitem Q1
 
 def lineitem_agg(sf_dir: str):

@@ -97,6 +97,63 @@ def kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
     return centroids
 
 
+def kmeans_fit_distributed(ds, k: int, iters: int = 10,
+                           vec_col: str = "embedding",
+                           init: np.ndarray | None = None,
+                           seed: int = 13) -> np.ndarray:
+    """Distributed Lloyd's k-means over a full Dataset — the scale-correct
+    IVF trainer. Each iteration is ONE streaming pass: every batch emits a
+    single partial row (per-centroid vector sums + member counts, k x dim
+    floats), the driver merges the tiny partials and broadcasts the updated
+    centroids into the next pass's task closures. The corpus never leaves
+    the workers; driver traffic is O(k * dim * batches) per iteration.
+
+    Same update rule as kmeans_fit (empty clusters keep their centroid), so
+    the two agree to float-summation order on identical input+init
+    (asserted in tests)."""
+    if init is None:
+        # deterministic init from a driver-side head sample (same role as
+        # kmeans_fit's seeded choice: initial centroids are a tiny sample)
+        head = ds.limit(max(k * 8, 256)).take_all()
+        sample = np.asarray([r[vec_col] for r in head], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        k = min(k, len(sample))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    else:
+        centroids = np.asarray(init, dtype=np.float64).copy()
+        k = len(centroids)
+    dim = centroids.shape[1]
+
+    def _partials(batch: pa.Table, cents: np.ndarray) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        d2 = ((mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cents.T)
+              + (cents ** 2).sum(axis=1)[None, :])
+        assign = d2.argmin(axis=1)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        return pa.table({
+            "sums": pa.array([sums.tobytes()], pa.binary()),
+            "counts": pa.array([counts.tobytes()], pa.binary()),
+        })
+
+    import functools
+
+    for _ in range(iters):
+        rows = ds.map_batches(
+            functools.partial(_partials, cents=centroids),
+            batch_format="pyarrow", batch_size=4096,
+        ).take_all()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.float64)
+        for r in rows:
+            sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.frombuffer(r["counts"], dtype=np.float64)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centroids
+
+
 class IvfAssign:
     """IVF list assignment: vec -> nearest centroid id (stateful stage; the
     centroid matrix ships once per actor/worker via constructor args)."""

@@ -270,3 +270,50 @@ def test_curate_to_parquet_partitioned_and_complete(ray_session, tmp_path):
     import os
 
     assert any(p.startswith("lang=") for p in os.listdir(out))
+
+
+def test_distributed_kmeans_matches_local_on_same_init(ray_session):
+    """Same data + same init: distributed Lloyd's (per-batch partial sums)
+    must agree with the in-memory reference to float-summation order, and
+    inertia must be monotonically non-increasing across iterations."""
+    import ray.data
+
+    from meilisearch_thai_ray.stages.ann import (
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
+
+    rng = np.random.default_rng(21)
+    data = np.concatenate([
+        rng.normal(loc=c, scale=0.3, size=(200, 8))
+        for c in (-3.0, 0.0, 3.0, 6.0)
+    ])
+    init = data[rng.choice(len(data), size=4, replace=False)].copy()
+    local = init.copy()
+    for _ in range(5):  # reference Lloyd's, same update rule
+        d2 = ((data[:, None, :] - local[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(4):
+            m = data[a == c]
+            if len(m):
+                local[c] = m.mean(axis=0)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(data)]
+    )
+    dist = kmeans_fit_distributed(ds, k=4, iters=5, init=init)
+    assert np.allclose(dist, local, atol=1e-9)
+
+    def inertia(cents):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    prev = np.inf
+    for it in (1, 2, 4):
+        cur = inertia(kmeans_fit_distributed(ds, k=4, iters=it, init=init))
+        assert cur <= prev + 1e-9
+        prev = cur
+    # sanity: the seeded-sample path (init=None) also runs
+    c0 = kmeans_fit_distributed(ds, k=4, iters=1)
+    assert c0.shape == (4, 8)
+    # both trainers exist for a reason: kmeans_fit is the sample fallback
+    assert kmeans_fit(data[:64], k=4).shape == (4, 8)
