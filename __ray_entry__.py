@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a11_bigram_pmi": cs.bigram_pmi,
         "d7_curate": cur.curated_docs,
         "j9_postings_export": st.postings_export,
+        "m22_tfidf_embed": cs.tfidf_embed,
         # --- rows-only (not SQL-expressible) ---
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,

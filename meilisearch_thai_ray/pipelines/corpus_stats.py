@@ -629,3 +629,86 @@ FROM bc, nu, nb
 JOIN uc u1 ON u1.wd = string_split(bc.bigram, ' ')[1]
 JOIN uc u2 ON u2.wd = string_split(bc.bigram, ' ')[2]
 """
+
+
+# ------------------------------------- hashed TF-IDF document embeddings
+
+TFIDF_DIM = 64  # hashing-trick bucket count
+
+
+def _md5_bucket(terms: np.ndarray, dim: int) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+         for t in terms.tolist()),
+        dtype=np.int64, count=terms.size,
+    )
+
+
+def tfidf_embed(sf_dir: str, dim: int = TFIDF_DIM):
+    """M22: hashing-trick TF-IDF document vectors as SPARSE
+    (doc_id, bucket, val) rows — the classic featurizer bridging the text
+    tables to the vector operators (ANN / cosine near-dup take these as
+    input). bucket = md5(term) mod dim (md5 so the oracle computes the
+    identical bucket); val = sum over the bucket's terms of
+    tf * ln((N+1)/(df+1)), rounded to 6 dp.
+
+    Scale shape: df comes from the a6-style combiner + one groupby; the
+    (term -> df) map is broadcast into the embed stage's closure (documents
+    here have a bounded vocabulary; for an unbounded vocabulary swap the
+    broadcast for a hash-partitioned term join — noted, not needed at this
+    corpus shape). The embed pass itself is per-batch local: explode ->
+    hash -> two-level np.add.at, no shuffle."""
+    import math
+
+    from .simple_text import term_df
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df_map = {r["term"]: int(r["df"]) for r in term_df(sf_dir).take_all()}
+    idf = {t: math.log((n_docs + 1) / (d + 1)) for t, d in df_map.items()}
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        e = (pl.from_arrow(batch)
+             .with_columns(term=pl.col("text").str.split(" "))
+             .select(["doc_id", "term"]).explode("term")
+             .group_by(["doc_id", "term"]).len())
+        terms = e["term"].to_numpy()
+        doc_ids = e["doc_id"].to_numpy()
+        tfs = e["len"].to_numpy()
+        buckets = _md5_bucket(terms, dim)
+        idfs = np.fromiter((idf.get(t, 0.0) for t in terms.tolist()),
+                           dtype=np.float64, count=terms.size)
+        # accumulate per (doc, bucket): doc ids are batch-local -> compact
+        uniq_docs, doc_ix = np.unique(doc_ids, return_inverse=True)
+        flat = np.zeros(uniq_docs.size * dim, dtype=np.float64)
+        np.add.at(flat, doc_ix * dim + buckets, tfs * idfs)
+        nz = np.flatnonzero(flat)
+        return pa.table({
+            "doc_id": pa.array(uniq_docs[nz // dim], pa.int64()),
+            "bucket": pa.array(nz % dim, pa.int64()),
+            "val": pa.array(np.round(flat[nz], 6), pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _embed, batch_format="pyarrow", batch_size=4096)
+
+
+SQL["m22_tfidf_embed"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id,
+       CAST(('0x' || substr(md5(tf.term), 1, 8)) AS BIGINT) % {TFIDF_DIM}
+           AS bucket,
+       round(sum(tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE))), 6)
+           AS val
+FROM tf JOIN df USING (term), n
+GROUP BY tf.doc_id, bucket
+HAVING sum(tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE))) <> 0
+"""

@@ -46,7 +46,7 @@ SQL_CHECKED = [
     "a9_distinct_users", "k6_heavy_hitters", "a10_quantiles_exact",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
     "j8_latest_event", "a11_bigram_pmi", "d7_curate", "j9_postings_export",
-    "ann_ivf_dtrain_topk",
+    "ann_ivf_dtrain_topk", "m22_tfidf_embed",
 ]
 
 
