@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_embed_neardup": functools.partial(dp.embedding_neardup_pairs,
                                               plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
+        "mm2_embed_topk": st.mm_embed_topk,
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,
         "thai_proxy_search": flagship.flagship_proxy_search,

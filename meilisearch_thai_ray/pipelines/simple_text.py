@@ -1250,3 +1250,37 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width
 FROM documents
 """
+
+
+def mm_embed_topk(sf_dir: str, k: int = 10):
+    """MM2 (rows-only — the decode is the deterministic fake): payload ->
+    ImageFeatures actor pool (real mean-pool resize + 16-d gray embedding)
+    -> brute-force cosine partial top-k against doc 1's embedding -> tiny
+    driver merge. Demonstrates the image-embedding -> similarity-search
+    chain end-to-end through the binary-column plumbing."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann import BruteForceCosineTopK, merge_topk
+    from ..stages.multimodal import ImageFeatures, attach_payload
+
+    one = pads.dataset(_doc_path(sf_dir)).to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") == 1
+    )
+    qv = ImageFeatures()(attach_payload(one))["embedding"][0].as_py()
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+    imgs = ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+    partials = imgs.map_batches(
+        BruteForceCosineTopK,
+        fn_constructor_kwargs={"query_vec": qv, "k": k, "id_col": "doc_id"},
+        batch_format="pyarrow", batch_size=1024, concurrency=2,
+    )
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    out = merge_topk(pa.Table.from_pylist(rows), k)
+    return out.rename_columns(["doc_id", "sim"])

@@ -42,6 +42,98 @@ def payload_features(batch: pa.Table) -> pa.Table:
     )
 
 
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in decode: tile the payload bytes into a REAL
+    (h, w, 3) uint8 pixel array. Everything downstream of this line is the
+    genuine numeric pipeline a real decoder would feed."""
+    if not payload:
+        return np.zeros((h, w, 3), dtype=np.uint8)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-h * w * 3 // buf.size)
+    return np.tile(buf, reps)[: h * w * 3].reshape(h, w, 3)
+
+
+def mean_pool_resize(img: np.ndarray, t: int) -> np.ndarray:
+    """Real resize kernel: mean-pooling to (t, t, 3) via pad-to-multiple +
+    two reshaped means (all strided numpy, no Python pixel loops)."""
+    h, w, c = img.shape
+    ph, pw = -(-h // t) * t, -(-w // t) * t
+    pad = np.zeros((ph, pw, c), dtype=np.float64)
+    pad[:h, :w] = img
+    # average the zero padding out: scale each edge cell by the true
+    # fraction of real pixels it covers
+    pooled = pad.reshape(t, ph // t, t, pw // t, c).mean(axis=(1, 3))
+    frac_h = np.minimum((np.arange(t) + 1) * (ph // t), h) - \
+        np.minimum(np.arange(t) * (ph // t), h)
+    frac_w = np.minimum((np.arange(t) + 1) * (pw // t), w) - \
+        np.minimum(np.arange(t) * (pw // t), w)
+    denom = (frac_h[:, None] * frac_w[None, :]).astype(np.float64)
+    denom[denom == 0] = 1.0
+    return pooled * ((ph // t) * (pw // t)) / denom[:, :, None]
+
+
+class ImageFeatures:
+    """Actor-pool feature extraction: REAL numeric kernels over the
+    deterministic fake decode (swap `_fake_pixels` for a codec in
+    production — the `real_codec` flag marks the boundary). Emits per-image
+    channel means and a t*t gray mean-pool embedding (list<float64>) that
+    feeds the ANN stages directly (chain asserted in tests)."""
+
+    def __init__(self, embed_t: int = 4, real_codec: bool = False):
+        if real_codec:
+            raise NotImplementedError(
+                "image codecs are not available in this container")
+        self.t = embed_t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, means, embeds = [], [], []
+        payloads = batch["payload"].to_pylist()
+        for i, p in enumerate(payloads):
+            h = (len(p) % 480) + 1
+            w = (p[0] if p else 0) + 1
+            img = _fake_pixels(p, h, w)
+            small = mean_pool_resize(img, self.t)
+            gray = small.mean(axis=2) / 255.0
+            ids.append(batch["doc_id"][i].as_py())
+            means.append(img.reshape(-1, 3).mean(axis=0))
+            embeds.append(gray.ravel())
+        means = np.asarray(means, dtype=np.float64).reshape(len(ids), 3)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "mean_r": pa.array(np.round(means[:, 0], 6)),
+            "mean_g": pa.array(np.round(means[:, 1], 6)),
+            "mean_b": pa.array(np.round(means[:, 2], 6)),
+            "embedding": pa.array([e.tolist() for e in embeds],
+                                  pa.list_(pa.float64())),
+        })
+
+
+class FrameSampler:
+    """Video frame sampling (flat-map shape: one OUTPUT row per sampled
+    frame). The stub treats the payload as fixed-size frame records; a real
+    pipeline swaps the byte slicing for a demuxer. Sampling every `stride`
+    frames bounds downstream decode cost — the standard pattern for video
+    at scale."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offs = [], [], []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.stride):
+                ids.append(batch["doc_id"][i].as_py())
+                frames.append(f)
+                offs.append(f * self.frame_bytes)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame": pa.array(frames, pa.int64()),
+            "byte_offset": pa.array(offs, pa.int64()),
+        })
+
+
 class ImageDecodeStub:
     """Actor-pool decode stage: REAL plumbing, STUB kernel.
 

@@ -292,6 +292,73 @@ def test_multimodal_stub():
         ImageDecodeStub(real_codec=True)
 
 
+def test_mean_pool_resize_matches_bruteforce():
+    """The strided mean-pool must equal a per-cell Python mean over the REAL
+    (unpadded) pixels — the edge-fraction correction is the part under test."""
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.multimodal import mean_pool_resize
+
+    img = (np.arange(7 * 9 * 3) % 251).reshape(7, 9, 3).astype(np.uint8)
+    t = 4
+    out = mean_pool_resize(img, t)
+    assert out.shape == (t, t, 3)
+    bh, bw = 2, 3  # ceil(7/4)*4=8 -> 8//4=2 ; ceil(9/4)*4=12 -> 12//4=3
+    for i in range(t):
+        for j in range(t):
+            cell = img[i * bh:min((i + 1) * bh, 7), j * bw:min((j + 1) * bw, 9)]
+            exp = cell.reshape(-1, 3).mean(axis=0) if cell.size else np.zeros(3)
+            np.testing.assert_allclose(out[i, j], exp, atol=1e-9)
+
+
+def test_image_features_deterministic_chain():
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.multimodal import ImageFeatures, attach_payload
+
+    t = pa.table({"doc_id": [1, 2], "text": ["hello multimodal", "ภาษาไทยจ้า"]})
+    fe = ImageFeatures(embed_t=4)
+    out1, out2 = fe(attach_payload(t)), fe(attach_payload(t))
+    assert out1.equals(out2)  # deterministic
+    assert out1.column_names == ["doc_id", "mean_r", "mean_g", "mean_b", "embedding"]
+    emb = out1["embedding"].to_pylist()
+    assert all(len(e) == 16 for e in emb)
+    assert all(0.0 <= v <= 1.0 for e in emb for v in e)
+    means = np.array([out1["mean_r"].to_pylist(), out1["mean_g"].to_pylist()])
+    assert ((means >= 0) & (means <= 255)).all()
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(real_codec=True)
+
+
+def test_frame_sampler_layout():
+    from meilisearch_thai_ray.stages.multimodal import FrameSampler
+
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([b"x" * 1000, b""], pa.binary()),
+    })
+    out = FrameSampler(frame_bytes=100, stride=2)(batch)
+    by_doc = {7: [], 8: []}
+    for d, f, o in zip(out["doc_id"].to_pylist(), out["frame"].to_pylist(),
+                       out["byte_offset"].to_pylist()):
+        by_doc[d].append((f, o))
+    assert by_doc[7] == [(0, 0), (2, 200), (4, 400), (6, 600), (8, 800)]
+    assert by_doc[8] == [(0, 0)]  # empty payload still yields one frame row
+
+
+def test_mm_embed_topk(ray_session):
+    """MM2 end-to-end: binary payload -> ImageFeatures actor pool -> partial
+    cosine top-k -> driver merge. Doc 1 (the query doc) must score 1.0."""
+    from meilisearch_thai_ray.pipelines.simple_text import mm_embed_topk
+
+    out = mm_embed_topk("/root/testdata/sf0.001", k=5)
+    assert out.column_names == ["doc_id", "sim"]
+    assert out.num_rows == 5
+    sims = dict(zip(out["doc_id"].to_pylist(), out["sim"].to_pylist()))
+    assert sims[1] == 1.0
+    assert out["sim"].to_pylist() == sorted(out["sim"].to_pylist(), reverse=True)
+
+
 def test_lang_id_thai_vs_english():
     from meilisearch_thai_ray.stages.text_stats import LangId
 
