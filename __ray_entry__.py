@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_feature_extract": st.mm_features,
         "j1_broadcast_join": st.broadcast_join,
         "d3_ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
+        "d8_connected_dups": dp.connected_dups,
         "d3_cosine_pairs_exact": dp.embed_cosine_pairs,
         "j6_asof_join": st.asof_join,
         "j7_range_join": st.range_join,
@@ -75,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j8_latest_event": cs.latest_event_per_user,
         "a11_bigram_pmi": cs.bigram_pmi,
         "d7_curate": cur.curated_docs,
+        "d7b_curate_cc": functools.partial(cur.curated_docs,
+                                           mode="cluster_canonical"),
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
         # --- rows-only (not SQL-expressible) ---

@@ -74,10 +74,15 @@ def _min_id_row(group: pa.Table) -> pa.Table:
     return group.take(pa.array([int(np.argmin(ids))])).drop_columns(["h"])
 
 
-def curated_docs(sf_dir: str, n_blocks: int | None = None):
+def curated_docs(sf_dir: str, n_blocks: int | None = None,
+                 mode: str = "pairwise_b"):
     """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
     gate, exact dedup, and exact near-dup drop. See module docstring for
-    the staging and the 100-TB swap points."""
+    the staging and the 100-TB swap points.
+
+    mode="pairwise_b" drops the larger doc of every qualifying pair;
+    mode="cluster_canonical" runs distributed connected components over the
+    pair graph and keeps exactly the minimum doc_id per cluster (d7b)."""
     import os
 
     ds = read_parquet_clean(
@@ -102,8 +107,32 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None):
     )
     # pairs are tiny by definition; a sorted array broadcast in the task
     # closure beats per-batch set conversion
-    drop = np.unique(pairs["b"].to_numpy(zero_copy_only=False)) \
-        if pairs.num_rows else np.empty(0, dtype=np.int64)
+    if pairs.num_rows == 0:
+        drop = np.empty(0, dtype=np.int64)
+    elif mode == "cluster_canonical":
+        # distributed connected components over the pair graph: keep the
+        # MINIMUM doc_id per near-dup cluster, drop every other member.
+        # Stricter than pairwise-b (a member whose only edges point at
+        # larger ids survives pairwise-b but not this) and exactly one
+        # survivor per cluster — the canonical form of published
+        # web-curation dedup stages.
+        import ray
+
+        import ray.data
+
+        from ..stages.graph import connected_components
+
+        edges = ray.data.from_arrow(
+            pairs.select(["a", "b"]).rename_columns(["u", "v"]))
+        cc = pa.concat_tables(
+            ray.get(connected_components(edges).to_arrow_refs()))
+        ids = cc["doc_id"].to_numpy(zero_copy_only=False)
+        comp = cc["component"].to_numpy(zero_copy_only=False)
+        drop = np.unique(ids[ids != comp])
+    elif mode == "pairwise_b":
+        drop = np.unique(pairs["b"].to_numpy(zero_copy_only=False))
+    else:
+        raise ValueError(f"unknown near-dup drop mode: {mode!r}")
 
     def _final(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -159,4 +188,52 @@ p AS (
 )
 SELECT doc_id, lang, n_chars FROM d
 WHERE doc_id NOT IN (SELECT b FROM p)
+"""
+
+
+# d7b: identical staging, but the near-dup drop keeps exactly one doc (the
+# minimum id) per connected component of the pair graph — the oracle walks
+# the graph with a recursive CTE, the pipeline with stages/graph.py's
+# distributed small-star/large-star.
+SQL["d7b_curate_cc"] = f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, n_chars, text, ws FROM q
+  WHERE len(ws) >= {MIN_WORDS}
+    AND 1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+        <= {MAX_DUP_FRAC}
+),
+d AS (
+  SELECT f.* FROM f
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS mid FROM f GROUP BY md5(text))
+       m ON md5(f.text) = m.h AND f.doc_id = m.mid
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM d
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THR}
+),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+walk(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.u, w2.comp FROM e JOIN walk w2 ON e.v = w2.u
+),
+cc AS (SELECT u AS doc_id, min(comp) AS component FROM walk GROUP BY u)
+SELECT d.doc_id, d.lang, d.n_chars FROM d
+LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.component = cc.doc_id
 """

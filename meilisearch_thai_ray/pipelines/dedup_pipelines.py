@@ -341,8 +341,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
 from ..stages.similarity_join import WS_REGEX as _WS
 
-SQL["d3_ngram_jaccard_pairs"] = rf"""
-WITH w AS (
+# Shared shingle + pair subquery (word-3-gram Jaccard >= 0.5) — used verbatim
+# by both the pair query and the connected-components oracle below.
+_SHINGLE_CTE = rf"""w AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '{_WS}'), x -> x <> '') AS ws
   FROM documents
@@ -351,7 +352,9 @@ WITH w AS (
          list_distinct(list_transform(range(1, len(ws) - 1),
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
   FROM w
-)
+)"""
+
+_PAIR_BODY = """
 SELECT a.doc_id AS a, b.doc_id AS b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
@@ -359,6 +362,42 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+SQL["d3_ngram_jaccard_pairs"] = f"WITH {_SHINGLE_CTE}{_PAIR_BODY}"
+
+
+def connected_dups(sf_dir: str, threshold: float = 0.5, n: int = 3):
+    """D8: near-dup CLUSTERS — exact word-n-gram Jaccard pairs become edges,
+    distributed small-star/large-star connected components labels every
+    involved doc with its cluster's minimum doc_id. This is the cluster-
+    canonical form real curation pipelines apply (keep one doc per component,
+    not per pair — pairwise drops over-delete on chains A~B~C where A!~C)."""
+    from ..stages.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold, n=n)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    edges = ray.data.from_arrow(
+        pairs.select(["a", "b"]).rename_columns(["u", "v"]))
+    out = connected_components(edges).to_arrow_refs()
+    t = pa.concat_tables(ray.get(out))  # <= one row per involved doc: tiny here
+    order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
+    return t.take(pa.array(order))
+
+
+SQL["d8_connected_dups"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pairs AS ({_PAIR_BODY}),
+e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+walk(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.u, w2.comp FROM e JOIN walk w2 ON e.v = w2.u
+)
+SELECT u AS doc_id, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY u
 """
 
 

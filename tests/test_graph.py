@@ -1,0 +1,104 @@
+"""Distributed connected components (stages/graph.py) and the
+cluster-canonical curate mode that builds on it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from meilisearch_thai_ray.stages.graph import connected_components, union_find
+
+
+def _cc_dict(edges_table: pa.Table) -> dict[int, int]:
+    out = connected_components(ray.data.from_arrow(edges_table))
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return dict(zip(t["doc_id"].to_pylist(), t["component"].to_pylist()))
+
+
+def test_cc_matches_union_find_random_graph(ray_session):
+    rng = np.random.RandomState(7)
+    pairs = []
+    for base in (0, 500, 1000):  # three 101-node chains
+        pairs += [(base + i, base + i + 1) for i in range(100)]
+    for i in range(1500, 1520):  # one 20-node clique
+        for j in range(i + 1, 1520):
+            pairs.append((i, j))
+    extra = rng.randint(0, 2000, size=(300, 2))
+    pairs += [(int(a), int(b)) for a, b in extra if a != b]
+
+    t = pa.table({"u": pa.array([a for a, _ in pairs], pa.int64()),
+                  "v": pa.array([b for _, b in pairs], pa.int64())})
+    got, exp = _cc_dict(t), union_find(pairs)
+    assert got == exp
+
+
+def test_cc_empty_and_single_edge(ray_session):
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    assert _cc_dict(empty) == {}
+    one = pa.table({"u": pa.array([9], pa.int64()),
+                    "v": pa.array([3], pa.int64())})
+    assert _cc_dict(one) == {3: 3, 9: 3}
+
+
+def test_cc_duplicate_and_reversed_edges(ray_session):
+    # the operator must tolerate multi-edges and both orientations
+    pairs = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (10, 11)]
+    t = pa.table({"u": pa.array([a for a, _ in pairs], pa.int64()),
+                  "v": pa.array([b for _, b in pairs], pa.int64())})
+    assert _cc_dict(t) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_dups_sf0001(ray_session):
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        connected_dups,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = ngram_jaccard_pairs(sf)
+    got = connected_dups(sf)
+    exp = union_find(list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())))
+    assert dict(zip(got["doc_id"].to_pylist(),
+                    got["component"].to_pylist())) == exp
+
+
+def test_curate_modes_chain_semantics(ray_session, tmp_path):
+    """Chain-shaped near-dup graph where the two drop rules differ: docs
+    A < B < C with A~B, B~C (and a node whose only edges point UP survives
+    pairwise-b but not cluster-canonical)."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.curate import curated_docs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon ")
+    # A and B share a 0.6+ jaccard; B and C share one; A vs C below threshold
+    a = base + "one two three four five six seven eight nine ten"
+    b = base + "one two three four five eleven twelve thirteen fourteen fifteen"
+    c = base + "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    uniq = ("completely different text about something else entirely with "
+            "enough words to pass the minimum word count quality gate here "
+            "now ok fine truly distinct tokens everywhere avocado zebra")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en"] * 4),
+        "n_chars": pa.array([len(x) for x in (a, b, c, uniq)], pa.int64()),
+        "text": pa.array([a, b, c, uniq]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    pw = sorted(curated_docs(str(tmp_path)).to_pandas()["doc_id"])
+    cc = sorted(curated_docs(str(tmp_path),
+                             mode="cluster_canonical").to_pandas()["doc_id"])
+    # chain {1,2,3} is one component: canonical keeps only doc 1
+    assert cc == [1, 4]
+    # pairwise-b drops 2 (pair 1-2) and 3 (pair 2-3) here too; canonical
+    # output must always be a subset of pairwise output
+    assert set(cc) <= set(pw)
+    with pytest.raises(ValueError):
+        curated_docs(str(tmp_path), mode="nope")
