@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import curate as cur
     from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
     from meilisearch_thai_ray.pipelines import flagship
+    from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
 
     return {
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            mode="cluster_canonical"),
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
+        "p1_pack_sequences": pk.pack_sequences,
         # --- rows-only (not SQL-expressible) ---
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,
@@ -103,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.corpus_stats import SQL as STATS_SQL
     from meilisearch_thai_ray.pipelines.curate import SQL as CURATE_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
+    from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
 
-    return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL}
+    return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL}

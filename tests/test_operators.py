@@ -663,3 +663,31 @@ def test_jaccard_verify_eviction_keeps_current_batch(tmp_path):
     out2 = v(pa.table({"a": pa.array([1], pa.int64()),
                        "b": pa.array([3], pa.int64())}))
     assert out2.num_rows == 1
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Every interior window is exactly full; spans tile the stream with no
+    gaps; per-doc token mass equals the independent per-doc count."""
+    import re
+
+    from meilisearch_thai_ray.pipelines.packing import (
+        SEP_TOKENS, pack_sequences)
+    from meilisearch_thai_ray.pipelines.simple_text import BPE_ISH_PATTERN
+
+    seq_len = 64
+    out = pack_sequences(SF, seq_len=seq_len, bucket_size=16).to_pandas()
+    assert (out["tok_in_chunk"] > 0).all()
+    assert (out["start_in_chunk"] >= 0).all()
+    assert (out["start_in_chunk"] + out["tok_in_chunk"] <= seq_len).all()
+
+    per_chunk = out.groupby("chunk_id")["tok_in_chunk"].sum()
+    last = per_chunk.index.max()
+    assert (per_chunk.drop(last) == seq_len).all()
+    assert 0 < per_chunk[last] <= seq_len
+
+    rx = re.compile(BPE_ISH_PATTERN)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {int(r.doc_id): len(rx.findall(r.text)) + SEP_TOKENS
+              for r in docs.itertuples()}
+    got = out.groupby("doc_id")["tok_in_chunk"].sum().to_dict()
+    assert {int(k): int(v) for k, v in got.items()} == expect
