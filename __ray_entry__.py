@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import flagship
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
+    from meilisearch_thai_ray.pipelines import training_data as td
 
     return {
         # --- SQL-verified (oracle_sql present) ---
@@ -82,7 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
         "p1_pack_sequences": pk.pack_sequences,
+        "d9_decontaminate": td.decontaminate,
+        "m23_lm_score": td.lm_score,
+        "k8_global_shuffle": td.global_shuffle,
         # --- rows-only (not SQL-expressible) ---
+        "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
@@ -107,5 +112,7 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
+    from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
 
-    return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL}
+    return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
+            **TRAIN_SQL}

@@ -1,0 +1,401 @@
+"""Training-data-preparation operators (the webtext-curation family).
+
+These are the ops a pretraining data pipeline runs AFTER cleaning/dedup
+(pipelines/curate.py) and BEFORE the trainer reads the corpus:
+
+  d9_decontaminate   benchmark decontamination — flag every document that
+                     contains any snippet from a (broadcast) eval set
+  m23_lm_score       unigram-LM log-probability quality score per doc
+                     (bounded vocab + aggregate-OOV mass, the fixed-vocab
+                     LM-filter shape used by CCNet-style pipelines)
+  k8_global_shuffle  deterministic global shuffle: every doc gets a
+                     (shard, pos) in a reproducible random order — the
+                     training-data ordering op
+  m24_bpe_merges     BPE tokenizer training: distributed word-frequency
+                     pass, merge loop over the bounded word table
+
+Scale shapes (the part that must survive 100 TB):
+  - decontamination broadcasts the SMALL side (the eval set — KBs-to-MBs
+    in practice) via ray.put and runs ONE Aho-Corasick prefilter pass
+    (`polars str.contains_any`) per batch; per-snippet counting happens
+    only on the (rare) contaminated rows.
+  - the LM vocabulary is bounded by an integer count threshold; everything
+    below it is ONE aggregate OOV probability, so the broadcast table is
+    capped regardless of corpus size and no token-level join/shuffle ever
+    happens (score pass is per-batch local).
+  - global shuffle's only exchange is ONE groupby(shard); shard count is
+    chosen by the caller so a shard fits a worker, and md5 keys make the
+    ordering reproducible and resume-idempotent (no RNG state).
+  - BPE trains on the word-frequency SUMMARY (combiner + one groupby —
+    the corpus never converges), which is vocabulary-sized, not
+    corpus-sized; the merge loop runs on that bounded table (the same
+    design as HF tokenizers / SentencePiece, which train single-node from
+    word counts at any corpus scale).
+
+Reference analog: the reference has no training-data exporter — these extend
+the engine the way SURVEY.md §2 extensions (ANN, dedup) do. Tokenization
+here is the shared whitespace-word convention (similarity_join.WS_REGEX),
+NOT the Thai segmenter: the oracle must reproduce it in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.documents import read_parquet_clean
+from ..stages.similarity_join import WS_REGEX
+from .corpus_stats import _WORD_RE
+
+SQL: dict[str, str] = {}
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
+
+
+# ------------------------------------------------ benchmark decontamination
+
+DECON_MOD = 50       # every 50th doc donates one eval snippet
+DECON_OFF = 40       # snippet = text[DECON_OFF : DECON_OFF + DECON_LEN]
+DECON_LEN = 64
+DECON_MIN_CHARS = 160
+
+
+def eval_snippets(sf_dir: str) -> list[str]:
+    """The deterministic stand-in for an external eval set: one 64-char
+    snippet from every 50th sufficiently-long document, deduplicated and
+    sorted. (In production this list comes from the benchmark suite and is
+    small; it is the broadcast side by construction.)"""
+    def _pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(
+            (ids % DECON_MOD == 0) & (nch >= DECON_MIN_CHARS)))
+
+    rows = (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(_pick, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    return sorted({r["text"][DECON_OFF:DECON_OFF + DECON_LEN] for r in rows})
+
+
+class _DeconScan:
+    """Per-batch contamination scan. One automaton pass (contains_any)
+    prefilters; per-snippet literal counting runs only on matched rows."""
+
+    def __init__(self, snips_ref):
+        import polars as pl
+
+        self._pl = pl
+        snips = ray.get(snips_ref) if isinstance(
+            snips_ref, ray.ObjectRef) else snips_ref
+        self.snips = snips
+        self._count_exprs = [
+            pl.col("text").str.contains(s, literal=True).cast(pl.Int64)
+            for s in snips
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = self._pl
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_snips": pa.array([], pa.int64())})
+        if not self.snips:
+            return empty
+        df = pl.from_arrow(batch)
+        hit = df.filter(pl.col("text").str.contains_any(self.snips))
+        if hit.height == 0:
+            return empty
+        out = hit.select(
+            pl.col("doc_id"),
+            pl.sum_horizontal(self._count_exprs).alias("n_snips"),
+        )
+        return out.to_arrow().cast(pa.schema([("doc_id", pa.int64()),
+                                              ("n_snips", pa.int64())]))
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """D9 -> (doc_id, n_snips): every document containing >= 1 eval-set
+    snippet, with the number of distinct snippets it contains. Donor docs
+    flag themselves (they contain their own substring) — the caller drops
+    or keeps them; the operator reports all contamination."""
+    snips_ref = ray.put(eval_snippets(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DeconScan, fn_constructor_args=(snips_ref,),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+    )
+
+
+SQL["d9_decontaminate"] = f"""
+WITH ev AS (
+  SELECT DISTINCT substr(text, {DECON_OFF + 1}, {DECON_LEN}) AS snip
+  FROM documents
+  WHERE doc_id % {DECON_MOD} = 0 AND n_chars >= {DECON_MIN_CHARS}
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_snips
+FROM documents d JOIN ev ON contains(d.text, ev.snip)
+GROUP BY d.doc_id
+"""
+
+
+# ------------------------------------------------- unigram LM quality score
+
+LM_MIN_COUNT = 5  # integer vocab threshold (float-robust selection)
+
+
+def _word_count_partial(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    s = (pl.from_arrow(batch)["text"].str.extract_all(_WORD_RE)
+         .explode().drop_nulls())
+    if s.len() == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    u, c = np.unique(s.to_numpy(), return_counts=True)
+    return pa.table({"word": pa.array(u, pa.string()),
+                     "cnt": pa.array(c, pa.int64())})
+
+
+def _lm_vocab(sf_dir: str, min_count: int):
+    """Distributed unigram counts (combiner + one groupby), then the
+    bounded model: words with cnt >= min_count keep their own probability;
+    the rest collapse into one aggregate OOV mass."""
+    rows = (
+        _docs(sf_dir, ["text"])
+        .map_batches(_word_count_partial, batch_format="pyarrow",
+                     batch_size=4096)
+        .groupby("word").sum("cnt").take_all()
+    )
+    n_total = sum(int(r["sum(cnt)"]) for r in rows)
+    kept = [(r["word"], int(r["sum(cnt)"])) for r in rows
+            if int(r["sum(cnt)"]) >= min_count]
+    kept.sort()
+    vocab = np.array([w for w, _ in kept], dtype=object)
+    counts = np.array([c for _, c in kept], dtype=np.int64)
+    oov_total = n_total - int(counts.sum())
+    return vocab, counts, oov_total, n_total
+
+
+class _LmScore:
+    """Per-batch local scorer: explode -> sorted-vocab searchsorted lookup
+    -> per-doc mean log-probability. No shuffle; model via ray.put."""
+
+    def __init__(self, model_ref):
+        self.vocab, self.counts, self.oov_total, self.n_total = (
+            ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef)
+            else model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        e = (pl.from_arrow(batch)
+             .with_columns(wd=pl.col("text").str.extract_all(_WORD_RE))
+             .select(["doc_id", "wd"]).explode("wd")
+             .filter(pl.col("wd").is_not_null()))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "avg_logprob": pa.array([], pa.float64())})
+        if e.height == 0:
+            return empty
+        words = e["wd"].to_numpy()
+        doc_ids = e["doc_id"].to_numpy()
+        if self.vocab.size:
+            idx = np.searchsorted(self.vocab, words)
+            idx_c = np.minimum(idx, self.vocab.size - 1)
+            match = self.vocab[idx_c] == words
+            cnt = np.where(match, self.counts[idx_c], self.oov_total)
+        else:
+            cnt = np.full(words.size, self.oov_total, dtype=np.int64)
+        logp = np.log(cnt / float(self.n_total))
+        uniq, inv = np.unique(doc_ids, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, logp)
+        n_tok = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "avg_logprob": pa.array(np.round(sums / n_tok, 6), pa.float64()),
+        })
+
+
+def lm_score(sf_dir: str, min_count: int = LM_MIN_COUNT) -> ray.data.Dataset:
+    """M23 -> (doc_id, n_tokens, avg_logprob): mean unigram log-probability
+    per document under the corpus's own bounded-vocab LM — low scores mark
+    gibberish / rare-token soup, the CCNet-style quality filter signal.
+    Docs with zero words emit no row (matches the SQL join)."""
+    model_ref = ray.put(_lm_vocab(sf_dir, min_count))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _LmScore, fn_constructor_args=(model_ref,),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+    )
+
+
+SQL["m23_lm_score"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '{WS_REGEX}'),
+                            x -> x <> '')) AS wd
+  FROM documents
+),
+uc AS (SELECT wd, count(*) AS c FROM w GROUP BY wd),
+n AS (SELECT count(*) AS n FROM w),
+kept AS (SELECT wd, c FROM uc WHERE c >= {LM_MIN_COUNT}),
+oov AS (SELECT n.n - COALESCE((SELECT sum(c) FROM kept), 0) AS o FROM n)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(COALESCE(kept.c, oov.o) / CAST(n.n AS DOUBLE))), 6)
+           AS avg_logprob
+FROM w LEFT JOIN kept ON w.wd = kept.wd, n, oov
+GROUP BY w.doc_id
+"""
+
+
+# ------------------------------------------------ deterministic global shuffle
+
+SHUFFLE_SHARDS = 16
+
+
+def _shuffle_key_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    keys = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+    shard = np.fromiter((int(k[:8], 16) % SHUFFLE_SHARDS for k in keys),
+                        dtype=np.int64, count=ids.size)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "shard": pa.array(shard),
+                     "key": pa.array(keys, pa.string())})
+
+
+def _rank_group(group: pa.Table) -> pa.Table:
+    keys = np.asarray(group["key"].to_pylist(), dtype=object)
+    order = np.argsort(keys)  # md5 hexes are unique per doc_id: no ties
+    pos = np.empty(keys.size, dtype=np.int64)
+    pos[order] = np.arange(keys.size, dtype=np.int64)
+    return pa.table({
+        "doc_id": group["doc_id"].cast(pa.int64()),
+        "shard": group["shard"].cast(pa.int64()),
+        "pos": pa.array(pos),
+    })
+
+
+def global_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """K8 -> (doc_id, shard, pos): a reproducible random total order for
+    training — shard = md5 bucket, pos = rank of the md5 key within the
+    shard. ONE groupby(shard) exchange; md5 keys are uniform so shards are
+    balanced by construction, and re-running any subset of tasks yields
+    identical placement (resume-idempotent, no RNG state). A trainer reads
+    shard files in pos order; at 100 TB pick SHUFFLE_SHARDS so one shard
+    fits a worker."""
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_shuffle_key_batch, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("shard")
+        .map_groups(_rank_group, batch_format="pyarrow")
+    )
+
+
+SQL["k8_global_shuffle"] = f"""
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+                PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS
+                    VARCHAR)), 1, 8)) AS BIGINT) % {SHUFFLE_SHARDS}
+                ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+            AS BIGINT) AS pos
+FROM documents
+"""
+
+
+# ------------------------------------------------------ BPE tokenizer training
+
+BPE_N_MERGES = 40
+BPE_MAX_WORDS = 50_000  # bounded word table; drop-count is logged, not silent
+
+
+def bpe_reference_merges(word_counts: dict[str, int],
+                         n_merges: int) -> list[tuple[str, str, int]]:
+    """Oracle kernel: textbook BPE over a word-frequency dict. Each word is
+    a symbol sequence (initially its codepoints); per round, count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent pair
+    (ties: lexicographically smallest (left, right)), repeat. Returns
+    [(left, right, pair_count), ...] in merge order. The distributed
+    pipeline must match this byte-for-byte."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_counts.items() if len(w) >= 2]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in seqs:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((left, right, cnt))
+        joined = left + right
+        new_seqs = []
+        for sym, c in seqs:
+            i, out = 0, []
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            if len(out) >= 2:
+                new_seqs.append((out, c))
+        seqs = new_seqs
+    return merges
+
+
+def corpus_word_counts(sf_dir: str,
+                       max_words: int = BPE_MAX_WORDS) -> dict[str, int]:
+    """The distributed half of BPE training: corpus -> word-frequency table
+    via per-batch combiner + ONE groupby (the corpus never converges; the
+    exchange carries distinct-words-per-batch rows). The table is then
+    capped to the max_words most frequent words (ties: lexicographic) —
+    the cap is reported, never silent."""
+    rows = (
+        _docs(sf_dir, ["text"])
+        .map_batches(_word_count_partial, batch_format="pyarrow",
+                     batch_size=4096)
+        .groupby("word").sum("cnt").take_all()
+    )
+    items = sorted(((r["word"], int(r["sum(cnt)"])) for r in rows),
+                   key=lambda kv: (-kv[1], kv[0]))
+    if len(items) > max_words:
+        print(f"[bpe] word table capped: {len(items)} -> {max_words} "
+              f"({len(items) - max_words} rare words dropped)")
+        items = items[:max_words]
+    return dict(items)
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pa.Table:
+    """M24 -> (rank, left, right, cnt): the learned BPE merge table.
+
+    Scale shape: the only corpus-sized work is the word-count pass above;
+    the merge loop runs over the bounded word table (vocabulary-sized —
+    the same single-node-train-from-counts design as HF tokenizers and
+    SentencePiece, valid at any corpus scale because the summary, not the
+    corpus, is the training input)."""
+    wc = corpus_word_counts(sf_dir)
+    merges = bpe_reference_merges(wc, n_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "cnt": pa.array([m[2] for m in merges], pa.int64()),
+    })

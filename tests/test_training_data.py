@@ -1,0 +1,125 @@
+"""Training-data-prep operators: decontamination, LM scoring, global
+shuffle, BPE training."""
+
+import collections
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """A doc embedding the eval snippet of ANOTHER doc is flagged with the
+    right distinct-snippet count; clean docs are absent."""
+    from meilisearch_thai_ray.pipelines.training_data import (
+        DECON_LEN, DECON_MIN_CHARS, DECON_OFF, decontaminate, eval_snippets)
+
+    donor = "x" * DECON_OFF + "SNIPPET-" * (DECON_LEN // 8) + "y" * 200
+    assert len(donor) >= DECON_MIN_CHARS
+    snip = donor[DECON_OFF:DECON_OFF + DECON_LEN]
+    texts = [donor]  # doc_id 0 -> donor (0 % DECON_MOD == 0)
+    texts += [f"clean document number {i} " * 10 for i in range(1, 4)]
+    texts.append("prefix " + snip + " suffix")  # doc_id 4: contaminated
+    d = _write_docs(tmp_path, texts)
+
+    assert eval_snippets(d) == [snip]
+    out = decontaminate(d).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 4]
+    assert out["n_snips"].tolist() == [1, 1]
+
+
+def test_lm_score_matches_naive(ray_session):
+    """Distributed bounded-vocab LM score == naive in-memory computation."""
+    from meilisearch_thai_ray.pipelines.corpus_stats import _WORD_RE
+    from meilisearch_thai_ray.pipelines.training_data import (
+        LM_MIN_COUNT, lm_score)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rx = re.compile(_WORD_RE)
+    counts = collections.Counter()
+    toks = {}
+    for r in docs.itertuples():
+        toks[int(r.doc_id)] = rx.findall(r.text)
+        counts.update(toks[int(r.doc_id)])
+    n = sum(counts.values())
+    kept = {w: c for w, c in counts.items() if c >= LM_MIN_COUNT}
+    oov = n - sum(kept.values())
+    expect = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        lp = [np.log(kept.get(w, oov) / n) for w in ws]
+        expect[d] = (len(ws), round(float(np.mean(lp)), 6))
+
+    out = lm_score(SF).to_pandas()
+    got = {int(r.doc_id): (int(r.n_tokens), float(r.avg_logprob))
+           for r in out.itertuples()}
+    assert got.keys() == expect.keys()
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
+
+
+def test_global_shuffle_is_permutation_and_deterministic(ray_session):
+    from meilisearch_thai_ray.pipelines.training_data import global_shuffle
+
+    a = global_shuffle(SF).to_pandas().sort_values("doc_id")
+    b = global_shuffle(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id"]))
+    assert len(a) == n_docs
+    for shard, grp in a.groupby("shard"):
+        assert sorted(grp["pos"].tolist()) == list(range(len(grp)))
+
+
+def test_bpe_known_merges(ray_session, tmp_path):
+    """Handcrafted corpus with an unambiguous first merge sequence."""
+    from meilisearch_thai_ray.pipelines.training_data import bpe_merges
+
+    d = _write_docs(tmp_path, ["aaab aaab aaab ccd", "aaab ccd zz"])
+    out = bpe_merges(d, n_merges=3).to_pandas()
+    # 'aa' appears 2x per 'aaab' (overlap counts once per adjacent pair:
+    # a-a, a-a, a-b -> pair ('a','a') count 2 per word occurrence) = 8
+    assert out.iloc[0][["left", "right"]].tolist() == ["a", "a"]
+    assert out.iloc[0]["cnt"] == 8
+    # ('aa','a') and ('a','b') tie at 4 -> lexicographic tie-break picks
+    # ('a','b'); then [aa, ab] leaves ('aa','ab') at 4
+    assert out.iloc[1][["left", "right"]].tolist() == ["a", "b"]
+    assert out.iloc[1]["cnt"] == 4
+    assert out.iloc[2][["left", "right"]].tolist() == ["aa", "ab"]
+    assert out.iloc[2]["cnt"] == 4
+
+
+def test_bpe_distributed_counts_match_local(ray_session):
+    """The distributed word-count pass feeding BPE == an in-memory Counter
+    (so the whole trainer is reference-parity by composition)."""
+    from meilisearch_thai_ray.pipelines.corpus_stats import _WORD_RE
+    from meilisearch_thai_ray.pipelines.training_data import (
+        corpus_word_counts)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    rx = re.compile(_WORD_RE)
+    counts = collections.Counter()
+    for t in docs["text"]:
+        counts.update(rx.findall(t))
+    assert corpus_word_counts(SF) == dict(counts)
