@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d9_decontaminate": td.decontaminate,
         "m23_lm_score": td.lm_score,
         "k8_global_shuffle": td.global_shuffle,
+        "k9_budget_select": td.budget_select,
+        "k10_source_balance": td.source_balance,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

@@ -399,3 +399,127 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pa.Table:
         "right": pa.array([m[1] for m in merges], pa.string()),
         "cnt": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+# ------------------------------------------- token-budget greedy selection
+
+BUDGET_DIV = 4  # budget = total corpus chars // 4
+
+
+def budget_select(sf_dir: str) -> ray.data.Dataset:
+    """K9 -> (doc_id, lang, n_chars): greedily keep the longest documents
+    (ties: smallest doc_id) until the running total reaches the char
+    budget — the "take the best docs until N tokens" selection every
+    pretraining run does, WITHOUT a global sort.
+
+    Distributed shape: pass 1 builds a per-VALUE histogram (distinct
+    n_chars values; a bounded, tiny exchange — same trick as
+    corpus_stats.quantiles_exact). The driver cumsums the histogram to
+    find the threshold value v*, then resolves the boundary ties with one
+    filtered read of ONLY the v*-valued rows. Pass 2 is a broadcast-filter
+    map: keep n_chars > v*, or n_chars == v* and doc_id <= boundary. The
+    corpus is never sorted and never converges anywhere."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    rows = (ds.map_batches(_hist, batch_format="pyarrow", batch_size=8192)
+            .groupby("v").sum("cnt").take_all())
+    vals = sorted(((int(r["v"]), int(r["sum(cnt)"])) for r in rows),
+                  reverse=True)
+    total = sum(v * c for v, c in vals)
+    budget = total // BUDGET_DIV
+
+    cum = 0
+    v_star, cum_before = None, 0
+    for v, c in vals:
+        if cum + v * c > budget:
+            v_star, cum_before = v, cum
+            break
+        cum += v * c
+    if v_star is None:  # budget covers everything
+        return ds
+
+    # boundary: v*-valued docs in doc_id order while cum <= budget
+    n_fit = (budget - cum_before) // v_star
+    boundary_id = -1
+    if n_fit > 0:
+        def _ties(batch: pa.Table) -> pa.Table:
+            keep = batch["n_chars"].to_numpy(zero_copy_only=False) == v_star
+            return batch.filter(pa.array(keep)).select(["doc_id"])
+
+        tie_ids = np.sort(np.concatenate([
+            b["doc_id"].to_numpy(zero_copy_only=False)
+            for b in ds.map_batches(_ties, batch_format="pyarrow",
+                                    batch_size=8192).iter_batches(
+                                        batch_format="pyarrow")
+        ] + [np.array([], dtype=np.int64)]))
+        if tie_ids.size:
+            boundary_id = int(tie_ids[:n_fit][-1]) if n_fit <= tie_ids.size \
+                else int(tie_ids[-1])
+
+    def _select(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (v > v_star) | ((v == v_star) & (ids <= boundary_id))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_select, batch_format="pyarrow", batch_size=8192)
+
+
+SQL["k9_budget_select"] = f"""
+WITH tot AS (SELECT sum(n_chars) // {BUDGET_DIV} AS b FROM documents),
+c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM c, tot WHERE c.cum <= tot.b
+"""
+
+
+# ------------------------------------------------- source-mix rebalancing
+
+def source_balance(sf_dir: str) -> ray.data.Dataset:
+    """K10 -> (doc_id, source): deterministic down-sample so every source
+    contributes ~equally (the source-mix rebalance step of a pretraining
+    recipe, with the smallest source as the target). keep iff
+    md5-fraction(doc_id) < min_count / count(source) — a pure per-batch
+    filter after one tiny count aggregate; no shuffle of the corpus, no
+    RNG state, idempotent on resume."""
+    counts = {r["source"]: int(r["count()"])
+              for r in _docs(sf_dir, ["source"])
+              .groupby("source").count().take_all()}
+    if not counts:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string())}))
+    m = min(counts.values())
+    rates = {s: m / c for s, c in counts.items()}
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        frac = np.fromiter(
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+             for d in ids), dtype=np.float64, count=ids.size) / 2**32
+        rate = np.fromiter((rates[s] for s in srcs), dtype=np.float64,
+                           count=ids.size)
+        return batch.filter(pa.array(frac < rate))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _keep, batch_format="pyarrow", batch_size=8192)
+
+
+SQL["k10_source_balance"] = """
+WITH sc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+m AS (SELECT min(c) AS m FROM sc)
+SELECT d.doc_id, d.source
+FROM documents d JOIN sc USING (source), m
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < CAST(m.m AS DOUBLE) / sc.c
+"""

@@ -123,3 +123,75 @@ def test_bpe_distributed_counts_match_local(ray_session):
     for t in docs["text"]:
         counts.update(rx.findall(t))
     assert corpus_word_counts(SF) == dict(counts)
+
+
+def _write_docs_full(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_budget_select_boundary_ties(ray_session, tmp_path):
+    """Docs with EQUAL n_chars straddling the budget boundary: selection
+    must match the naive (n_chars DESC, doc_id ASC) cumulative rule."""
+    from meilisearch_thai_ray.pipelines.training_data import (
+        BUDGET_DIV, budget_select)
+
+    # five 100-char docs + five 10-char docs; budget = 550 // 4 = 137
+    # -> one 100-char doc fits fully, the second would overflow
+    rows = [(i, "x" * 100, "en", "a") for i in range(5)]
+    rows += [(10 + i, "y" * 10, "en", "a") for i in range(5)]
+    d = _write_docs_full(tmp_path, rows)
+
+    df = pd.read_parquet(f"{d}/documents.parquet")
+    df = df.sort_values(["n_chars", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    budget = df["n_chars"].sum() // BUDGET_DIV
+    expect = set(df[df["n_chars"].cumsum() <= budget]["doc_id"])
+
+    got = set(budget_select(d).to_pandas()["doc_id"])
+    assert got == expect == {0}
+
+
+def test_budget_select_matches_naive_on_sf(ray_session):
+    from meilisearch_thai_ray.pipelines.training_data import (
+        BUDGET_DIV, budget_select)
+
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    df = df.sort_values(["n_chars", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    budget = df["n_chars"].sum() // BUDGET_DIV
+    expect = set(df[df["n_chars"].cumsum() <= budget]["doc_id"])
+    got = set(budget_select(SF).to_pandas()["doc_id"])
+    assert got == expect and len(got) > 0
+
+
+def test_source_balance_skewed(ray_session, tmp_path):
+    """900-vs-100 source skew: the big source is down-sampled to ~the small
+    one; the small source keeps everything (rate == 1)."""
+    import hashlib as hl
+
+    from meilisearch_thai_ray.pipelines.training_data import source_balance
+
+    rows = [(i, f"doc {i}", "en", "big") for i in range(900)]
+    rows += [(900 + i, f"doc {900 + i}", "en", "small") for i in range(100)]
+    d = _write_docs_full(tmp_path, rows)
+
+    out = source_balance(d).to_pandas()
+    kept = out.groupby("source").size()
+    assert kept["small"] == 100
+    # deterministic expectation from the same md5 rule
+    exp_big = sum(
+        1 for i in range(900)
+        if int(hl.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        < 100 / 900)
+    assert kept.get("big", 0) == exp_big
+    assert 50 <= exp_big <= 200  # ~100 expected, loose sanity band
