@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
         "p1_pack_sequences": pk.pack_sequences,
+        "p2_pack_tokens": pk.pack_tokens,
         "d9_decontaminate": td.decontaminate,
         "m23_lm_score": td.lm_score,
         "k8_global_shuffle": td.global_shuffle,

@@ -167,3 +167,134 @@ SELECT doc_id, chunk_id,
             - chunk_id * 512 AS BIGINT) AS start_in_chunk
 FROM u
 """
+
+
+# --------------------------------------------- P2: materialized token stream
+
+def _tok_batch(batch: pa.Table, bucket_size: int) -> pa.Table:
+    """Per-doc token LISTS (+ trailing separator) with the same regex and
+    doc order as the P1 counts pass — the payload side of the pack."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_ISH_PATTERN)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = [_BPE_RE.findall(t) + [""] for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "bucket": pa.array(ids // bucket_size),
+        "toks": pa.array(toks, pa.list_(pa.string())),
+    })
+
+
+def _md5_hash32(tokens: np.ndarray) -> np.ndarray:
+    """('0x' || md5(tok)[:8])::BIGINT — the oracle's hash, md5'd once per
+    DISTINCT token (vocab-sized work, not stream-sized)."""
+    import hashlib
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    h = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+         for t in uniq.tolist()),
+        dtype=np.int64, count=uniq.size)
+    return h[inv]
+
+
+def _emit_tokens(group: pa.Table, bases_ref, seq_len: int) -> pa.Table:
+    buckets_sorted, bases = ray.get(bases_ref)
+    b = int(group["bucket"][0].as_py())
+    base = int(bases[np.searchsorted(buckets_sorted, b)])
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    toks_col = group["toks"].combine_chunks() if isinstance(
+        group["toks"], pa.ChunkedArray) else group["toks"]
+    toks_py = toks_col.to_pylist()
+    toks_py = [toks_py[i] for i in order]
+    n = np.array([len(t) for t in toks_py], dtype=np.int64)
+    end = np.cumsum(n) + base
+    start = end - n
+    total = int(n.sum())
+    if total == 0:
+        return pa.table({"chunk_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "tok_hash": pa.array([], pa.int64())})
+    flat = np.array([t for ts in toks_py for t in ts], dtype=object)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(n) - n, n)
+    gpos = np.repeat(start, n) + intra
+    return pa.table({
+        "chunk_id": pa.array(gpos // seq_len, pa.int64()),
+        "pos": pa.array(gpos % seq_len, pa.int64()),
+        "tok_hash": pa.array(_md5_hash32(flat), pa.int64()),
+    })
+
+
+def pack_tokens(sf_dir: str, seq_len: int = 512,
+                bucket_size: int = 4096) -> ray.data.Dataset:
+    """P2 -> (chunk_id, pos, tok_hash): the materialized training stream —
+    every token's placement in its fixed-length window, as scalar rows the
+    oracle can rebuild cell-by-cell. Consistent with P1 by construction
+    (same regex, same separator, same doc_id order, same offsets).
+
+    Scale shape: the text is read twice (once for the tiny counts/bases
+    pass — 3 int columns — and once for the payload pass); the payload
+    moves through exactly ONE skew-free groupby(bucket) — the unavoidable
+    shuffle of packing — and token hashing is per-distinct-token, not
+    per-occurrence. Nothing list-typed is ever materialized outside the
+    shuffle."""
+    counts = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        functools.partial(_counts_batch, bucket_size=bucket_size),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    partials = counts.map_batches(
+        _bucket_partials, batch_format="pyarrow").take_all()
+    if not partials:
+        return ray.data.from_arrow(pa.table({
+            "chunk_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "tok_hash": pa.array([], pa.int64())}))
+    pb = np.array([p["bucket"] for p in partials], dtype=np.int64)
+    pt = np.array([p["total"] for p in partials], dtype=np.int64)
+    buckets_sorted = np.unique(pb)
+    totals = np.zeros(buckets_sorted.size, dtype=np.int64)
+    np.add.at(totals, np.searchsorted(buckets_sorted, pb), pt)
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    bases_ref = ray.put((buckets_sorted, bases))
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        functools.partial(_tok_batch, bucket_size=bucket_size),
+        batch_format="pyarrow", batch_size=2048,
+    ).groupby("bucket").map_groups(
+        functools.partial(_emit_tokens, bases_ref=bases_ref,
+                          seq_len=seq_len),
+        batch_format="pyarrow",
+    )
+
+
+SQL["p2_pack_tokens"] = f"""
+WITH tc AS (
+  SELECT doc_id,
+         list_append(regexp_extract_all(text, '{BPE_ISH_PATTERN}'), '')
+             AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, toks,
+         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM tc
+),
+u AS (
+  SELECT s, unnest(toks) AS tok,
+         unnest(range(0, len(toks))) AS i
+  FROM sp
+)
+SELECT CAST((s + i) // 512 AS BIGINT) AS chunk_id,
+       CAST((s + i) % 512 AS BIGINT) AS pos,
+       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_hash
+FROM u
+"""

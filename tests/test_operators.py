@@ -691,3 +691,20 @@ def test_pack_sequences_invariants(ray_session):
               for r in docs.itertuples()}
     got = out.groupby("doc_id")["tok_in_chunk"].sum().to_dict()
     assert {int(k): int(v) for k, v in got.items()} == expect
+
+
+def test_pack_tokens_consistent_with_pack_sequences(ray_session):
+    """P2's materialized stream agrees with P1's span table: identical
+    per-(doc-window) token masses per chunk, every position filled exactly
+    once, no position collisions."""
+    from meilisearch_thai_ray.pipelines.packing import (
+        pack_sequences, pack_tokens)
+
+    seq_len = 64
+    p1 = pack_sequences(SF, seq_len=seq_len, bucket_size=32).to_pandas()
+    p2 = pack_tokens(SF, seq_len=seq_len, bucket_size=32).to_pandas()
+    assert len(p2) == p1["tok_in_chunk"].sum()
+    assert not p2.duplicated(["chunk_id", "pos"]).any()
+    m1 = p1.groupby("chunk_id")["tok_in_chunk"].sum().to_dict()
+    m2 = p2.groupby("chunk_id").size().to_dict()
+    assert m1 == m2
