@@ -523,3 +523,63 @@ FROM documents d JOIN sc USING (source), m
 WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 < CAST(m.m AS DOUBLE) / sc.c
 """
+
+
+# ---------------------------------------------- training-corpus export sink
+
+def export_training_corpus(sf_dir: str, out_dir: str,
+                           n_shards: int = SHUFFLE_SHARDS) -> dict:
+    """Write the corpus in trainer-ready form: one parquet file per shuffle
+    shard, rows in the deterministic md5 order (`global_shuffle` semantics),
+    payload included. A trainer streams shard files in pos order and sees a
+    reproducible random document order.
+
+    Resumable by construction: each shard is written atomically (tmp +
+    rename) and a finished shard file is skipped on re-run — a crashed
+    export redoes only missing shards, and because the order is md5-keyed
+    (no RNG state) the redo is byte-identical. ONE groupby(shard) exchange
+    carries the payload; shards are md5-uniform so the shuffle is
+    skew-free. Returns a manifest {"shards": [...], "rows": n}."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+        shard = np.fromiter((int(k[:8], 16) % n_shards for k in keys),
+                            dtype=np.int64, count=ids.size)
+        return batch.append_column("shard", pa.array(shard)).append_column(
+            "key", pa.array(keys, pa.string()))
+
+    def _write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = int(group["shard"][0].as_py())
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        if os.path.exists(path):  # finished shard: resume skips it
+            return pa.table({"shard": pa.array([shard], pa.int64()),
+                             "rows": pa.array([group.num_rows], pa.int64()),
+                             "skipped": pa.array([True])})
+        keys = np.asarray(group["key"].to_pylist(), dtype=object)
+        order = np.argsort(keys)
+        pos = np.empty(keys.size, dtype=np.int64)
+        pos[order] = np.arange(keys.size, dtype=np.int64)
+        out = (group.append_column("pos", pa.array(pos, pa.int64()))
+               .drop_columns(["key", "shard"])
+               .take(pa.array(order, pa.int64())))
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64()),
+                         "skipped": pa.array([False])})
+
+    manifest = (
+        _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+        .map_batches(_key_batch, batch_format="pyarrow", batch_size=8192)
+        .groupby("shard")
+        .map_groups(_write_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    manifest.sort(key=lambda r: r["shard"])
+    return {"shards": manifest,
+            "rows": int(sum(r["rows"] for r in manifest))}

@@ -195,3 +195,41 @@ def test_source_balance_skewed(ray_session, tmp_path):
         < 100 / 900)
     assert kept.get("big", 0) == exp_big
     assert 50 <= exp_big <= 200  # ~100 expected, loose sanity band
+
+
+def test_export_training_corpus_resumable(ray_session, tmp_path):
+    """Export writes one pos-ordered file per shard matching global_shuffle;
+    a re-run skips finished shards; a deleted shard is rebuilt
+    byte-identically."""
+    import os
+
+    from meilisearch_thai_ray.pipelines.training_data import (
+        export_training_corpus, global_shuffle)
+
+    out = str(tmp_path / "corpus")
+    m1 = export_training_corpus(SF, out)
+    order = global_shuffle(SF).to_pandas()
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id"]))
+    assert m1["rows"] == n_docs
+    assert not any(s["skipped"] for s in m1["shards"])
+
+    # every shard file is pos-sorted and matches global_shuffle's placement
+    for s in m1["shards"]:
+        f = os.path.join(out, f"shard-{s['shard']:05d}.parquet")
+        df = pd.read_parquet(f)
+        assert df["pos"].tolist() == list(range(len(df)))
+        exp = order[order["shard"] == s["shard"]].sort_values("pos")
+        assert df["doc_id"].tolist() == exp["doc_id"].tolist()
+
+    # resume: everything skipped
+    m2 = export_training_corpus(SF, out)
+    assert all(s["skipped"] for s in m2["shards"])
+
+    # crash recovery: deleted shard rebuilt byte-identically
+    victim = os.path.join(out, "shard-00003.parquet")
+    before = open(victim, "rb").read()
+    os.remove(victim)
+    m3 = export_training_corpus(SF, out)
+    assert sum(not s["skipped"] for s in m3["shards"]) == 1
+    assert open(victim, "rb").read() == before
