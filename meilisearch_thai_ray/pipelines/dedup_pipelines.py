@@ -461,3 +461,82 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42
 """
+
+
+# ----------------------------------------- cross-snapshot (incremental) dedup
+
+def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
+                          new_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-content dedup of a NEW snapshot against an EXISTING corpus —
+    the incremental-crawl ingest op (only docs unseen in prior snapshots
+    enter the index). Both sides are hashed per batch down to (doc_id,
+    content-hash, side) rows, so the ONE groupby(hash) exchange carries 3
+    small columns, never text; no side is broadcast (both are corpus-sized
+    at 100 TB). Emits (doc_id, dup_of): each new doc whose exact text
+    exists in the old snapshot, with the smallest matching old doc_id."""
+    import hashlib
+
+    def _hash_side(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            h = [hashlib.md5(t.encode()).hexdigest()
+                 for t in batch["text"].to_pylist()]
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "h": pa.array(h, pa.string()),
+                "side": pa.array(np.full(len(h), side, dtype=np.int8)),
+            })
+        return f
+
+    def _emit(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        old_ids, new_ids = ids[side == 0], ids[side == 1]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64())})
+        if old_ids.size == 0 or new_ids.size == 0:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.sort(new_ids), pa.int64()),
+            "dup_of": pa.array(np.full(new_ids.size, old_ids.min()),
+                               pa.int64()),
+        })
+
+    u = (old_ds.map_batches(_hash_side(0), batch_format="pyarrow",
+                            batch_size=2048)
+         .union(new_ds.map_batches(_hash_side(1), batch_format="pyarrow",
+                                   batch_size=2048)))
+    return u.groupby("h").map_groups(_emit, batch_format="pyarrow")
+
+
+RECRAWL_MOD = 3          # every 3rd page reappears in the new snapshot
+RECRAWL_ID_BASE = 1_000_000  # re-crawled pages get fresh doc_ids
+
+
+def cross_snapshot_dedup(sf_dir: str) -> ray.data.Dataset:
+    """D10 driver entry: old snapshot = the documents table; new snapshot
+    = a deterministic re-crawl (every RECRAWL_MOD-th page refetched with a
+    NEW doc_id and unchanged content — the dominant real case between CC
+    snapshots). The op maps every re-crawled page back to its original."""
+
+    def _recrawl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % RECRAWL_MOD == 0
+        out = batch.filter(pa.array(keep))
+        new_ids = out["doc_id"].to_numpy(
+            zero_copy_only=False) + RECRAWL_ID_BASE
+        return out.set_column(out.schema.get_field_index("doc_id"),
+                              "doc_id", pa.array(new_ids, pa.int64()))
+
+    old_ds = _documents(sf_dir)
+    new_ds = _documents(sf_dir).map_batches(
+        _recrawl, batch_format="pyarrow", batch_size=4096)
+    return cross_snapshot_dup_ds(old_ds, new_ds)
+
+
+SQL["d10_cross_snapshot_dedup"] = f"""
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (SELECT doc_id + {RECRAWL_ID_BASE} AS doc_id, md5(text) AS h
+        FROM documents WHERE doc_id % {RECRAWL_MOD} = 0),
+o AS (SELECT h, min(doc_id) AS dup_of FROM old GROUP BY h)
+SELECT n.doc_id, o.dup_of FROM new n JOIN o USING (h)
+"""

@@ -233,3 +233,25 @@ def test_export_training_corpus_resumable(ray_session, tmp_path):
     m3 = export_training_corpus(SF, out)
     assert sum(not s["skipped"] for s in m3["shards"]) == 1
     assert open(victim, "rb").read() == before
+
+
+def test_cross_snapshot_dedup_planted(ray_session, tmp_path):
+    """Genuinely distinct snapshots: only content present in BOTH maps new
+    -> min old doc_id; unseen new docs are absent."""
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        cross_snapshot_dup_ds)
+
+    old = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 7], pa.int64()),
+        "text": pa.array(["shared A", "shared A", "old only", "shared B"],
+                         pa.string()),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array(["shared A", "brand new", "shared B"], pa.string()),
+    }))
+    out = cross_snapshot_dup_ds(old, new).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [100, 102]
+    assert out["dup_of"].tolist() == [1, 7]  # min old id for "shared A"
