@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,
         "j8_latest_event": cs.latest_event_per_user,
+        "j10_bloom_semi_join": cs.bloom_semi_join,
         "a11_bigram_pmi": cs.bigram_pmi,
         "d7_curate": cur.curated_docs,
         "d7b_curate_cc": functools.partial(cur.curated_docs,

@@ -34,6 +34,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -711,4 +712,112 @@ SELECT tf.doc_id,
 FROM tf JOIN df USING (term), n
 GROUP BY tf.doc_id, bucket
 HAVING sum(tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE))) <> 0
+"""
+
+
+# ------------------------------------- bloom-filter semi-join (j10)
+
+VIP_MIN_PURCHASES = 15  # integer threshold: float-robust VIP selection
+BLOOM_M_BITS = 1 << 14  # 2 KiB broadcast regardless of key-set size
+BLOOM_K = 4
+
+
+def bloom_semi_join(sf_dir: str, min_purchases: int = VIP_MIN_PURCHASES,
+                    m_bits: int = BLOOM_M_BITS) -> ray.data.Dataset:
+    """J10 -> (event_id, user_id, event_type): all events of "VIP" users
+    (>= min_purchases purchase events) — a semi-join whose small side is
+    UNBOUNDED at corpus scale, done the 100-TB way:
+
+      1. VIP set via per-batch partial counts + one tiny groupby.
+      2. A fixed-size Bloom bitmap of the VIP ids is built as per-batch
+         partials and OR-merged (the only thing the driver ever holds is
+         2 KiB of bits — never the id set).
+      3. The events table is prefiltered per batch against the broadcast
+         bitmap: false positives possible, negatives impossible, so the
+         big side entering the confirm shuffle shrinks to ~the true match
+         set regardless of how big the VIP set grows.
+      4. ONE groupby(user_id) over (survivors + VIP marker rows) confirms
+         exactly — output has zero false positives.
+    """
+    from ..stages.sketches import BloomFilter
+
+    events = _events(sf_dir, ["event_id", "user_id", "event_type"])
+
+    def _purchase_counts(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], "purchase")
+        u = batch.filter(keep)["user_id"].to_numpy(zero_copy_only=False)
+        uu, cc = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "cnt": pa.array(cc, pa.int64())})
+
+    vip = (events.map_batches(_purchase_counts, batch_format="pyarrow",
+                              batch_size=8192)
+           .groupby("user_id").sum("cnt"))
+
+    def _vip_rows(batch: pa.Table) -> pa.Table:
+        keep = batch["sum(cnt)"].to_numpy(
+            zero_copy_only=False) >= min_purchases
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"user_id": pa.array(ids, pa.int64())})
+
+    vip_ids = vip.map_batches(_vip_rows, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+
+    def _bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, BLOOM_K)
+        bf.add_ints(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.binary())})
+
+    merged = BloomFilter(m_bits, BLOOM_K)
+    for r in vip_ids.map_batches(_bloom_partial, batch_format="pyarrow",
+                                 batch_size=65536).take_all():
+        merged.merge(BloomFilter(
+            m_bits, BLOOM_K, np.frombuffer(r["bits"], dtype=np.uint64)))
+    bloom_ref = ray.put((merged.m_bits, merged.k, merged.bits))
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        mb, k, bits = ray.get(bloom_ref)
+        bf = BloomFilter(mb, k, bits)
+        keep = bf.test_ints(batch["user_id"].to_numpy(zero_copy_only=False))
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "event_id": out["event_id"].cast(pa.int64()),
+            "user_id": out["user_id"].cast(pa.int64()),
+            "event_type": out["event_type"],
+            "is_marker": pa.array(np.zeros(out.num_rows, dtype=bool)),
+        })
+
+    def _markers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "event_id": pa.array(np.full(n, -1), pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": pa.array([""] * n, pa.string()),
+            "is_marker": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def _confirm(group: pa.Table) -> pa.Table:
+        marker = group["is_marker"].to_numpy(zero_copy_only=False)
+        if not marker.any():  # bloom false positive: drop
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string())})
+        return group.filter(pa.array(~marker)).drop_columns(["is_marker"])
+
+    survivors = events.map_batches(_prefilter, batch_format="pyarrow",
+                                   batch_size=8192)
+    marks = vip_ids.map_batches(_markers, batch_format="pyarrow",
+                                batch_size=8192)
+    return survivors.union(marks).groupby("user_id").map_groups(
+        _confirm, batch_format="pyarrow")
+
+
+SQL["j10_bloom_semi_join"] = f"""
+WITH vip AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING count(*) >= {VIP_MIN_PURCHASES}
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN vip USING (user_id)
 """

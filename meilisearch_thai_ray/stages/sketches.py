@@ -209,3 +209,48 @@ def quantile_disc_from_hist(hist: np.ndarray, qs: list[float]) -> list[int]:
         rank = max(0, int(np.ceil(q * n)) - 1)
         out.append(int(np.searchsorted(cum, rank + 1, side="left")))
     return out
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over integer keys (double hashing from one
+    splitmix64 pass — Kirsch & Mitzenmacher 2006: idx_i = h1 + i*h2).
+
+    The broadcast-membership primitive: when a semi-join's "small" side is
+    too big to ship as an exact set, ship this fixed-KB bitmap instead,
+    filter the big side per batch (false positives only, never negatives),
+    and confirm the survivors exactly. Partials from different tasks merge
+    by bitwise OR, so the build is a per-batch map + tiny reduce."""
+
+    def __init__(self, m_bits: int = 1 << 14, k: int = 4,
+                 bits: np.ndarray | None = None):
+        assert m_bits % 64 == 0
+        self.m_bits = m_bits
+        self.k = k
+        self.bits = (np.zeros(m_bits // 64, dtype=np.uint64)
+                     if bits is None else bits)
+
+    def _indexes(self, ids: np.ndarray):
+        h1 = splitmix64(np.asarray(ids))
+        h2 = splitmix64(np.asarray(ids).astype(np.uint64)
+                        ^ np.uint64(0x9E3779B97F4A7C15))
+        m = np.uint64(self.m_bits)
+        for i in range(self.k):
+            yield ((h1 + np.uint64(i) * h2) % m)
+
+    def add_ints(self, ids: np.ndarray) -> "BloomFilter":
+        for idx in self._indexes(ids):
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return self
+
+    def test_ints(self, ids: np.ndarray) -> np.ndarray:
+        ok = np.ones(len(ids), dtype=bool)
+        for idx in self._indexes(ids):
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return ok
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m_bits == other.m_bits and self.k == other.k
+        self.bits |= other.bits
+        return self

@@ -317,3 +317,40 @@ def test_distributed_kmeans_matches_local_on_same_init(ray_session):
     assert c0.shape == (4, 8)
     # both trainers exist for a reason: kmeans_fit is the sample fallback
     assert kmeans_fit(data[:64], k=4).shape == (4, 8)
+
+
+def test_bloom_no_false_negatives_and_merge():
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.sketches import BloomFilter
+
+    ids = np.arange(0, 5000, 7, dtype=np.int64)
+    a = BloomFilter().add_ints(ids[: len(ids) // 2])
+    b = BloomFilter().add_ints(ids[len(ids) // 2:])
+    m = a.merge(b)
+    assert m.test_ints(ids).all()  # no false negatives, incl. after merge
+    # FP rate sane at this load factor (~715 keys in 16384 bits, k=4)
+    probe = np.arange(1, 300000, 13, dtype=np.int64)
+    probe = probe[~np.isin(probe, ids)]
+    fp = m.test_ints(probe).mean()
+    assert fp < 0.05
+
+
+def test_bloom_semi_join_exact_despite_tiny_bloom(ray_session):
+    """A 64-bit bloom saturates (every probe passes) — the confirm join
+    must still produce the exact answer."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import bloom_semi_join
+
+    sf = "/root/testdata/sf0.001"
+    got = bloom_semi_join(sf, m_bits=64).to_pandas()
+    exp = duckdb.sql(f"""
+        WITH e AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
+        vip AS (SELECT user_id FROM e WHERE event_type='purchase'
+                GROUP BY user_id HAVING count(*) >= 15)
+        SELECT e.event_id, e.user_id, e.event_type
+        FROM e JOIN vip USING (user_id)""").fetchdf()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(exp[got.columns.tolist()])
