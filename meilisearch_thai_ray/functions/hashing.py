@@ -74,3 +74,31 @@ def doc_ids_from_urls(urls) -> np.ndarray:
 
 def term_shard(term: str, num_shards: int) -> int:
     return fnv1a64(term) % num_shards
+
+
+def md5_hex_of_ints(ids) -> list[str]:
+    """md5 hex of the DECIMAL string of each id — the repo's oracle-shared
+    key convention: md5(CAST(id AS VARCHAR)) in DuckDB computes the same
+    digest. Every md5-keyed operator (hash sample, stratified sample,
+    global shuffle, corpus export) derives from this one function."""
+    import hashlib
+
+    return [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+
+
+def md5_prefix_int(hexes) -> np.ndarray:
+    """First 8 hex chars as int64 — matches DuckDB's
+    ('0x' || substr(md5(x), 1, 8))::BIGINT."""
+    return np.fromiter((int(h[:8], 16) for h in hexes), dtype=np.int64,
+                       count=len(hexes))
+
+
+def md5_prefix_int_of_strings(strings) -> np.ndarray:
+    """('0x' || substr(md5(s), 1, 8))::BIGINT of each (utf-8) string —
+    md5 computed once per element (callers dedupe first when the domain
+    repeats, e.g. tokens)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strings),
+        dtype=np.int64, count=len(strings))

@@ -40,6 +40,7 @@ import ray
 import ray.data
 
 from ..sources.documents import read_parquet_clean
+from ..functions.hashing import md5_hex_of_ints, md5_prefix_int_of_strings
 from ..stages.sketches import HyperLogLog, mg_shrink
 from ..stages.similarity_join import WS_REGEX
 
@@ -160,16 +161,20 @@ def _batch_words(batch: pa.Table):
     return s.drop_nulls().to_numpy()
 
 
-def _count_allowed_words(batch: pa.Table, allowed: frozenset,
+def _count_allowed_words(batch: pa.Table, allowed_sorted: np.ndarray,
                          col: str = "word") -> pa.Table:
     """Exact per-batch counts restricted to a broadcast candidate set —
-    the pass-2 kernel shared by heavy_hitter_words and bigram_pmi."""
+    the pass-2 kernel shared by heavy_hitter_words and bigram_pmi.
+    `allowed_sorted` is a pre-sorted array built ONCE by the caller (a
+    per-batch set->list->isin would redo that work every batch)."""
     words = _batch_words(batch)
-    if words.size == 0:
+    if words.size == 0 or allowed_sorted.size == 0:
         return pa.table({col: pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
     u, c = np.unique(words, return_counts=True)
-    keep = np.isin(u, list(allowed))
+    idx = np.minimum(np.searchsorted(allowed_sorted, u),
+                     allowed_sorted.size - 1)
+    keep = allowed_sorted[idx] == u
     return pa.table({col: pa.array(u[keep], pa.string()),
                      "cnt": pa.array(c[keep], pa.int64())})
 
@@ -235,8 +240,10 @@ def heavy_hitter_words(sf_dir: str, denom: int = HH_DENOM, k: int = _MG_K):
     if total_n == 0:
         return empty
     min_count = -(-total_n // denom)  # ceil
-    cand = frozenset(w for w, c in est.items() if c + total_err >= min_count)
-    if not cand:
+    cand = np.sort(np.array(
+        [w for w, c in est.items() if c + total_err >= min_count],
+        dtype=object))
+    if cand.size == 0:
         return empty
 
     exact = (
@@ -294,15 +301,9 @@ def _quantiles_group(group: pa.Table) -> pa.Table:
     uniq, inv = np.unique(v, return_inverse=True)
     merged = np.zeros(uniq.size, dtype=np.int64)
     np.add.at(merged, inv, cnt)
-    cum = np.cumsum(merged)
-    n = int(cum[-1])
-    # DuckDB quantile_disc rank rule: element at zero-based rank
-    # ceil(q * n) - 1 of the sorted column (see sketches.quantile_disc_from_hist)
-    p50, p90, p99 = (
-        int(uniq[np.searchsorted(
-            cum, max(0, int(np.ceil(q * n)) - 1) + 1, side="left")])
-        for q in _QUANTS
-    )
+    from ..stages.sketches import quantile_disc_sparse
+
+    p50, p90, p99 = quantile_disc_sparse(uniq, merged, list(_QUANTS))
     return pa.table({
         "lang": pa.array([group["lang"][0].as_py()]),
         "p50": pa.array([p50], pa.int64()),
@@ -443,7 +444,7 @@ def _strat_partial(batch: pa.Table) -> pa.Table:
     import polars as pl
 
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    h = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+    h = md5_hex_of_ints(ids)
     df = pl.from_arrow(batch).with_columns(h=pl.Series(h))
     return (df.sort(["h", "doc_id"]).group_by("lang", maintain_order=True)
             .head(STRAT_N).to_arrow())
@@ -590,7 +591,8 @@ def bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT):
                       "pmi": pa.array([], pa.float64())})
     if not kept or n_uni == 0 or n_bi == 0:
         return empty
-    needed = frozenset(w for bg, _ in kept for w in bg.split(" "))
+    needed = np.sort(np.array(
+        sorted({w for bg, _ in kept for w in bg.split(" ")}), dtype=object))
 
     uni = {r["word"]: int(r["sum(cnt)"])
            for r in ds.map_batches(
@@ -638,13 +640,7 @@ TFIDF_DIM = 64  # hashing-trick bucket count
 
 
 def _md5_bucket(terms: np.ndarray, dim: int) -> np.ndarray:
-    import hashlib
-
-    return np.fromiter(
-        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
-         for t in terms.tolist()),
-        dtype=np.int64, count=terms.size,
-    )
+    return md5_prefix_int_of_strings(terms.tolist()) % dim
 
 
 def tfidf_embed(sf_dir: str, dim: int = TFIDF_DIM):

@@ -509,7 +509,7 @@ def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
 
 
 RECRAWL_MOD = 3          # every 3rd page reappears in the new snapshot
-RECRAWL_ID_BASE = 1_000_000  # re-crawled pages get fresh doc_ids
+RECRAWL_ID_BASE = 1_000_000_000  # re-crawled pages get fresh doc_ids
 
 
 def cross_snapshot_dedup(sf_dir: str) -> ray.data.Dataset:

@@ -42,8 +42,27 @@ from .simple_text import BPE_ISH_PATTERN
 SQL: dict[str, str] = {}
 
 SEP_TOKENS = 1  # per-doc separator (EOS) included in every doc's span
+SEQ_LEN = 512   # window length; interpolated into BOTH oracle SQL strings
 
 _BPE_RE = None
+
+
+def _bucket_bases(counts: ray.data.Dataset):
+    """Per-bucket base offsets from the counts table: per-batch partial
+    sums -> tiny driver cumsum -> (sorted buckets, bases) in plasma.
+    Returns None when the corpus is empty. Shared by P1 and P2 so their
+    offsets agree by construction."""
+    partials = counts.map_batches(
+        _bucket_partials, batch_format="pyarrow").take_all()
+    if not partials:
+        return None
+    pb = np.array([p["bucket"] for p in partials], dtype=np.int64)
+    pt = np.array([p["total"] for p in partials], dtype=np.int64)
+    buckets_sorted = np.unique(pb)
+    totals = np.zeros(buckets_sorted.size, dtype=np.int64)
+    np.add.at(totals, np.searchsorted(buckets_sorted, pb), pt)
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    return ray.put((buckets_sorted, bases))
 
 
 def _counts_batch(batch: pa.Table, bucket_size: int) -> pa.Table:
@@ -101,7 +120,7 @@ def _emit_chunks(group: pa.Table, bases_ref, seq_len: int) -> pa.Table:
     })
 
 
-def pack_sequences(sf_dir: str, seq_len: int = 512,
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
                    bucket_size: int = 4096) -> ray.data.Dataset:
     """P1 -> (doc_id, chunk_id, tok_in_chunk, start_in_chunk), one row per
     (document, window) overlap. See module docstring for the plan shape."""
@@ -112,22 +131,14 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
         batch_format="pyarrow", batch_size=4096,
     ).materialize()  # 3 int columns; read text exactly once
 
-    partials = counts.map_batches(
-        _bucket_partials, batch_format="pyarrow").take_all()
-    if not partials:
+    bases_ref = _bucket_bases(counts)
+    if bases_ref is None:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "chunk_id": pa.array([], pa.int64()),
             "tok_in_chunk": pa.array([], pa.int64()),
             "start_in_chunk": pa.array([], pa.int64()),
         }))
-    pb = np.array([p["bucket"] for p in partials], dtype=np.int64)
-    pt = np.array([p["total"] for p in partials], dtype=np.int64)
-    buckets_sorted = np.unique(pb)
-    totals = np.zeros(buckets_sorted.size, dtype=np.int64)
-    np.add.at(totals, np.searchsorted(buckets_sorted, pb), pt)
-    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
-    bases_ref = ray.put((buckets_sorted, bases))
 
     return counts.groupby("bucket").map_groups(
         functools.partial(_emit_chunks, bases_ref=bases_ref,
@@ -151,8 +162,8 @@ sp AS (
 ),
 x AS (
   SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + n AS BIGINT) AS e,
-         CAST(s // 512 AS BIGINT) AS first_c,
-         CAST((s + n - 1) // 512 AS BIGINT) AS last_c
+         CAST(s // {SEQ_LEN} AS BIGINT) AS first_c,
+         CAST((s + n - 1) // {SEQ_LEN} AS BIGINT) AS last_c
   FROM sp
 ),
 u AS (
@@ -161,10 +172,10 @@ u AS (
   FROM x
 )
 SELECT doc_id, chunk_id,
-       CAST(least(e, (chunk_id + 1) * 512)
-            - greatest(s, chunk_id * 512) AS BIGINT) AS tok_in_chunk,
-       CAST(greatest(s, chunk_id * 512)
-            - chunk_id * 512 AS BIGINT) AS start_in_chunk
+       CAST(least(e, (chunk_id + 1) * {SEQ_LEN})
+            - greatest(s, chunk_id * {SEQ_LEN}) AS BIGINT) AS tok_in_chunk,
+       CAST(greatest(s, chunk_id * {SEQ_LEN})
+            - chunk_id * {SEQ_LEN} AS BIGINT) AS start_in_chunk
 FROM u
 """
 
@@ -191,14 +202,10 @@ def _tok_batch(batch: pa.Table, bucket_size: int) -> pa.Table:
 def _md5_hash32(tokens: np.ndarray) -> np.ndarray:
     """('0x' || md5(tok)[:8])::BIGINT — the oracle's hash, md5'd once per
     DISTINCT token (vocab-sized work, not stream-sized)."""
-    import hashlib
+    from ..functions.hashing import md5_prefix_int_of_strings
 
     uniq, inv = np.unique(tokens, return_inverse=True)
-    h = np.fromiter(
-        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
-         for t in uniq.tolist()),
-        dtype=np.int64, count=uniq.size)
-    return h[inv]
+    return md5_prefix_int_of_strings(uniq.tolist())[inv]
 
 
 def _emit_tokens(group: pa.Table, bases_ref, seq_len: int) -> pa.Table:
@@ -229,7 +236,7 @@ def _emit_tokens(group: pa.Table, bases_ref, seq_len: int) -> pa.Table:
     })
 
 
-def pack_tokens(sf_dir: str, seq_len: int = 512,
+def pack_tokens(sf_dir: str, seq_len: int = SEQ_LEN,
                 bucket_size: int = 4096) -> ray.data.Dataset:
     """P2 -> (chunk_id, pos, tok_hash): the materialized training stream —
     every token's placement in its fixed-length window, as scalar rows the
@@ -248,20 +255,12 @@ def pack_tokens(sf_dir: str, seq_len: int = 512,
         functools.partial(_counts_batch, bucket_size=bucket_size),
         batch_format="pyarrow", batch_size=4096,
     )
-    partials = counts.map_batches(
-        _bucket_partials, batch_format="pyarrow").take_all()
-    if not partials:
+    bases_ref = _bucket_bases(counts)
+    if bases_ref is None:
         return ray.data.from_arrow(pa.table({
             "chunk_id": pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
             "tok_hash": pa.array([], pa.int64())}))
-    pb = np.array([p["bucket"] for p in partials], dtype=np.int64)
-    pt = np.array([p["total"] for p in partials], dtype=np.int64)
-    buckets_sorted = np.unique(pb)
-    totals = np.zeros(buckets_sorted.size, dtype=np.int64)
-    np.add.at(totals, np.searchsorted(buckets_sorted, pb), pt)
-    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
-    bases_ref = ray.put((buckets_sorted, bases))
 
     return read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -293,8 +292,8 @@ u AS (
          unnest(range(0, len(toks))) AS i
   FROM sp
 )
-SELECT CAST((s + i) // 512 AS BIGINT) AS chunk_id,
-       CAST((s + i) % 512 AS BIGINT) AS pos,
+SELECT CAST((s + i) // {SEQ_LEN} AS BIGINT) AS chunk_id,
+       CAST((s + i) % {SEQ_LEN} AS BIGINT) AS pos,
        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS tok_hash
 FROM u
 """

@@ -40,7 +40,6 @@ NOT the Thai segmenter: the oracle must reproduce it in SQL.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -77,15 +76,19 @@ def eval_snippets(sf_dir: str) -> list[str]:
     def _pick(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         nch = batch["n_chars"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(
+        hit = batch.filter(pa.array(
             (ids % DECON_MOD == 0) & (nch >= DECON_MIN_CHARS)))
+        # slice worker-side: only the 64-char snippets travel to the driver
+        snips = [t[DECON_OFF:DECON_OFF + DECON_LEN]
+                 for t in hit["text"].to_pylist()]
+        return pa.table({"snip": pa.array(snips, pa.string())})
 
     rows = (
         _docs(sf_dir, ["doc_id", "text", "n_chars"])
         .map_batches(_pick, batch_format="pyarrow", batch_size=4096)
         .take_all()
     )
-    return sorted({r["text"][DECON_OFF:DECON_OFF + DECON_LEN] for r in rows})
+    return sorted({r["snip"] for r in rows})
 
 
 class _DeconScan:
@@ -167,16 +170,26 @@ def _word_count_partial(batch: pa.Table) -> pa.Table:
 def _lm_vocab(sf_dir: str, min_count: int):
     """Distributed unigram counts (combiner + one groupby), then the
     bounded model: words with cnt >= min_count keep their own probability;
-    the rest collapse into one aggregate OOV mass."""
-    rows = (
+    the rest collapse into one aggregate OOV mass. The min_count filter
+    runs DISTRIBUTED, so the driver only ever receives the kept vocabulary
+    (<= n_total/min_count entries by pigeonhole) — the unbounded singleton
+    tail never converges anywhere."""
+    vocab_ds = (
         _docs(sf_dir, ["text"])
         .map_batches(_word_count_partial, batch_format="pyarrow",
                      batch_size=4096)
-        .groupby("word").sum("cnt").take_all()
+        .groupby("word").sum("cnt")
+        .materialize()  # consumed twice: total + kept filter
     )
-    n_total = sum(int(r["sum(cnt)"]) for r in rows)
-    kept = [(r["word"], int(r["sum(cnt)"])) for r in rows
-            if int(r["sum(cnt)"]) >= min_count]
+    n_total = int(vocab_ds.sum("sum(cnt)") or 0)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c >= min_count))
+
+    kept = [(r["word"], int(r["sum(cnt)"]))
+            for r in vocab_ds.map_batches(
+                _keep, batch_format="pyarrow").take_all()]
     kept.sort()
     vocab = np.array([w for w, _ in kept], dtype=object)
     counts = np.array([c for _, c in kept], dtype=np.int64)
@@ -263,21 +276,33 @@ GROUP BY w.doc_id
 SHUFFLE_SHARDS = 16
 
 
-def _shuffle_key_batch(batch: pa.Table) -> pa.Table:
+def _append_shuffle_keys(batch: pa.Table, n_shards: int) -> pa.Table:
+    """Append (shard, key) to ANY doc_id-carrying batch: key = md5 hex of
+    the decimal doc_id (the oracle-shared convention), shard = first-8-hex
+    int mod n_shards. The ONE definition of the shuffle's key scheme —
+    global_shuffle and export_training_corpus both call it, so exported
+    files and the (doc_id, shard, pos) table agree by construction."""
+    from ..functions.hashing import md5_hex_of_ints, md5_prefix_int
+
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    keys = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
-    shard = np.fromiter((int(k[:8], 16) % SHUFFLE_SHARDS for k in keys),
-                        dtype=np.int64, count=ids.size)
-    return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                     "shard": pa.array(shard),
-                     "key": pa.array(keys, pa.string())})
+    keys = md5_hex_of_ints(ids)
+    shard = md5_prefix_int(keys) % n_shards
+    return (batch.append_column("shard", pa.array(shard, pa.int64()))
+            .append_column("key", pa.array(keys, pa.string())))
+
+
+def _positions_for_keys(group: pa.Table):
+    """(order, pos) of a shard group's md5 keys — keys are unique per
+    doc_id, so the order is total."""
+    keys = np.asarray(group["key"].to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    pos = np.empty(keys.size, dtype=np.int64)
+    pos[order] = np.arange(keys.size, dtype=np.int64)
+    return order, pos
 
 
 def _rank_group(group: pa.Table) -> pa.Table:
-    keys = np.asarray(group["key"].to_pylist(), dtype=object)
-    order = np.argsort(keys)  # md5 hexes are unique per doc_id: no ties
-    pos = np.empty(keys.size, dtype=np.int64)
-    pos[order] = np.arange(keys.size, dtype=np.int64)
+    _, pos = _positions_for_keys(group)
     return pa.table({
         "doc_id": group["doc_id"].cast(pa.int64()),
         "shard": group["shard"].cast(pa.int64()),
@@ -293,10 +318,13 @@ def global_shuffle(sf_dir: str) -> ray.data.Dataset:
     identical placement (resume-idempotent, no RNG state). A trainer reads
     shard files in pos order; at 100 TB pick SHUFFLE_SHARDS so one shard
     fits a worker."""
+    import functools
+
     return (
         _docs(sf_dir, ["doc_id"])
-        .map_batches(_shuffle_key_batch, batch_format="pyarrow",
-                     batch_size=8192)
+        .map_batches(functools.partial(_append_shuffle_keys,
+                                       n_shards=SHUFFLE_SHARDS),
+                     batch_format="pyarrow", batch_size=8192)
         .groupby("shard")
         .map_groups(_rank_group, batch_format="pyarrow")
     )
@@ -365,20 +393,34 @@ def corpus_word_counts(sf_dir: str,
                        max_words: int = BPE_MAX_WORDS) -> dict[str, int]:
     """The distributed half of BPE training: corpus -> word-frequency table
     via per-batch combiner + ONE groupby (the corpus never converges; the
-    exchange carries distinct-words-per-batch rows). The table is then
-    capped to the max_words most frequent words (ties: lexicographic) —
-    the cap is reported, never silent."""
-    rows = (
+    exchange carries distinct-words-per-batch rows). The max_words cap
+    (most frequent first, ties lexicographic) is applied as a per-batch
+    partial top-N BEFORE anything reaches the driver, so the driver merge
+    input is <= max_words per block, never the full vocabulary; the cap is
+    reported, never silent."""
+    vocab_ds = (
         _docs(sf_dir, ["text"])
         .map_batches(_word_count_partial, batch_format="pyarrow",
                      batch_size=4096)
-        .groupby("word").sum("cnt").take_all()
+        .groupby("word").sum("cnt")
+        .materialize()  # consumed twice: distinct count + partial top-N
     )
+    n_distinct = vocab_ds.count()
+
+    def _partial_top(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch)
+                .sort(["sum(cnt)", "word"], descending=[True, False])
+                .head(max_words).to_arrow())
+
+    rows = vocab_ds.map_batches(_partial_top, batch_format="pyarrow",
+                                batch_size=65536).take_all()
     items = sorted(((r["word"], int(r["sum(cnt)"])) for r in rows),
                    key=lambda kv: (-kv[1], kv[0]))
-    if len(items) > max_words:
-        print(f"[bpe] word table capped: {len(items)} -> {max_words} "
-              f"({len(items) - max_words} rare words dropped)")
+    if n_distinct > max_words:
+        print(f"[bpe] word table capped: {n_distinct} -> {max_words} "
+              f"({n_distinct - max_words} rare words dropped)")
         items = items[:max_words]
     return dict(items)
 
@@ -502,11 +544,12 @@ def source_balance(sf_dir: str) -> ray.data.Dataset:
     rates = {s: m / c for s, c in counts.items()}
 
     def _keep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hex_of_ints, md5_prefix_int
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         srcs = batch["source"].to_pylist()
-        frac = np.fromiter(
-            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
-             for d in ids), dtype=np.float64, count=ids.size) / 2**32
+        frac = md5_prefix_int(md5_hex_of_ints(ids)).astype(
+            np.float64) / 2**32
         rate = np.fromiter((rates[s] for s in srcs), dtype=np.float64,
                            count=ids.size)
         return batch.filter(pa.array(frac < rate))
@@ -539,16 +582,17 @@ def export_training_corpus(sf_dir: str, out_dir: str,
     export redoes only missing shards, and because the order is md5-keyed
     (no RNG state) the redo is byte-identical. ONE groupby(shard) exchange
     carries the payload; shards are md5-uniform so the shuffle is
-    skew-free. Returns a manifest {"shards": [...], "rows": n}."""
-    os.makedirs(out_dir, exist_ok=True)
+    skew-free. Key scheme is `_append_shuffle_keys`, shared with
+    global_shuffle, so shard files match its (doc_id, shard, pos) table.
 
-    def _key_batch(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keys = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
-        shard = np.fromiter((int(k[:8], 16) % n_shards for k in keys),
-                            dtype=np.int64, count=ids.size)
-        return batch.append_column("shard", pa.array(shard)).append_column(
-            "key", pa.array(keys, pa.string()))
+    out_dir must be storage every worker sees (shared FS / fuse-mounted
+    object store — the normal cluster arrangement): the exists-check and
+    atomic rename run on whichever node owns the shard task, so with
+    node-local disks the resume contract does not hold. Returns a manifest
+    {"shards": [...], "rows": n}."""
+    import functools
+
+    os.makedirs(out_dir, exist_ok=True)
 
     def _write_shard(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -559,10 +603,7 @@ def export_training_corpus(sf_dir: str, out_dir: str,
             return pa.table({"shard": pa.array([shard], pa.int64()),
                              "rows": pa.array([group.num_rows], pa.int64()),
                              "skipped": pa.array([True])})
-        keys = np.asarray(group["key"].to_pylist(), dtype=object)
-        order = np.argsort(keys)
-        pos = np.empty(keys.size, dtype=np.int64)
-        pos[order] = np.arange(keys.size, dtype=np.int64)
+        order, pos = _positions_for_keys(group)
         out = (group.append_column("pos", pa.array(pos, pa.int64()))
                .drop_columns(["key", "shard"])
                .take(pa.array(order, pa.int64())))
@@ -575,7 +616,9 @@ def export_training_corpus(sf_dir: str, out_dir: str,
 
     manifest = (
         _docs(sf_dir, ["doc_id", "text", "lang", "source"])
-        .map_batches(_key_batch, batch_format="pyarrow", batch_size=8192)
+        .map_batches(functools.partial(_append_shuffle_keys,
+                                       n_shards=n_shards),
+                     batch_format="pyarrow", batch_size=8192)
         .groupby("shard")
         .map_groups(_write_shard, batch_format="pyarrow")
         .take_all()

@@ -197,18 +197,27 @@ def bincount_partial(values: np.ndarray, domain: int) -> np.ndarray:
     return np.bincount(v, minlength=domain)
 
 
-def quantile_disc_from_hist(hist: np.ndarray, qs: list[float]) -> list[int]:
-    """Discrete quantiles (DuckDB quantile_disc semantics: the element at
-    zero-based rank ceil(q * n) - 1 of the sorted column, clamped to 0)."""
-    n = int(hist.sum())
+def quantile_disc_sparse(values: np.ndarray, counts: np.ndarray,
+                         qs: list[float]) -> list[int]:
+    """Discrete quantiles over a SPARSE (sorted unique value, count)
+    histogram — DuckDB quantile_disc semantics: the element at zero-based
+    rank ceil(q * n) - 1 of the sorted column, clamped to 0. The ONE
+    definition of the rank rule (dense-histogram and pipeline callers both
+    route here)."""
+    n = int(counts.sum())
     if n == 0:
         return [0 for _ in qs]
-    cum = np.cumsum(hist)
+    cum = np.cumsum(counts)
     out = []
     for q in qs:
         rank = max(0, int(np.ceil(q * n)) - 1)
-        out.append(int(np.searchsorted(cum, rank + 1, side="left")))
+        out.append(int(values[np.searchsorted(cum, rank + 1, side="left")]))
     return out
+
+
+def quantile_disc_from_hist(hist: np.ndarray, qs: list[float]) -> list[int]:
+    """quantile_disc over a dense histogram indexed by value."""
+    return quantile_disc_sparse(np.arange(hist.size), np.asarray(hist), qs)
 
 
 class BloomFilter:
