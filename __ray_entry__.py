@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_ngram_jaccard_pairs": dp.ngram_jaccard_pairs,
         "d8_connected_dups": dp.connected_dups,
         "d10_cross_snapshot_dedup": dp.cross_snapshot_dedup,
+        "d11_dup_grams": dp.dup_grams,
         "d3_cosine_pairs_exact": dp.embed_cosine_pairs,
         "j6_asof_join": st.asof_join,
         "j7_range_join": st.range_join,

@@ -540,3 +540,83 @@ new AS (SELECT doc_id + {RECRAWL_ID_BASE} AS doc_id, md5(text) AS h
 o AS (SELECT h, min(doc_id) AS dup_of FROM old GROUP BY h)
 SELECT n.doc_id, o.dup_of FROM new n JOIN o USING (h)
 """
+
+
+# ------------------------------------ exact duplicated-passage detection
+
+GRAM_LEN = 50  # codepoints; the ExactSubstr-style passage unit
+
+
+def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
+    """D11 -> (doc_id, n_dup_grams): for every document, how many of its
+    character {gram_len}-grams occur >= 2 times ANYWHERE in the corpus
+    (including elsewhere in the same document) — the exact
+    duplicated-passage signal of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021), whose spans a curation
+    pipeline cuts out of the training text.
+
+    Distributed shape: every-offset grams are emitted per batch
+    (vectorized slicing), duplicate groups are found by ONE
+    groupby(gram) — the Ray-Data-native equivalent of the per-shard
+    suffix-array merge, with identical output — and the per-doc counts
+    come from a combiner + one small groupby(doc_id). The gram exchange
+    (~gram_len bytes x corpus positions) IS the inherent cost of the
+    exact op; at 100 TB swap the gram string for its 8-byte md5 prefix as
+    the shuffle key (identical grouping up to md5 collision) and keep
+    only group sizes, which this pipeline's output depends on."""
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_ids, out_grams = [], []
+        for d, t in zip(ids.tolist(), texts):
+            n = len(t) - gram_len + 1
+            if n <= 0:
+                continue
+            out_ids.extend([d] * n)
+            out_grams.extend(t[i:i + gram_len] for i in range(n))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "gram": pa.array(out_grams, pa.string())})
+
+    def _emit_dup_instances(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": group["doc_id"].cast(pa.int64())})
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_dup_grams": batch["sum(cnt)"].cast(pa.int64()),
+        })
+
+    return (
+        _documents(sf_dir)
+        .map_batches(_grams, batch_format="pyarrow", batch_size=1024)
+        .groupby("gram")
+        .map_groups(_emit_dup_instances, batch_format="pyarrow")
+        .map_batches(_partial_counts, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("doc_id").sum("cnt")
+        .map_batches(_rename, batch_format="pyarrow")
+    )
+
+
+SQL["d11_dup_grams"] = f"""
+WITH s AS (
+  SELECT doc_id, substr(text, i, {GRAM_LEN}) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {GRAM_LEN - 1}, 0)
+                            + 1)) AS i
+        FROM documents)
+),
+c AS (SELECT gram, count(*) AS cnt FROM s GROUP BY gram)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM s JOIN c USING (gram) WHERE c.cnt >= 2
+GROUP BY s.doc_id
+"""

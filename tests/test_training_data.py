@@ -255,3 +255,24 @@ def test_cross_snapshot_dedup_planted(ray_session, tmp_path):
     out = cross_snapshot_dup_ds(old, new).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [100, 102]
     assert out["dup_of"].tolist() == [1, 7]  # min old id for "shared A"
+
+
+def test_dup_grams_planted(ray_session, tmp_path):
+    """A 50-gram shared by two docs (and a self-repeating doc) is counted
+    exactly; unique docs are absent."""
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import dup_grams
+
+    shared = "S" * 50
+    texts = [
+        "A" * 49,                    # too short: no grams
+        "prefix " + shared + " x",   # doc 1: shares `shared` with doc 2
+        shared,                      # doc 2: exactly one gram
+        "R" * 51,                    # doc 3: self-repeating ('R'*50 twice)
+        # doc 4: long and APERIODIC (a repeated phrase would self-dup)
+        " ".join(f"word{i}" for i in range(40)),
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = dup_grams(d).to_pandas().set_index("doc_id")["n_dup_grams"]
+    assert out.get(1) == 1 and out.get(2) == 1
+    assert out.get(3) == 2  # both offsets of the same gram count
+    assert 0 not in out.index and 4 not in out.index
