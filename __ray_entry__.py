@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,
+        "a10b_quantiles_approx": cs.quantiles_approx,
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
         # near-dups, so the entry opts into the deterministic planted fixture

@@ -817,3 +817,64 @@ WITH vip AS (
 SELECT e.event_id, e.user_id, e.event_type
 FROM events e JOIN vip USING (user_id)
 """
+
+
+# -------------------------- approximate quantiles (continuous domain)
+
+APPROX_Q_BINS = 4096  # fixed state: error <= (max-min)/4096 per group
+
+
+def quantiles_approx(sf_dir: str, nbins: int = APPROX_Q_BINS):
+    """A10b -> (event_type, p50, p90, p99) of events.value, APPROXIMATE:
+    the continuous-domain companion to a10_quantiles_exact (whose
+    compressed histogram is exact only because n_chars has bounded
+    distinct values). One (min, max) aggregate fixes the bin grid, then
+    every partial is a fixed nbins x int64 vector and the merge is
+    elementwise add — deterministic, resume-idempotent, error bounded by
+    one bin width ((max-min)/nbins), asserted in pytest. The 100-TB shape:
+    constant-size state per (batch, group), no value ever shuffled."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    lo = ds.min("value")
+    hi = ds.max("value")
+    if lo is None or hi is None or hi <= lo:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "p50": pa.array([], pa.float64()),
+                         "p90": pa.array([], pa.float64()),
+                         "p99": pa.array([], pa.float64())})
+    width = (hi - lo) / nbins
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        types, bufs = [], []
+        for (et,), g in df.group_by("event_type"):
+            v = g["value"].to_numpy()
+            bins = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+            h = np.bincount(bins, minlength=nbins).astype(np.int64)
+            types.append(et)
+            bufs.append(h.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "hist": pa.array(bufs, pa.binary())})
+
+    def _merge_group(group: pa.Table) -> pa.Table:
+        from ..stages.sketches import quantile_disc_sparse
+
+        h = np.zeros(nbins, dtype=np.int64)
+        for buf in group["hist"].to_pylist():
+            h += np.frombuffer(buf, dtype=np.int64)
+        idx = np.flatnonzero(h)
+        qs = quantile_disc_sparse(idx, h[idx], list(_QUANTS))
+        # report the bin's LEFT edge: within one bin width of the true value
+        p50, p90, p99 = (round(lo + q * width, 6) for q in qs)
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "p50": pa.array([p50], pa.float64()),
+            "p90": pa.array([p90], pa.float64()),
+            "p99": pa.array([p99], pa.float64()),
+        })
+
+    return (ds.map_batches(_hist_partial, batch_format="pyarrow",
+                           batch_size=32768)
+            .groupby("event_type")
+            .map_groups(_merge_group, batch_format="pyarrow"))

@@ -354,3 +354,26 @@ def test_bloom_semi_join_exact_despite_tiny_bloom(ray_session):
     got = got.sort_values("event_id").reset_index(drop=True)
     exp = exp.sort_values("event_id").reset_index(drop=True)
     assert got.equals(exp[got.columns.tolist()])
+
+
+def test_quantiles_approx_within_one_bin(ray_session):
+    """Approximate continuous quantiles land within one bin width of the
+    true rank element, per event_type."""
+    import numpy as np
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        APPROX_Q_BINS, quantiles_approx)
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    lo, hi = df["value"].min(), df["value"].max()
+    width = (hi - lo) / APPROX_Q_BINS
+    out = quantiles_approx(sf).to_pandas().set_index("event_type")
+    assert len(out) == df["event_type"].nunique()
+    for et, g in df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        for col, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            true = v[max(0, int(np.ceil(q * v.size)) - 1)]
+            assert abs(out.loc[et, col] - true) <= width + 1e-9
