@@ -97,3 +97,46 @@ def test_segment_roundtrip_property(postings):
     assert np.array_equal(out[0], ids)
     assert np.array_equal(out[1], tfs)
     assert np.array_equal(out[2], dls)
+
+
+# ---------------------- sketch kernels (pure, no Ray) ----------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(-1000, 1000), st.integers(1, 50)),
+                min_size=1, max_size=60),
+       st.floats(0.01, 0.99))
+def test_quantile_disc_sparse_matches_expanded(pairs, q):
+    """Sparse-histogram quantile == DuckDB's rank rule on the expanded
+    sorted column, for any histogram and quantile."""
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.sketches import quantile_disc_sparse
+
+    vals = {}
+    for v, c in pairs:
+        vals[v] = vals.get(v, 0) + c
+    uniq = np.array(sorted(vals), dtype=np.int64)
+    cnts = np.array([vals[v] for v in uniq], dtype=np.int64)
+    expanded = np.repeat(uniq, cnts)
+    expect = int(expanded[max(0, int(np.ceil(q * expanded.size)) - 1)])
+    assert quantile_disc_sparse(uniq, cnts, [q]) == [expect]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=300,
+                unique=True),
+       st.integers(1, 5))
+def test_bloom_never_false_negative(ids, n_splits):
+    """Membership holds for every inserted id, under ANY partition of the
+    inserts into OR-merged partials."""
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.sketches import BloomFilter
+
+    arr = np.array(ids, dtype=np.int64)
+    parts = np.array_split(arr, n_splits)
+    merged = BloomFilter()
+    for p in parts:
+        if p.size:
+            merged.merge(BloomFilter().add_ints(p))
+    assert merged.test_ints(arr).all()
