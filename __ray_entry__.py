@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k5_hash_sample": st.hash_sample,
         "a9_distinct_users": cs.distinct_users,
         "k6_heavy_hitters": cs.heavy_hitter_words,
+        "k6b_heavy_hitters_by_lang": cs.heavy_hitter_words_by_lang,
         "a10_quantiles_exact": cs.quantiles_exact,
         "m8b_repetition": cs.repetition_stats,
         "m21_pii_scan": cs.pii_scan,

@@ -272,6 +272,144 @@ HAVING {HH_DENOM} * count(*) >= (SELECT count(*) FROM w)
 """
 
 
+# ----------------------------------- grouped heavy hitters (per language)
+
+
+def _batch_words_by_lang(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    import polars as pl
+
+    df = (pl.from_arrow(batch)
+          .select("lang", pl.col("text").str.extract_all(_WORD_RE).alias("w"))
+          .explode("w").drop_nulls("w"))
+    return df["lang"].to_numpy(), df["w"].to_numpy()
+
+
+class _MgLangPass:
+    """Pass 1 of the GROUPED heavy-hitter sketch: an independent Misra-Gries
+    partial per language within each batch. The group key stays a column on
+    every sketch row, so merging is the same groupby-sum as the ungrouped
+    form and the per-lang MG invariant holds independently per key. One
+    marker row (word='') per lang carries that lang's batch word total and
+    shrink error."""
+
+    def __init__(self, k: int = _MG_K):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, words = _batch_words_by_lang(batch)
+        out_lang: list = []
+        out_word: list = []
+        out_cnt: list = []
+        out_n: list = []
+        for lang in np.unique(langs):
+            w = words[langs == lang]
+            u, c = np.unique(w, return_counts=True)
+            u, c, err = mg_shrink(u, c, self.k)
+            out_lang.extend([lang] * (u.size + 1))
+            out_word.extend(list(u) + [""])
+            out_cnt.extend(list(map(int, c)) + [int(err)])
+            out_n.extend([0] * u.size + [int(w.size)])
+        return pa.table({
+            "lang": pa.array(out_lang, pa.string()),
+            "word": pa.array(out_word, pa.string()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+
+def heavy_hitter_words_by_lang(sf_dir: str, denom: int = HH_DENOM,
+                               k: int = _MG_K):
+    """K6b: EXACT heavy hitters PER GROUP — every (lang, word) with count
+    >= ceil(N_lang / denom) and its exact count — without shuffling any
+    group's vocabulary. Same two-pass shape as heavy_hitter_words with the
+    group key carried through both passes: per-(batch, lang) Misra-Gries
+    partials -> one groupby(lang, word).sum over sketch rows (no false
+    negatives per lang while k > denom) -> per-lang candidate sets broadcast
+    in the task closure -> exact recount of candidates only -> per-lang
+    threshold. Exchanged data stays O(k) rows per batch per lang; group-size
+    skew costs nothing because no group's raw words ever converge."""
+    if k <= denom:
+        raise ValueError(f"MG capacity k={k} must exceed denom={denom} "
+                         "for the no-false-negative guarantee")
+    ds = _docs(sf_dir, ["text", "lang"])
+    part = (
+        ds.map_batches(_MgLangPass, fn_constructor_kwargs={"k": k},
+                       batch_format="pyarrow", batch_size=4096,
+                       concurrency=(1, 4))
+        .groupby(["lang", "word"]).sum(["cnt", "n"])
+    )
+    rows = part.take_all()  # <= union of per-(batch,lang) top-k: bounded
+    tot_n: dict[str, int] = {}
+    tot_err: dict[str, int] = {}
+    est: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["word"] == "":
+            tot_n[r["lang"]] = int(r["sum(n)"])
+            tot_err[r["lang"]] = int(r["sum(cnt)"])
+        else:
+            est[(r["lang"], r["word"])] = int(r["sum(cnt)"])
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "word": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    cand_by_lang: dict[str, np.ndarray] = {}
+    for (lang, word), c in est.items():
+        n = tot_n.get(lang, 0)
+        if n and c + tot_err.get(lang, 0) >= -(-n // denom):
+            cand_by_lang.setdefault(lang, []).append(word)  # type: ignore
+    if not cand_by_lang:
+        return empty
+    cand_by_lang = {lang: np.sort(np.array(ws, dtype=object))
+                    for lang, ws in cand_by_lang.items()}
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        langs, words = _batch_words_by_lang(batch)
+        tl: list = []
+        tw: list = []
+        tc: list = []
+        for lang in np.unique(langs):
+            allowed = cand_by_lang.get(lang)
+            if allowed is None:
+                continue
+            w = words[langs == lang]
+            u, c = np.unique(w, return_counts=True)
+            idx = np.minimum(np.searchsorted(allowed, u), allowed.size - 1)
+            keep = allowed[idx] == u
+            tl.extend([lang] * int(keep.sum()))
+            tw.extend(list(u[keep]))
+            tc.extend(list(map(int, c[keep])))
+        return pa.table({"lang": pa.array(tl, pa.string()),
+                         "word": pa.array(tw, pa.string()),
+                         "cnt": pa.array(tc, pa.int64())})
+
+    exact = (
+        ds.map_batches(_recount, batch_format="pyarrow", batch_size=4096)
+        .groupby(["lang", "word"]).sum("cnt")
+    )
+    out = [(r["lang"], r["word"], int(r["sum(cnt)"]))
+           for r in exact.take_all()
+           if denom * int(r["sum(cnt)"]) >= tot_n[r["lang"]]]
+    out.sort()
+    return pa.table({
+        "lang": pa.array([x[0] for x in out], pa.string()),
+        "word": pa.array([x[1] for x in out], pa.string()),
+        "cnt": pa.array([x[2] for x in out], pa.int64()),
+    })
+
+
+SQL["k6b_heavy_hitters_by_lang"] = f"""
+WITH w AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '{WS_REGEX}'),
+                x -> x <> '')) AS word
+  FROM documents
+),
+tot AS (SELECT lang, count(*) AS n FROM w GROUP BY lang)
+SELECT w.lang AS lang, word, CAST(count(*) AS BIGINT) AS cnt
+FROM w JOIN tot ON w.lang = tot.lang
+GROUP BY w.lang, word, tot.n
+HAVING {HH_DENOM} * count(*) >= tot.n
+"""
+
+
 # ------------------------------------- exact quantiles via histogram merge
 
 _QUANTS = [0.5, 0.9, 0.99]
