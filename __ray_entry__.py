@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_fingerprint": st.doc_fingerprint,
         "m8_quality_score": st.doc_quality,
         "m17_filter_dsl": st.filter_docs,
+        "k11_facet_counts": st.facet_counts,
         "k1_topk_docs": st.topk_docs,
         "a1_lang_stats": st.lang_stats,
         "a4_events_hourly": st.events_hourly,

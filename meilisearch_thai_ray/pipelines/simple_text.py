@@ -338,6 +338,59 @@ SQL["m17_filter_dsl"] = (
 )
 
 
+FACET_FIELDS = ("lang", "source")
+
+
+def facet_counts(sf_dir: str, fields: tuple[str, ...] = FACET_FIELDS):
+    """K11: Meilisearch-style facet distribution — per-value document counts
+    for each facetable field, computed over the filter-matching subset
+    (Meilisearch /search facetDistribution semantics: facets count the
+    FILTERED result set, not the whole index; the reference exposes exactly
+    that engine surface through its proxy). The filter pushes down to the
+    parquet read (M17 expression); each batch emits (facet, value, cnt)
+    partials — bounded by facet cardinality, which is small by definition —
+    then one tiny groupby sum. No corpus-sized data ever shuffles."""
+    expr = compile_filter(FILTER_DSL)
+    # filter columns must be in the projection for expression pushdown
+    cols = list(dict.fromkeys(list(fields) + list(FILTER_DSL)))
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=cols, filter=expr)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fs: list = []
+        vs: list = []
+        cs: list = []
+        for col in fields:
+            u, c = np.unique(batch[col].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            fs.extend([col] * u.size)
+            vs.extend([str(x) for x in u])
+            cs.extend(map(int, c))
+        return pa.table({"facet": pa.array(fs, pa.string()),
+                         "value": pa.array(vs, pa.string()),
+                         "cnt": pa.array(cs, pa.int64())})
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table({"facet": t["facet"].cast(pa.string()),
+                         "value": t["value"].cast(pa.string()),
+                         "cnt": t["sum(cnt)"].cast(pa.int64())})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["facet", "value"]).sum("cnt")
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+SQL["k11_facet_counts"] = f"""
+WITH f AS (SELECT lang, source FROM documents WHERE {dsl_to_sql(FILTER_DSL)})
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM f GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM f GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------- top-k docs
 
 def topk_docs(sf_dir: str, k: int = 10, offset: int = 5):

@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "m1_token_stats", "m1b_token_count_bpe", "m2_json_props",
     "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
     "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
+    "k11_facet_counts",
     "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "a7_sessionize",
     "k4_suggest", "ann_cosine_topk", "ann_ivf_topk",
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
