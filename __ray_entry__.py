@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_cosine_pairs_exact": dp.embed_cosine_pairs,
         "j6_asof_join": st.asof_join,
         "j7_range_join": st.range_join,
+        "j11_anti_join": st.anti_join_inactive,
         "k2_grouped_topn": st.grouped_topn,
         "a8_sliding_window": st.sliding_window_ma,
         "q3_shipping": st.q3_shipping,

@@ -817,6 +817,116 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+# ----------------------------------------------------------------- anti join
+
+def anti_join_inactive(sf_dir: str):
+    """J11: distributed ANTI join (TPC-H Q22 shape) — positive-balance
+    customers with NO urgent orders, aggregated per nation. Neither side is
+    broadcast: the orders side shrinks to per-batch UNIQUE custkeys
+    (combiner dedup), both sides ride ONE groupby(c_custkey) exchange, and
+    the absence test is a vectorized per-group aggregate (sum of side
+    markers — no per-key python group calls). The per-nation rollup is a
+    per-batch partial -> tiny second groupby, so no corpus-sized data
+    moves twice. Nation names resolve via the broadcast small-side lookup
+    (same pattern as J1)."""
+    import pyarrow.dataset as pads
+
+    cust = read_parquet_clean(
+        _doc_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pc.field("c_acctbal") > 0.0,
+    )
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": b["c_custkey"].cast(pa.int64()),
+            "is_order": pa.array(np.zeros(b.num_rows, np.int64)),
+            "nationkey": b["c_nationkey"].cast(pa.int64()),
+            "acctbal": b["c_acctbal"].cast(pa.float64()),
+        })
+
+    def order_side(b: pa.Table) -> pa.Table:
+        u = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "custkey": pa.array(u.astype(np.int64)),
+            "is_order": pa.array(np.ones(u.size, np.int64)),
+            "nationkey": pa.array(np.zeros(u.size, np.int64)),
+            "acctbal": pa.array(np.zeros(u.size), pa.float64()),
+        })
+
+    both = (
+        cust.map_batches(cust_side, batch_format="pyarrow", batch_size=8192)
+        .union(orders.map_batches(order_side, batch_format="pyarrow",
+                                  batch_size=8192))
+        .groupby("custkey").aggregate(
+            Sum("is_order", alias_name="n_ord"),
+            Sum("nationkey", alias_name="nationkey"),
+            Sum("acctbal", alias_name="acctbal"),
+        )
+    )
+    # exactly one customer row per custkey corpus-wide, so the sums ARE the
+    # customer attributes; n_ord == 0 <=> anti-join survivor. Orders for
+    # custkeys outside the filtered customer set contribute nothing.
+
+    def _nation_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b["n_ord"], 0), pc.greater(b["acctbal"], 0.0))
+        t = b.filter(keep)
+        nk = t["nationkey"].to_numpy(zero_copy_only=False)
+        bal = t["acctbal"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        cnt = np.bincount(inv, minlength=u.size).astype(np.int64)
+        tot = np.zeros(u.size, np.float64)
+        np.add.at(tot, inv, bal)
+        return pa.table({
+            "nationkey": pa.array(u.astype(np.int64)),
+            "n_cust": pa.array(cnt),
+            "total_bal": pa.array(tot, pa.float64()),
+        })
+
+    agg = (
+        both.map_batches(_nation_partial, batch_format="pyarrow")
+        .groupby("nationkey").aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("total_bal", alias_name="total_bal"),
+        )
+    )
+    names = {
+        int(k): v for k, v in zip(
+            *[c.to_pylist() for c in pads.dataset(
+                _doc_path(sf_dir, "nation")).to_table(
+                columns=["n_nationkey", "n_name"]).columns])
+    }  # 25 rows: the broadcast small side
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nk = b["nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in nk], pa.string()),
+            "n_cust": b["n_cust"].cast(pa.int64()),
+            "total_bal": pa.array(
+                np.round(b["total_bal"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL["j11_anti_join"] = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       ROUND(sum(c_acctbal), 6) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------- grouped top-N
 
 TOPN_PER_GROUP = 3

@@ -43,7 +43,7 @@ SQL_CHECKED = [
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
-    "j7_range_join", "q3_shipping", "k5_hash_sample",
+    "j7_range_join", "j11_anti_join", "q3_shipping", "k5_hash_sample",
     "a9_distinct_users", "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
     "a10_quantiles_exact",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
