@@ -121,7 +121,9 @@ def run_bench() -> dict:
                  "a4_events_hourly", "ann_cosine_topk", "q1_lineitem_agg",
                  "d2_minhash_pairs", "m13_lang_id", "j6_asof_join",
                  "q3_shipping", "d3_ngram_jaccard_pairs",
-                 "k6_heavy_hitters", "a9_distinct_users", "d7_curate",
+                 "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
+                 "j11_anti_join", "k11_facet_counts",
+                 "a9_distinct_users", "d7_curate",
                  "p1_pack_sequences", "p2_pack_tokens", "d9_decontaminate",
                  "m23_lm_score", "k8_global_shuffle", "k9_budget_select"]:
         fn = qs[name]

@@ -410,6 +410,68 @@ HAVING {HH_DENOM} * count(*) >= tot.n
 """
 
 
+# --------------------------------------------- OLAP rollup (one-pass cube)
+
+_ROLLUP_ALL = "*"  # rolled-up marker; never a real lang/source value
+
+
+def rollup_counts(sf_dir: str):
+    """A12: ROLLUP aggregate — doc counts + char totals at THREE
+    granularities (lang x source, lang, grand total) in ONE pass: each
+    batch emits partials for every level (output bounded by group
+    cardinality x 3, independent of batch rows), then one tiny
+    groupby(lang, source) merges them. The standard OLAP rollup shape
+    without scanning the corpus once per level or shuffling raw rows."""
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    cols = ["lang", "source", "n_docs", "total_chars"]
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "total_chars": pa.array([], pa.int64())})
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return empty
+        df = pl.from_arrow(batch)
+        aggs = [pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_chars").sum().cast(pl.Int64).alias("total_chars")]
+        lvl2 = df.group_by(["lang", "source"]).agg(aggs)
+        lvl1 = df.group_by("lang").agg(aggs).with_columns(
+            pl.lit(_ROLLUP_ALL).alias("source"))
+        lvl0 = df.select(aggs).with_columns(
+            pl.lit(_ROLLUP_ALL).alias("lang"),
+            pl.lit(_ROLLUP_ALL).alias("source"))
+        out = pl.concat([lvl2.select(cols), lvl1.select(cols),
+                         lvl0.select(cols)]).to_arrow()
+        return out.cast(empty.schema)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"].cast(pa.string()),
+            "source": t["source"].cast(pa.string()),
+            "n_docs": t["sum(n_docs)"].cast(pa.int64()),
+            "total_chars": t["sum(total_chars)"].cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["lang", "source"]).sum(["n_docs", "total_chars"])
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+SQL["a12_rollup_counts"] = f"""
+SELECT COALESCE(lang, '{_ROLLUP_ALL}') AS lang,
+       COALESCE(source, '{_ROLLUP_ALL}') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
 # ------------------------------------- exact quantiles via histogram merge
 
 _QUANTS = [0.5, 0.9, 0.99]

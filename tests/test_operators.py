@@ -45,7 +45,7 @@ SQL_CHECKED = [
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
     "j7_range_join", "j11_anti_join", "q3_shipping", "k5_hash_sample",
     "a9_distinct_users", "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
-    "a10_quantiles_exact",
+    "a10_quantiles_exact", "a12_rollup_counts",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
     "j8_latest_event", "a11_bigram_pmi", "d7_curate", "j9_postings_export",
     "ann_ivf_dtrain_topk", "m22_tfidf_embed",
