@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m2_json_props": st.json_props,
         "a6_corpus_stats": st.corpus_stats,
         "a6_term_df": st.term_df,
+        "m25_typo_expand": st.typo_expand,
         "j4_bm25_topk": st.bm25_topk,
         "d2_exact_dedup": st.exact_dedup,
         "d3_fingerprint": st.doc_fingerprint,

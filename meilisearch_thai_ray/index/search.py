@@ -119,6 +119,7 @@ class SearchEngine:
         )
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
+        self._typo_vocab = None  # (terms, dfs, lens, first) built lazily
 
     # ------------- loading -------------
 
@@ -689,6 +690,68 @@ class SearchEngine:
                      if t not in terms]
             terms = terms + extra
         return self.score_topk(terms, k=k)
+
+    # ------------- typo tolerance -------------
+
+    def _typo_vocabulary(self):
+        """The whole term dictionary as vectorized-prefilter arrays
+        (terms, dfs, codepoint lens, first chars), built once per engine.
+        Vocabulary-sized — the same driver footprint as one shard scan; the
+        100-TB path precomputes the SymSpell deletion-neighborhood over the
+        sorted dictionary (the distributed bucketing in
+        pipelines/simple_text.typo_expand) so expansion becomes a pruned
+        range read instead of an in-memory prefilter."""
+        if self._typo_vocab is None:
+            hits = self._prefix_hits("")  # termdict read or full shard scan
+            terms = np.array([t for _, t in hits], dtype=object)
+            dfs = np.array([-d for d, _ in hits], dtype=np.int64)
+            lens = np.array([len(t) for t in terms], dtype=np.int64)
+            first = np.array([t[:1] for t in terms], dtype=object)
+            self._typo_vocab = (terms, dfs, lens, first)
+        return self._typo_vocab
+
+    def expand_typo(self, term: str, limit: int = 5) -> list[str]:
+        """Typo-tolerant term expansion under Meilisearch's PUBLIC rules
+        (kernel/typo.py: 5-8 chars allow 1 typo, >=9 allow 2; adjacent swap
+        = 1 typo; first-letter typo counts as 2 — the reference only passes
+        `typo_tolerance` options through to Meilisearch,
+        query_processor.py:671,693). Candidates are prefiltered vectorized
+        (length band <= budget; first char must match when the budget is 1,
+        since a first-letter typo alone costs 2) then verified with exact
+        Damerau-Levenshtein. Ranked (fewest typos, highest df, term)."""
+        from ..kernel.typo import typo_budget, typo_matches
+
+        b = typo_budget(term)
+        if b == 0:
+            return []
+        terms, dfs, lens, first = self._typo_vocabulary()
+        if not terms.size:
+            return []
+        keep = np.abs(lens - len(term)) <= b
+        if b == 1:
+            keep &= first == term[0]
+        scored = []
+        for t, df in zip(terms[keep], dfs[keep]):
+            if t == term:
+                continue
+            ty = typo_matches(term, t)
+            if ty is not None:
+                scored.append((ty, -int(df), t))
+        scored.sort()
+        return [t for _, _, t in scored[:limit]]
+
+    def search_typo(self, query: str, k: int = 10, expansions: int = 3,
+                    mode: str = "exhaustive"):
+        """Search where every query word also matches its typo variants
+        (Meilisearch typo tolerance). Expansions join the OR term set the
+        same way prefix expansion does; documents matching the exact term
+        still rank first because they score the original term too."""
+        terms = self.query_terms(query)
+        extra: list[str] = []
+        for t in terms:
+            extra.extend(x for x in self.expand_typo(t, expansions)
+                         if x not in terms and x not in extra)
+        return self.score_topk(terms + extra, k=k, mode=mode)
 
     # ------------- public search -------------
 

@@ -138,6 +138,93 @@ GROUP BY term
 """
 
 
+# ----------------------------------------------------- typo-tolerant expand
+
+TYPO_PROBES = ("custoner", "customers", "fliter", "strean", "windoe",
+               "colunm", "mergee", "qhery", "scann", "jion")
+
+
+def typo_expand(sf_dir: str, probes: tuple[str, ...] = TYPO_PROBES):
+    """M25: distributed typo-candidate expansion under Meilisearch's public
+    typo rules (kernel/typo.py — the reference passes `typo_tolerance`
+    options through to Meilisearch, query_processor.py:671,693; the matching
+    itself lives here because this engine replaces Meilisearch). SymSpell
+    deletion-neighborhood bucketing: the probes' deletion variants broadcast
+    as a tiny hash map; each vocabulary batch generates its terms' own
+    deletion variants within the term-side budget and intersects INSIDE the
+    task, verifying survivors with exact Damerau-Levenshtein before any row
+    leaves. One term-df exchange (shared with A6), zero further shuffles —
+    the corpus-side neighborhood is probed, never materialized. The
+    no-false-negative guarantee of the bucketing (dl(q,t) <= d implies a
+    shared <= d-deletion variant; term-side budget >= any reachable d) is
+    asserted exhaustively in tests/test_typo.py."""
+    from ..kernel.typo import (ONE_TYPO_MIN_LEN, TWO_TYPO_MIN_LEN,
+                               deletion_variants, typo_budget, typo_matches)
+
+    probe_vars: dict[str, tuple[str, ...]] = {}
+    for p in probes:
+        for v in deletion_variants(p, typo_budget(p)):
+            probe_vars[v] = probe_vars.get(v, ()) + (p,)
+
+    def _match(batch: pa.Table) -> pa.Table:
+        op: list = []
+        ot: list = []
+        oty: list = []
+        odf: list = []
+        for t, df in zip(batch["term"].to_pylist(), batch["df"].to_pylist()):
+            # term-side deletion budget: a term is reachable at distance d
+            # only from probes of length >= len(t) - d with budget >= d, so
+            # len >= 7 needs 2 deletions, len >= 4 needs 1 (see test).
+            idx_budget = typo_budget(t, one_typo=ONE_TYPO_MIN_LEN - 1,
+                                     two_typos=TWO_TYPO_MIN_LEN - 2)
+            hit: set[str] = set()
+            for v in deletion_variants(t, idx_budget):
+                hit.update(probe_vars.get(v, ()))
+            for p in sorted(hit):
+                if p == t:
+                    continue
+                ty = typo_matches(p, t)
+                if ty is not None:
+                    op.append(p)
+                    ot.append(t)
+                    oty.append(ty)
+                    odf.append(int(df))
+        return pa.table({
+            "probe": pa.array(op, pa.string()),
+            "term": pa.array(ot, pa.string()),
+            "typos": pa.array(oty, pa.int64()),
+            "df": pa.array(odf, pa.int64()),
+        })
+
+    return term_df(sf_dir).select_columns(["term", "df"]).map_batches(
+        _match, batch_format="pyarrow")
+
+
+def _typo_sql() -> str:
+    from ..kernel.typo import ONE_TYPO_MIN_LEN, TWO_TYPO_MIN_LEN
+
+    probe_values = ", ".join(f"('{p}')" for p in TYPO_PROBES)
+    eff = ("damerau_levenshtein(probe, term) + CASE WHEN "
+           "substr(probe, 1, 1) <> substr(term, 1, 1) THEN 1 ELSE 0 END")
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+probes(probe) AS (VALUES {probe_values})
+SELECT probe, term, CAST({eff} AS BIGINT) AS typos, df
+FROM probes CROSS JOIN vocab
+WHERE term <> probe
+  AND {eff} <= CASE WHEN length(probe) >= {TWO_TYPO_MIN_LEN} THEN 2
+                    WHEN length(probe) >= {ONE_TYPO_MIN_LEN} THEN 1
+                    ELSE 0 END
+"""
+
+
+SQL["m25_typo_expand"] = _typo_sql()
+
+
 # ---------------------------------------------------------------- BM25 top-k
 
 def _simple_docs_batch(batch: pa.Table) -> pa.Table:

@@ -35,7 +35,7 @@ def _to_pandas(obj):
 
 SQL_CHECKED = [
     "m1_token_stats", "m1b_token_count_bpe", "m2_json_props",
-    "a6_corpus_stats", "a6_term_df", "j4_bm25_topk",
+    "a6_corpus_stats", "a6_term_df", "m25_typo_expand", "j4_bm25_topk",
     "d2_exact_dedup", "d3_fingerprint", "m8_quality_score", "m17_filter_dsl",
     "k11_facet_counts",
     "k1_topk_docs", "a1_lang_stats", "a4_events_hourly", "a7_sessionize",
