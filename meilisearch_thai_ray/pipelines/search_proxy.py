@@ -88,6 +88,11 @@ class SearchOptions:
     boost_exact_matches: float | None = None  # requests.py:27
     boost_thai_matches: float | None = None   # requests.py:28
     max_query_variants: int | None = None     # requests.py:31 (ge=1, le=10)
+    # None = reference behavior (typo matching only on fallback variants,
+    # query_processor.py:671,693); True = every OR-matching variant expands
+    # its terms via the engine's typo matching (Meilisearch's default-on
+    # index setting); False = off everywhere
+    typo_tolerance: bool | None = None
 
     def __post_init__(self):
         if not 1 <= self.limit <= 100:
@@ -447,6 +452,20 @@ class SearchProxy:
                         break
                     tt = tt[:-1]
             else:
+                # typo matching joins expansions to the OR term set (AND
+                # strategies are exempt: requiring a typo'd variant would
+                # tighten, not loosen, the match). Default scope mirrors the
+                # reference: fallback variants only (query_processor.py:
+                # 671,693); typo_tolerance=True widens it to every variant
+                # (Meilisearch's default-on index setting).
+                use_typo = (options.typo_tolerance if options is not None
+                            and options.typo_tolerance is not None
+                            else variant.variant_type == FALLBACK)
+                expand = getattr(self.engine, "expand_typo", None)
+                if use_typo and expand is not None:
+                    extra = [x for t in terms for x in expand(t, 3)
+                             if x not in terms]
+                    terms = list(terms) + list(dict.fromkeys(extra))
                 hits = self.engine.score_topk(terms, k=MAX_RESULTS_PER_VARIANT)
             if not hits:
                 continue

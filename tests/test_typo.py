@@ -151,6 +151,38 @@ def test_engine_short_words_get_no_expansion(typo_engine):
     assert typo_engine.expand_typo("abc") == []
 
 
+def test_proxy_typo_tolerance_option(typo_engine):
+    """typo_tolerance=True widens typo matching to every OR-matching
+    variant: a misspelled latin query recovers the exact query's docs.
+    Default (None) keeps the reference scope (fallback variants only), so
+    the same misspelled query without the option finds nothing new."""
+    from meilisearch_thai_ray.pipelines.search_proxy import (
+        SearchOptions,
+        SearchProxy,
+    )
+
+    vocab = typo_engine._typo_vocabulary()[0]
+    vset = set(vocab)
+    cands = [t for t in vocab
+             if t.isascii() and t.isalpha()
+             and ONE_TYPO_MIN_LEN <= len(t) < TWO_TYPO_MIN_LEN]
+    assert cands, "fixture corpus must index 5-8 char latin terms"
+    p = SearchProxy(typo_engine)
+    checked = 0
+    for t in sorted(cands)[:30]:
+        exact = {d for d, _ in typo_engine.search(t, k=10)}
+        typo = t[:2] + ("x" if t[2] != "x" else "q") + t[3:]
+        if not exact or typo in vset:
+            continue
+        hits = p.search(typo, options=SearchOptions(
+            limit=10, typo_tolerance=True, matching_strategy="frequency"))
+        assert exact & {h["doc_id"] for h in hits}, (t, typo)
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked >= 1
+
+
 def test_engine_search_typo_recovers_misspelled_query(typo_engine):
     """A query misspelled within budget must still retrieve the docs the
     correctly-spelled query retrieves (they score via the expanded term)."""
