@@ -693,6 +693,71 @@ def build_term_dict(out_dir: str) -> str:
     return d
 
 
+def _typo_neighborhood_rows(batch: pa.Table) -> pa.Table:
+    """(term, df) rows -> (variant, term, df) SymSpell deletion-neighborhood
+    rows within each term's index-side budget (kernel/typo.py: len >= 7
+    emits 2-deletion variants, len >= 4 one, shorter terms only themselves
+    — every pair the query-side budget can accept stays reachable, proven
+    exhaustively in tests/test_typo.py)."""
+    from ..kernel.typo import (ONE_TYPO_MIN_LEN, TWO_TYPO_MIN_LEN,
+                               deletion_variants, typo_budget)
+
+    vs: list = []
+    ts: list = []
+    dfs: list = []
+    for t, df in zip(batch["term"].to_pylist(), batch["df"].to_pylist()):
+        b = typo_budget(t, one_typo=ONE_TYPO_MIN_LEN - 1,
+                        two_typos=TWO_TYPO_MIN_LEN - 2)
+        for v in deletion_variants(t, b):
+            vs.append(v)
+            ts.append(t)
+            dfs.append(int(df))
+    return pa.table({"variant": pa.array(vs, pa.string()),
+                     "term": pa.array(ts, pa.string()),
+                     "df": pa.array(dfs, pa.int64())})
+
+
+def build_typo_index(out_dir: str) -> str:
+    """Phase 'typodict' (OPT-IN, after 'dict'): the SymSpell deletion
+    neighborhood of the term dictionary as a globally variant-SORTED parquet
+    with small row groups, so typo expansion becomes a stats-pruned range
+    read (the same trick the sorted termdict plays for prefixes) instead of
+    a driver-side vocabulary scan. Opt-in because serving falls back to the
+    in-memory prefilter transparently (SearchEngine.expand_typo) and small
+    indexes don't need the ~O(vocab x len^2) rows. Driver polars path below
+    512 MiB of dictionary, Ray map_batches + sort above."""
+    import pyarrow.dataset as pads
+
+    manifest = BuildManifest(out_dir)
+    d = os.path.join(out_dir, "typodict")
+    if manifest.phase_done("typodict"):
+        return d
+    td = build_term_dict(out_dir)  # no-op when the dict phase is done
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(d):  # discard a crashed run's partial files
+        os.remove(os.path.join(d, f))
+    t0 = time.time()
+    files = [os.path.join(td, f) for f in os.listdir(td)
+             if f.endswith(".parquet")]
+    if sum(os.path.getsize(f) for f in files) < 512 << 20:
+        import polars as pl
+
+        rows = _typo_neighborhood_rows(
+            pads.dataset(files).to_table(columns=["term", "df"]))
+        out = pl.from_arrow(rows).sort(["variant", "term"]).to_arrow()
+        atomic_write_parquet(
+            out.cast(rows.schema), os.path.join(d, "typodict-00000.parquet"),
+            row_group_size=8192,
+        )
+    else:
+        ds = ray.data.read_parquet(files, columns=["term", "df"])
+        ds.map_batches(_typo_neighborhood_rows, batch_format="pyarrow",
+                       batch_size=4096).sort(["variant", "term"]).write_parquet(
+            d, row_group_size=8192)
+    manifest.mark_phase_done("typodict", {"wall_s": time.time() - t0})
+    return d
+
+
 def build_index(pages_path: str, out_dir: str, config: EngineConfig | None = None, *,
                 num_salts: int = 1, batch_size: int = 256) -> dict:
     """Full build (all phases, resumable). Returns meta dict."""

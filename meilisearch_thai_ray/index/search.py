@@ -120,6 +120,7 @@ class SearchEngine:
         self._config = config or EngineConfig(num_shards=self.num_shards)
         self._tokenizer = tokenizer  # built lazily (trie cost)
         self._typo_vocab = None  # (terms, dfs, lens, first) built lazily
+        self._typodict_ok: bool | None = None  # typodict phase marker cache
 
     # ------------- loading -------------
 
@@ -710,28 +711,66 @@ class SearchEngine:
             self._typo_vocab = (terms, dfs, lens, first)
         return self._typo_vocab
 
+    def _typodict_candidates(self, variants: list[str]):
+        """(term, df) candidates whose SymSpell neighborhood intersects the
+        query's deletion variants, via a stats-pruned read of the
+        variant-SORTED typodict parquet (build_typo_index). None when the
+        phase was never built (fall back to the in-memory prefilter). Gated
+        on the manifest marker like termdict — a crashed typodict write
+        must not silently truncate expansion."""
+        from ..state.manifest import BuildManifest
+
+        d = os.path.join(self.index_dir, "typodict")
+        if self._typodict_ok is None:
+            self._typodict_ok = (
+                BuildManifest(self.index_dir).phase_done("typodict")
+                and os.path.isdir(d)
+                and any(f.endswith(".parquet") for f in os.listdir(d))
+            )
+        if not self._typodict_ok:
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(d).to_table(
+            columns=["term", "df"],
+            filter=pc.field("variant").isin(variants),
+        )
+        out: dict[str, int] = {}
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            out[term] = int(df)
+        return list(out.items())
+
     def expand_typo(self, term: str, limit: int = 5) -> list[str]:
         """Typo-tolerant term expansion under Meilisearch's PUBLIC rules
         (kernel/typo.py: 5-8 chars allow 1 typo, >=9 allow 2; adjacent swap
         = 1 typo; first-letter typo counts as 2 — the reference only passes
         `typo_tolerance` options through to Meilisearch,
-        query_processor.py:671,693). Candidates are prefiltered vectorized
+        query_processor.py:671,693). Candidates come from the prebuilt
+        SymSpell typodict when the index has one (a pruned range read —
+        the 100-TB path), else from a vectorized in-memory prefilter
         (length band <= budget; first char must match when the budget is 1,
-        since a first-letter typo alone costs 2) then verified with exact
-        Damerau-Levenshtein. Ranked (fewest typos, highest df, term)."""
-        from ..kernel.typo import typo_budget, typo_matches
+        since a first-letter typo alone costs 2). Either way every survivor
+        is verified with exact Damerau-Levenshtein, so both paths return
+        IDENTICAL expansions (asserted in tests). Ranked (fewest typos,
+        highest df, term)."""
+        from ..kernel.typo import deletion_variants, typo_budget, typo_matches
 
         b = typo_budget(term)
         if b == 0:
             return []
-        terms, dfs, lens, first = self._typo_vocabulary()
-        if not terms.size:
-            return []
-        keep = np.abs(lens - len(term)) <= b
-        if b == 1:
-            keep &= first == term[0]
+        cands = self._typodict_candidates(
+            sorted(deletion_variants(term, b)))
+        if cands is None:
+            terms, dfs, lens, first = self._typo_vocabulary()
+            if not terms.size:
+                return []
+            keep = np.abs(lens - len(term)) <= b
+            if b == 1:
+                keep &= first == term[0]
+            cands = [(t, int(df)) for t, df in zip(terms[keep], dfs[keep])]
         scored = []
-        for t, df in zip(terms[keep], dfs[keep]):
+        for t, df in cands:
             if t == term:
                 continue
             ty = typo_matches(term, t)

@@ -151,6 +151,34 @@ def test_engine_short_words_get_no_expansion(typo_engine):
     assert typo_engine.expand_typo("abc") == []
 
 
+def test_typodict_path_identical_to_inmemory(typo_engine, tmp_path):
+    """Building the SymSpell typodict must not change a single expansion:
+    the pruned-range-read path and the in-memory prefilter path return
+    IDENTICAL ranked lists for every 5+ char vocabulary term and a planted
+    typo of each."""
+    from meilisearch_thai_ray.index.build import build_typo_index
+
+    build_typo_index(typo_engine.index_dir)
+    with_dict = SearchEngine(typo_engine.index_dir)
+    assert with_dict._typodict_candidates(["anything"]) is not None
+
+    probes = []
+    for t in sorted(typo_engine._typo_vocabulary()[0]):
+        if len(t) >= ONE_TYPO_MIN_LEN:
+            probes.append(t)
+            probes.append(t[:2] + "ß" + t[3:])
+        if len(probes) >= 60:
+            break
+    assert probes
+    for q in probes:
+        via_dict = with_dict.expand_typo(q, limit=20)
+        # typo_engine was constructed before the typodict existed and has
+        # its availability cached as absent -> in-memory path
+        typo_engine._typodict_ok = False
+        via_mem = typo_engine.expand_typo(q, limit=20)
+        assert via_dict == via_mem, q
+
+
 def test_proxy_typo_tolerance_option(typo_engine):
     """typo_tolerance=True widens typo matching to every OR-matching
     variant: a misspelled latin query recovers the exact query's docs.
