@@ -24,7 +24,9 @@ from ..stages.dedup import (
     JaccardVerify,
     MinHasher,
     SimHasher,
-    lsh_candidate_pairs,
+    block_boundary_members,
+    block_candidate_pairs,
+    pairs_from_members,
 )
 
 
@@ -60,7 +62,10 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6,
     (tiny by definition):
 
       band rows (MinHasher actor pool)
-        -> groupby(band, band_hash) -> per-bucket candidate pairs (capped)
+        -> ONE sort by (band, band_hash)      [the only corpus-sized shuffle]
+        -> per-block vectorized bucket pairs  [interior runs; first/last run
+           + tiny boundary-bucket merge        of each block pairs on the
+                                               driver — <= 2 buckets/block]
         -> ONE sort by (a, b) + per-batch consecutive dedup
                                               [cross-band pair dedup: a
                                                colliding pair appears in up
@@ -69,12 +74,15 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6,
                                                per-actor shingle cache]
         -> tiny final dedup of the verified set
 
-    The sort-then-adjacent-dedup replaces a groupby(a, b) shuffle + a second
-    cap sort (2x faster end-to-end measured at sf0.1): equal pairs are
-    adjacent after the sort, so one vectorized compare per batch removes
-    them; the at-most-(blocks-1) duplicates straddling block boundaries are
-    verified twice (JaccardVerify is pure, shingles cached) and collapsed in
-    the final driver-side dedup of the tiny verified output.
+    Both sort-then-scan stages replace groupby shuffles that paid a Python
+    map_groups call per GROUP: LSH makes nearly one bucket per band row, so
+    the bucket groupby's dispatch cost scaled with the corpus (measured 3x
+    the whole pipeline at sf0.1) while only multi-member buckets do work.
+    After the sort, buckets are contiguous, so a per-block vectorized run
+    scan finds the multi-member ones at numpy speed; the pair dedup is the
+    same trick on (a, b). The at-most-(blocks-1) duplicates straddling pair
+    blocks are verified twice (JaccardVerify is pure, shingles cached) and
+    collapsed in the final driver-side dedup of the tiny verified output.
 
     max_verify bounds the exact-verification stage; when the candidate rows
     exceed it the drop is REPORTED (never silent) and the first max_verify
@@ -86,10 +94,22 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6,
     band_rows = _documents(sf_dir).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
+    # sorted band rows are reused by the interior-pair pass and the (tiny)
+    # boundary-member pass — materialize once
+    sorted_rows = band_rows.sort(["band", "band_hash"]).materialize()
+    interior = sorted_rows.map_batches(
+        block_candidate_pairs, batch_format="pyarrow", batch_size=None)
+    member_tables = ray.get(
+        sorted_rows.map_batches(block_boundary_members,
+                                batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs())  # <= 2 buckets per block: tiny by construction
+    boundary_pairs = pairs_from_members(
+        pa.concat_tables(member_tables) if member_tables
+        else pa.table({"band": pa.array([], pa.int32()),
+                       "band_hash": pa.array([], pa.int64()),
+                       "doc_id": pa.array([], pa.int64())}))
     cand = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(lsh_candidate_pairs, batch_format="pyarrow")
-        .select_columns(["a", "b"])
+        interior.union(ray.data.from_arrow(boundary_pairs))
         .sort(["a", "b"])
         .map_batches(_consecutive_dedup, batch_format="pyarrow")
         .materialize()
