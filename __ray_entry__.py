@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p1_pack_sequences": pk.pack_sequences,
         "p2_pack_tokens": pk.pack_tokens,
         "d9_decontaminate": td.decontaminate,
+        # plant=True: the synthetic docs are single-line with no natural
+        # cross-document shared lines (library default is plant=False)
+        "d12_line_dedup": functools.partial(td.line_dedup, plant=True),
         "m23_lm_score": td.lm_score,
         "k8_global_shuffle": td.global_shuffle,
         "k9_budget_select": td.budget_select,

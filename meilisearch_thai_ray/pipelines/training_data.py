@@ -626,3 +626,175 @@ def export_training_corpus(sf_dir: str, out_dir: str,
     manifest.sort(key=lambda r: r["shard"])
     return {"shards": manifest,
             "rows": int(sum(r["rows"] for r in manifest))}
+
+
+# --------------------------------------- cross-document boilerplate removal
+
+LINE_DEDUP_MIN_DOCS = 5  # a non-empty line in >= 5 distinct docs is boiler
+
+# Deterministic planted boilerplate: the driver's synthetic documents are
+# single-line with zero cross-document shared lines, so without planting the
+# operator's removal set is always empty. The plant is mirrored EXACTLY in
+# the SQL oracle (same precedent as d2_embed_neardup / d10's re-crawl): a
+# footer on every 7th doc, a header on every 13th, and a rare notice on
+# every 250th — the last sits under the threshold at small scales and above
+# it at large ones, exercising the threshold data-dependently.
+PLANT_HEADER = "This website uses cookies to improve your experience."
+PLANT_FOOTER = "Follow us on social media and subscribe to the newsletter."
+PLANT_RARE = "Editors note: this piece was updated for clarity."
+
+
+def _plant_boilerplate(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    ids = pl.col("doc_id")
+    prefix = (pl.when(ids % 13 == 0).then(pl.lit(PLANT_HEADER + "\n"))
+              .otherwise(pl.lit("")))
+    suffix1 = (pl.when(ids % 7 == 0).then(pl.lit("\n" + PLANT_FOOTER))
+               .otherwise(pl.lit("")))
+    suffix2 = (pl.when(ids % 250 == 3).then(pl.lit("\n" + PLANT_RARE))
+               .otherwise(pl.lit("")))
+    return (pl.from_arrow(batch)
+            .with_columns(text=prefix + pl.col("text") + suffix1 + suffix2)
+            .to_arrow())
+
+
+def _line_doc_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (line, nd) where nd = number of DISTINCT docs in
+    this batch containing the non-empty line. A doc lives entirely in one
+    batch, so summing nd across batches gives the corpus-wide distinct-doc
+    count with one small groupby (never a per-occurrence shuffle)."""
+    import polars as pl
+
+    out = (pl.from_arrow(batch)
+           .select("doc_id", line=pl.col("text").str.split("\n"))
+           .explode("line")
+           .filter(pl.col("line") != "")
+           .unique(["doc_id", "line"])
+           .group_by("line").len("nd"))
+    return out.to_arrow().cast(pa.schema([("line", pa.string()),
+                                          ("nd", pa.int64())]))
+
+
+class _StripBoiler:
+    """Per-batch boilerplate removal against the broadcast boiler-line set.
+    Order-preserving: polars list.eval filter keeps surviving lines in
+    place, so unaffected documents reconstruct byte-identically."""
+
+    def __init__(self, boiler_ref):
+        import polars as pl
+
+        self._pl = pl
+        self.boiler = (ray.get(boiler_ref)
+                       if isinstance(boiler_ref, ray.ObjectRef)
+                       else boiler_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = self._pl
+        df = (pl.from_arrow(batch)
+              .with_columns(lines=pl.col("text").str.split("\n"))
+              .with_columns(n_lines=pl.col("lines").list.len()
+                            .cast(pl.Int64)))
+        if self.boiler:
+            df = df.with_columns(kept=pl.col("lines").list.eval(
+                pl.element().filter(~pl.element().is_in(self.boiler))))
+        else:
+            df = df.with_columns(kept=pl.col("lines"))
+        df = df.with_columns(
+            n_removed=(pl.col("n_lines")
+                       - pl.col("kept").list.len().cast(pl.Int64)),
+            clean_text=pl.col("kept").list.join("\n"),
+        )
+        return df.select(["doc_id", "n_lines", "n_removed",
+                          "clean_text"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                       ("n_removed", pa.int64()), ("clean_text", pa.string())]))
+
+
+def line_dedup_ds(ds: ray.data.Dataset,
+                  min_docs: int = LINE_DEDUP_MIN_DOCS) -> ray.data.Dataset:
+    """CCNet-style cross-document line dedup over any (doc_id, text)
+    Dataset -> (doc_id, n_lines, n_removed, clean_text): every non-empty
+    line occurring in >= min_docs DISTINCT documents (site chrome, cookie
+    banners, share footers) is removed from every document.
+
+    Two passes, one tiny exchange each:
+      A. per-batch distinct (doc, line) -> (line, nd) combiner, then ONE
+         groupby(line).sum — only (line, count) rows shuffle, never text;
+      B. the boiler set (bounded above by total_lines / min_docs, MBs in
+         practice) broadcasts via ray.put and each batch strips lines
+         locally. At 100 TB, swap the exact broadcast for a Bloom filter
+         of line hashes + exact confirm on hits (stages/sketches.BloomFilter
+         is the j10 building block) if the boiler set outgrows workers.
+
+    Reference analog: the reference dedups WITHIN a result set
+    (result_ranker.py:635-712); this is the corpus-level curation form
+    (CCNet / RefinedWeb paragraph dedup)."""
+    def _keep_boiler(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["sum(nd)"], min_docs)).select(["line"])
+
+    counts = (ds.map_batches(_line_doc_counts, batch_format="pyarrow",
+                             batch_size=4096)
+              .groupby("line").sum("nd"))
+    boiler_tables = ray.get(
+        counts.map_batches(_keep_boiler, batch_format="pyarrow")
+        .to_arrow_refs())
+    boiler = sorted(set().union(*(
+        t.column("line").to_pylist() for t in boiler_tables))) \
+        if boiler_tables else []
+    boiler_ref = ray.put(boiler)
+    return ds.map_batches(
+        _StripBoiler, fn_constructor_args=(boiler_ref,),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+    )
+
+
+def line_dedup(sf_dir: str, min_docs: int = LINE_DEDUP_MIN_DOCS,
+               plant: bool = False) -> ray.data.Dataset:
+    """D12 driver entry. plant defaults to FALSE — the production operator
+    never fabricates boilerplate; the driver's d12_line_dedup entry opts in
+    (see _plant_boilerplate) because the synthetic corpus has no natural
+    cross-document lines to find."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    if plant:
+        ds = ds.map_batches(_plant_boilerplate, batch_format="pyarrow",
+                            batch_size=4096)
+    return line_dedup_ds(ds, min_docs=min_docs)
+
+
+SQL["d12_line_dedup"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 13 = 0 THEN '{PLANT_HEADER}' || chr(10)
+               ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{PLANT_FOOTER}'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 250 = 3 THEN chr(10) || '{PLANT_RARE}'
+                  ELSE '' END) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+  FROM p
+),
+b AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM l WHERE line <> ''
+    GROUP BY line)
+  WHERE nd >= {LINE_DEDUP_MIN_DOCS}
+),
+k AS (SELECT doc_id, i, line FROM l WHERE line NOT IN (SELECT line FROM b)),
+a AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS clean_text
+      FROM k GROUP BY doc_id),
+t AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM t LEFT JOIN a USING (doc_id)
+"""

@@ -276,3 +276,46 @@ def test_dup_grams_planted(ray_session, tmp_path):
     assert out.get(1) == 1 and out.get(2) == 1
     assert out.get(3) == 2  # both offsets of the same gram count
     assert 0 not in out.index and 4 not in out.index
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(ray_session, tmp_path):
+    """A line shared by >= min_docs docs is stripped from every doc (order
+    preserved); rarer shared lines and unique lines survive; untouched docs
+    reconstruct byte-identically."""
+    from meilisearch_thai_ray.pipelines.training_data import line_dedup
+
+    boiler = "SHARE THIS ARTICLE"
+    rare = "rare shared line"
+    texts = [f"body {i}\n{boiler}\nmore {i}" for i in range(5)]
+    texts += [f"solo {i}\n{rare}" for i in range(2)]       # rare: 2 < 3
+    texts += ["untouched\n\nwith empty line"]
+    sf = _write_docs(tmp_path, texts)
+    out = (line_dedup(sf, min_docs=3).to_pandas()
+           .set_index("doc_id").sort_index())
+    for i in range(5):
+        assert out.loc[i, "clean_text"] == f"body {i}\nmore {i}"
+        assert out.loc[i, "n_lines"] == 3
+        assert out.loc[i, "n_removed"] == 1
+    for i in (5, 6):
+        assert out.loc[i, "clean_text"] == texts[i]
+        assert out.loc[i, "n_removed"] == 0
+    assert out.loc[7, "clean_text"] == texts[7]
+    assert out.loc[7, "n_lines"] == 3  # empty line counted, never removed
+
+
+def test_line_dedup_oracle_parity_planted(ray_session):
+    """Planted-boilerplate pipeline == DuckDB oracle, cell for cell."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.training_data import SQL, line_dedup
+
+    got = (line_dedup(SF, plant=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF}/documents.parquet'")
+    exp = (con.sql(SQL["d12_line_dedup"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+    assert (got["n_removed"] > 0).any()  # the plant actually fired
