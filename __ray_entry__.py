@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k2_grouped_topn": st.grouped_topn,
         "a8_sliding_window": st.sliding_window_ma,
         "q3_shipping": st.q3_shipping,
+        "j12_star_join": st.q5_region_revenue,
+        "q13_order_count_dist": st.q13_order_count_dist,
         "k5_hash_sample": st.hash_sample,
         "a9_distinct_users": cs.distinct_users,
         "k6_heavy_hitters": cs.heavy_hitter_words,

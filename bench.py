@@ -120,7 +120,8 @@ def run_bench() -> dict:
     for name in ["a6_term_df", "j4_bm25_topk", "d2_exact_dedup", "m8_quality_score",
                  "a4_events_hourly", "ann_cosine_topk", "q1_lineitem_agg",
                  "d2_minhash_pairs", "m13_lang_id", "j6_asof_join",
-                 "q3_shipping", "d3_ngram_jaccard_pairs",
+                 "q3_shipping", "j12_star_join", "q13_order_count_dist",
+                 "d12_line_dedup", "d3_ngram_jaccard_pairs",
                  "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
                  "j11_anti_join", "k11_facet_counts",
                  "a9_distinct_users", "d7_curate",

@@ -1243,6 +1243,307 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 """
 
 
+# --------------------------------------------- star join (Q5, region revenue)
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"  # driver data spans 1995..2001
+Q5_DATE_HI = "1997-01-01"
+
+
+def _q5_segments_factory(asia_nat_ids: "np.ndarray"):
+    """Per-block vectorized Q5 segment reduce over the orderkey-SORTED
+    union of annotated orders (side=1, carries c_nationkey) and lineitem
+    rows (side=0, carries supplier nation + revenue). Interior segments
+    resolve the c_nat == s_nat join locally and collapse to <= n_nations
+    (natkey, rev, n) partial rows; the block's FIRST and LAST segments may
+    split across block boundaries, so their raw rows pass through as
+    partial=true (bounded: <= 2 orders per block, <= 7 lines each)."""
+    nat_max = int(asia_nat_ids.max()) + 1 if asia_nat_ids.size else 1
+
+    def _segments(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "orderkey": pa.array([], pa.int64()),
+            "natkey": pa.array([], pa.int64()),
+            "suppnat": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.bool_()),
+        })
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        ok = batch["orderkey"].to_numpy(zero_copy_only=False)
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        natkey = batch["natkey"].to_numpy(zero_copy_only=False)
+        suppnat = batch["suppnat"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        seg_of = np.searchsorted(starts, np.arange(n), side="right") - 1
+        # propagate each segment's dim-row natkey to its line rows
+        seg_nat = np.full(starts.size, -1, np.int64)
+        dim_pos = np.flatnonzero(side == 1)
+        seg_nat[seg_of[dim_pos]] = natkey[dim_pos]
+        boundary_seg = np.zeros(starts.size, dtype=bool)
+        boundary_seg[0] = boundary_seg[-1] = True
+        row_nat = seg_nat[seg_of]
+        interior = (~boundary_seg[seg_of]) & (side == 0) & (row_nat == suppnat)
+        # local join + partial aggregate: one bincount pair per block
+        rsum = np.bincount(row_nat[interior], weights=rev[interior],
+                           minlength=nat_max)
+        rcnt = np.bincount(row_nat[interior], minlength=nat_max)
+        hit = np.flatnonzero(rcnt > 0)
+        agg = pa.table({
+            "orderkey": pa.array(np.full(hit.size, -1), pa.int64()),
+            "natkey": pa.array(hit.astype(np.int64), pa.int64()),
+            "suppnat": pa.array(np.full(hit.size, -1), pa.int64()),
+            "rev": pa.array(rsum[hit], pa.float64()),
+            "n": pa.array(rcnt[hit].astype(np.int64), pa.int64()),
+            "partial": pa.array(np.zeros(hit.size, bool)),
+        })
+        bmask = boundary_seg[seg_of]
+        braw = pa.table({
+            "orderkey": pa.array(ok[bmask], pa.int64()),
+            "natkey": pa.array(np.where(side[bmask] == 1, natkey[bmask],
+                                        -1).astype(np.int64), pa.int64()),
+            "suppnat": pa.array(suppnat[bmask].astype(np.int64), pa.int64()),
+            "rev": pa.array(rev[bmask], pa.float64()),
+            "n": pa.array((side[bmask] == 0).astype(np.int64), pa.int64()),
+            "partial": pa.array(np.ones(int(bmask.sum()), bool)),
+        })
+        return pa.concat_tables([agg, braw])
+
+    return _segments
+
+
+def q5_region_revenue(sf_dir: str):
+    """J12: TPC-H Q5-shape 6-table star join — revenue per nation for
+    {Q5_REGION} customers served by same-nation suppliers in 1994.
+
+    Join strategy by table size (the scale story, not just this SF):
+      - region/nation/supplier: tiny dims, folded into broadcast numpy
+        lookups (region filter applied while building them);
+      - customer -> orders: broadcast sorted (custkey, natkey) arrays via
+        ray.put + per-batch searchsorted (the j1 pattern). At 100 TB the
+        filtered customer map is ~1/5 of customers — if it outgrows worker
+        heaps, swap to the q3 union/co-partition join or a j10 Bloom
+        prefilter; the downstream stages are unchanged.
+      - orders <-> lineitem (both fact tables): ONE co-partitioning
+        sort(orderkey) exchange, then each block resolves the join AND the
+        c_nationkey == s_nationkey equality locally, collapsing to
+        <= n_nations partial rows per block (_q5_segments_factory).
+    Driver merges <= 2 boundary orders per block exactly; final output is
+    <= n_nations rows. Nothing wider than one sorted block materializes."""
+    import datetime
+
+    import ray
+
+    lo = datetime.datetime.fromisoformat(Q5_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q5_DATE_HI)
+
+    # --- tiny dims on the driver: region -> nation -> supplier lookups ---
+    region = read_parquet_clean(
+        _doc_path(sf_dir, "region"), columns=["r_regionkey", "r_name"],
+        filter=pc.field("r_name") == Q5_REGION).take_all()
+    rkeys = {r["r_regionkey"] for r in region}
+    nation = read_parquet_clean(
+        _doc_path(sf_dir, "nation"),
+        columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    nat_name = {int(r["n_nationkey"]): r["n_name"] for r in nation
+                if r["n_regionkey"] in rkeys}
+    asia_nat_ids = np.array(sorted(nat_name), np.int64)
+    supp = read_parquet_clean(
+        _doc_path(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array([r["s_suppkey"] for r in supp], np.int64)
+    sn = np.array([r["s_nationkey"] for r in supp], np.int64)
+    order = np.argsort(sk)
+    sk, sn = sk[order], sn[order]
+    keep = np.isin(sn, asia_nat_ids)  # non-region suppliers can never match
+    supp_ref = ray.put((sk[keep], sn[keep]))
+
+    # --- customer (custkey -> nationkey, region-filtered) broadcast ---
+    cust = read_parquet_clean(
+        _doc_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(
+            [int(x) for x in asia_nat_ids]))
+    ck_parts, cn_parts = [], []
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ck_parts.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+        cn_parts.append(b["c_nationkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+    ck = np.concatenate(ck_parts) if ck_parts else np.empty(0, np.int64)
+    cn = np.concatenate(cn_parts) if cn_parts else np.empty(0, np.int64)
+    order = np.argsort(ck)
+    cust_ref = ray.put((ck[order], cn[order]))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        o_cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ck, o_cust)
+        idx = np.minimum(idx, max(len(ck) - 1, 0))
+        hit = (ck[idx] == o_cust) if len(ck) else np.zeros(len(o_cust), bool)
+        t = batch.filter(pa.array(hit))
+        n = t.num_rows
+        return pa.table({
+            "orderkey": t["o_orderkey"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "natkey": pa.array(cn[idx[hit]], pa.int64()),
+            "suppnat": pa.array(np.full(n, -1), pa.int64()),
+            "rev": pa.array(np.zeros(n), pa.float64()),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_ref)
+        l_supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sk, l_supp)
+        idx = np.minimum(idx, max(len(sk) - 1, 0))
+        hit = (sk[idx] == l_supp) if len(sk) else np.zeros(len(l_supp), bool)
+        t = batch.filter(pa.array(hit))
+        n = t.num_rows
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": t["l_orderkey"].cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "natkey": pa.array(np.full(n, -1), pa.int64()),
+            "suppnat": pa.array(sn[idx[hit]], pa.int64()),
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+        })
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    seg = (orders.union(lines).sort("orderkey")
+           .map_batches(_q5_segments_factory(asia_nat_ids),
+                        batch_format="pyarrow", batch_size=None))
+
+    # every surviving row is <= n_nations aggregates or <= 2 boundary
+    # orders per block — provably tiny, exact driver merge
+    rows = pa.concat_tables(
+        [b for b in seg.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    nat_max = int(asia_nat_ids.max()) + 1 if asia_nat_ids.size else 1
+    rev_by_nat = np.zeros(nat_max)
+    cnt_by_nat = np.zeros(nat_max, np.int64)
+    partial = rows["partial"].to_numpy(zero_copy_only=False)
+    agg = rows.filter(pa.array(~partial))
+    np.add.at(rev_by_nat, agg["natkey"].to_numpy(zero_copy_only=False),
+              agg["rev"].to_numpy(zero_copy_only=False))
+    np.add.at(cnt_by_nat, agg["natkey"].to_numpy(zero_copy_only=False),
+              agg["n"].to_numpy(zero_copy_only=False))
+    bdf = rows.filter(pa.array(partial)).to_pandas()
+    for _, grp in bdf.groupby("orderkey"):
+        dim = grp[grp["natkey"] >= 0]
+        if dim.empty:
+            continue  # order outside the date/segment filters
+        nat = int(dim["natkey"].iloc[0])
+        match = grp[grp["suppnat"] == nat]
+        rev_by_nat[nat] += float(match["rev"].sum())
+        cnt_by_nat[nat] += int(match["n"].sum())
+    hit = np.flatnonzero(cnt_by_nat > 0)
+    out = pa.table({
+        "n_name": pa.array([nat_name[int(i)] for i in hit], pa.string()),
+        "revenue": pa.array(np.round(rev_by_nat[hit], 6), pa.float64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("revenue", "descending")]))
+
+
+SQL["j12_star_join"] = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# --------------------------------- left-join histogram (Q13, order counts)
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q13_order_count_dist(sf_dir: str):
+    """Q13-shape LEFT OUTER JOIN histogram: distribution of customers by
+    how many non-{Q13_EXCLUDE_PRIORITY} orders they placed, INCLUDING the
+    zero bucket the left join exists for.
+
+    Scale shape: the customer side never shuffles at all — the zero bucket
+    is derived as count(customer) - count(DISTINCT matched custkeys), which
+    is exact under the o_custkey ⊆ c_custkey foreign key (holds for TPC-H
+    and this driver's generator; with untrusted inputs, validate with a
+    j10-style Bloom semi-join first). Orders go through a per-batch
+    (custkey, n) combiner -> ONE groupby(custkey) -> per-batch histogram
+    combiner -> tiny groupby(c_count): the only big exchange is the
+    unavoidable per-customer count."""
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") != Q13_EXCLUDE_PRIORITY,
+    )
+
+    def count_by_cust(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["o_custkey"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"custkey": pa.array(keys, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    per_cust = (orders.map_batches(count_by_cust, batch_format="pyarrow",
+                                   batch_size=65536)
+                .groupby("custkey").sum("n"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["sum(n)"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({
+            "c_count": pa.array(vals.astype(np.int64), pa.int64()),
+            "custdist": pa.array(counts.astype(np.int64), pa.int64())})
+
+    dist = (per_cust.map_batches(hist, batch_format="pyarrow",
+                                 batch_size=65536)
+            .groupby("c_count").sum("custdist")
+            .rename_columns({"sum(custdist)": "custdist"})
+            .take_all())
+    n_customers = read_parquet_clean(
+        _doc_path(sf_dir, "customer"), columns=["c_custkey"]).count()
+    matched = sum(int(r["custdist"]) for r in dist)
+    rows = {int(r["c_count"]): int(r["custdist"]) for r in dist}
+    zero = n_customers - matched
+    if zero:
+        rows[0] = rows.get(0, 0) + zero
+    out = pa.table({
+        "c_count": pa.array(sorted(rows), pa.int64()),
+        "custdist": pa.array([rows[k] for k in sorted(rows)], pa.int64()),
+    })
+    return out
+
+
+SQL["q13_order_count_dist"] = f"""
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
 # ------------------------------------------------------------- sliding window
 
 MA_WINDOW = 3

@@ -43,7 +43,8 @@ SQL_CHECKED = [
     "q1_lineitem_agg", "mm_feature_extract", "j1_broadcast_join",
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
-    "j7_range_join", "j11_anti_join", "q3_shipping", "k5_hash_sample",
+    "j7_range_join", "j11_anti_join", "q3_shipping", "j12_star_join",
+    "q13_order_count_dist", "k5_hash_sample",
     "a9_distinct_users", "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
     "a10_quantiles_exact", "a12_rollup_counts",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
@@ -710,3 +711,23 @@ def test_pack_tokens_consistent_with_pack_sequences(ray_session):
     m1 = p1.groupby("chunk_id")["tok_in_chunk"].sum().to_dict()
     m2 = p2.groupby("chunk_id").size().to_dict()
     assert m1 == m2
+
+
+def test_q5_star_join_boundary_merge_under_tiny_blocks(ray_session, con):
+    """Force the sort to emit many tiny blocks so nearly every order lands
+    in a block-boundary segment: the driver's exact boundary merge must
+    still reproduce the DuckDB 6-table join cell for cell."""
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        SQL, q5_region_revenue)
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # ~a few hundred rows per block
+    try:
+        got = _canon(q5_region_revenue(SF).to_pandas())
+    finally:
+        ctx.target_max_block_size = saved
+    exp = _canon(con.execute(SQL["j12_star_join"]).fetchdf())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
