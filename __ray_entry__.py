@@ -90,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d7_curate": cur.curated_docs,
         "d7b_curate_cc": functools.partial(cur.curated_docs,
                                            mode="cluster_canonical"),
+        # rows-only: the MinHash-LSH near-dup stage (the 100-TB swap of
+        # d7's exact pair join) — approximate, so no SQL oracle; planted-dup
+        # equivalence with the exact mode is asserted in pytest
+        "d7c_curate_minhash": functools.partial(cur.curated_docs,
+                                                near_dup="minhash"),
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
         "p1_pack_sequences": pk.pack_sequences,

@@ -75,14 +75,27 @@ def _min_id_row(group: pa.Table) -> pa.Table:
 
 
 def curated_docs(sf_dir: str, n_blocks: int | None = None,
-                 mode: str = "pairwise_b"):
+                 mode: str = "pairwise_b", near_dup: str = "exact"):
     """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
-    gate, exact dedup, and exact near-dup drop. See module docstring for
-    the staging and the 100-TB swap points.
+    gate, exact dedup, and near-dup drop. See module docstring for the
+    staging.
 
     mode="pairwise_b" drops the larger doc of every qualifying pair;
     mode="cluster_canonical" runs distributed connected components over the
-    pair graph and keeps exactly the minimum doc_id per cluster (d7b)."""
+    pair graph and keeps exactly the minimum doc_id per cluster (d7b).
+
+    near_dup picks the pair stage — this is the 100-TB swap point, LIVE,
+    not just documented:
+      "exact":   blocked all-pairs word-3-gram Jaccard join (zero recall
+                 loss, O(n^2/blocks) compare work — the driver-gate /
+                 verification path; what SQL["d7_curate"] states).
+      "minhash": MinHash-LSH candidates + distributed exact verify
+                 (dedup_pipelines.minhash_pairs_ds) — linear sketch work +
+                 one sort; the survivor set is staged to parquet so the
+                 verify stage's filtered text reads have a source. Gram
+                 domain is char-5-gram Jaccard (the sketch family's),
+                 so the pair set approximates-from-below the exact mode's;
+                 the planted-dup test asserts both modes drop the plants."""
     import os
 
     ds = read_parquet_clean(
@@ -97,14 +110,26 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
         .map_groups(_min_id_row, batch_format="pyarrow")
         .materialize()  # reused twice: pair join input + final filter
     )
-    if n_blocks is None:
-        # same block sizing as _auto_blocks: ~750 rows/block balances task
-        # granularity against per-actor block loads (A/B'd in BASELINE.md)
-        n_blocks = int(max(4, min(32, -(-survivors.count() // 750))))
-    pairs = jaccard_pairs_ds(
-        survivors.select_columns(["doc_id", "text"]),
-        threshold=JACCARD_THR, n=3, n_blocks=n_blocks,
-    )
+    if near_dup == "minhash":
+        import tempfile
+
+        from .dedup_pipelines import minhash_pairs_ds
+
+        tmp = tempfile.mkdtemp(prefix="curate_mh_", dir="/tmp")
+        surv_txt = survivors.select_columns(["doc_id", "text"]).materialize()
+        surv_txt.write_parquet(tmp)
+        pairs = minhash_pairs_ds(surv_txt, tmp, threshold=JACCARD_THR)
+    elif near_dup == "exact":
+        if n_blocks is None:
+            # same block sizing as _auto_blocks: ~750 rows/block balances
+            # task granularity against per-actor block loads (BASELINE.md)
+            n_blocks = int(max(4, min(32, -(-survivors.count() // 750))))
+        pairs = jaccard_pairs_ds(
+            survivors.select_columns(["doc_id", "text"]),
+            threshold=JACCARD_THR, n=3, n_blocks=n_blocks,
+        )
+    else:
+        raise ValueError(f"unknown near-dup stage: {near_dup!r}")
     # pairs are tiny by definition; a sorted array broadcast in the task
     # closure beats per-batch set conversion
     if pairs.num_rows == 0:

@@ -56,7 +56,22 @@ def _consecutive_dedup(batch: pa.Table) -> pa.Table:
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.6,
                   max_verify: int = 100_000):
-    """-> (a, b, jaccard) verified near-dup pairs, sorted by (a, b).
+    """-> (a, b, jaccard) verified near-dup pairs over the documents table
+    (see minhash_pairs_ds for the pipeline shape)."""
+    import os
+
+    return minhash_pairs_ds(
+        _documents(sf_dir), os.path.join(sf_dir, "documents.parquet"),
+        threshold=threshold, max_verify=max_verify)
+
+
+def minhash_pairs_ds(ds, docs_path: str, threshold: float = 0.6,
+                     max_verify: int = 100_000):
+    """-> (a, b, jaccard) verified near-dup pairs, sorted by (a, b), over
+    any (doc_id, text) Dataset; docs_path must serve the same doc_ids for
+    the verify stage's filtered text reads (curate.py stages its survivor
+    set to parquet for exactly this — at 100 TB that intermediate lives on
+    shared storage anyway).
 
     Fully distributed — the driver only ever sees VERIFIED near-dup pairs
     (tiny by definition):
@@ -88,10 +103,7 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.6,
     exceed it the drop is REPORTED (never silent) and the first max_verify
     candidate rows in (a, b) order are verified — a corpus that floods LSH
     at 8 rows/band is mostly duplicates and wants a higher band threshold."""
-    import os
-
-    docs_path = os.path.join(sf_dir, "documents.parquet")
-    band_rows = _documents(sf_dir).map_batches(
+    band_rows = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
     # sorted band rows are reused by the interior-pair pass and the (tiny)

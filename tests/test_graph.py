@@ -102,3 +102,33 @@ def test_curate_modes_chain_semantics(ray_session, tmp_path):
     assert set(cc) <= set(pw)
     with pytest.raises(ValueError):
         curated_docs(str(tmp_path), mode="nope")
+
+
+def test_curate_minhash_mode_matches_exact_on_planted_dups(ray_session,
+                                                           tmp_path):
+    """near_dup="minhash" (the 100-TB swap of the exact pair join) drops the
+    same planted near-duplicates as the exact mode and keeps distinct docs."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.curate import curated_docs
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    near = words.replace("omicron", "OMICRON", 1)
+    uniq = ("completely different text about something else entirely with "
+            "enough words to pass the minimum word count quality gate here "
+            "now ok fine truly distinct tokens everywhere avocado zebra")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en"] * 3),
+        "n_chars": pa.array([len(x) for x in (words, near, uniq)], pa.int64()),
+        "text": pa.array([words, near, uniq]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    exact = sorted(curated_docs(str(tmp_path)).to_pandas()["doc_id"])
+    mh = sorted(curated_docs(str(tmp_path),
+                             near_dup="minhash").to_pandas()["doc_id"])
+    assert exact == mh == [1, 3]
+    with pytest.raises(ValueError):
+        curated_docs(str(tmp_path), near_dup="nope")
