@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plant=True: the synthetic docs are single-line with no natural
         # cross-document shared lines (library default is plant=False)
         "d12_line_dedup": functools.partial(td.line_dedup, plant=True),
+        # rows-only: near-dup of a new crawl vs the corpus's PERSISTED
+        # MinHash index (only the new side is sketched); pytest asserts
+        # pair-set identity with a from-scratch sketch of the union
+        "d13_incremental_minhash": dp.incremental_minhash,
         "m23_lm_score": td.lm_score,
         "k8_global_shuffle": td.global_shuffle,
         "k9_budget_select": td.budget_select,

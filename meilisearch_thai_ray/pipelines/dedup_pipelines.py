@@ -106,6 +106,13 @@ def minhash_pairs_ds(ds, docs_path: str, threshold: float = 0.6,
     band_rows = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
+    cand = _band_candidates(band_rows)
+    return _verify_pairs(cand, docs_path, threshold, max_verify)
+
+
+def _band_candidates(band_rows) -> "ray.data.Dataset":
+    """(band, band_hash, doc_id) rows -> deduped candidate (a, b) Dataset,
+    sorted by (a, b). See minhash_pairs_ds for the stage-by-stage story."""
     # sorted band rows are reused by the interior-pair pass and the (tiny)
     # boundary-member pass — materialize once
     sorted_rows = band_rows.sort(["band", "band_hash"]).materialize()
@@ -120,12 +127,20 @@ def minhash_pairs_ds(ds, docs_path: str, threshold: float = 0.6,
         else pa.table({"band": pa.array([], pa.int32()),
                        "band_hash": pa.array([], pa.int64()),
                        "doc_id": pa.array([], pa.int64())}))
-    cand = (
+    return (
         interior.union(ray.data.from_arrow(boundary_pairs))
         .sort(["a", "b"])
         .map_batches(_consecutive_dedup, batch_format="pyarrow")
         .materialize()
     )
+
+
+def _verify_pairs(cand, docs_path, threshold: float,
+                  max_verify: int) -> pa.Table:
+    """Candidate (a, b) Dataset -> verified (a, b, jaccard) table via the
+    distributed JaccardVerify actor pool. docs_path may be one path or a
+    list of paths (pyarrow.dataset accepts both) — the incremental pipeline
+    passes [corpus, new_crawl]."""
     empty = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
@@ -572,6 +587,96 @@ new AS (SELECT doc_id + {RECRAWL_ID_BASE} AS doc_id, md5(text) AS h
 o AS (SELECT h, min(doc_id) AS dup_of FROM old GROUP BY h)
 SELECT n.doc_id, o.dup_of FROM new n JOIN o USING (h)
 """
+
+
+# ---------------------- incremental NEAR-dup vs a persisted MinHash index
+
+def write_minhash_index(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Persist the corpus's MinHash-LSH band rows (band, band_hash, doc_id)
+    as parquet — the sketch index an incremental crawl dedups against. At
+    100 TB this is built ONCE (it is a by-product of the corpus's own
+    near-dup pass) and only the new crawl is ever sketched again; the index
+    is ~bands x 20 bytes per doc, ~0.1% of the text it summarizes."""
+    ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=1024,
+                   concurrency=(1, 8)).write_parquet(out_dir)
+
+
+def incremental_minhash_pairs(new_ds: ray.data.Dataset, index_dir: str,
+                              docs_paths, new_id_min: int,
+                              threshold: float = 0.6,
+                              max_verify: int = 100_000) -> pa.Table:
+    """Near-dup pairs (a, b, jaccard) of a NEW crawl against an existing
+    corpus via its persisted sketch index: only the new side is sketched,
+    the corpus contributes pre-computed band rows read straight from
+    parquet. Candidate generation is the shared _band_candidates sort-scan
+    over the UNION of index rows and new band rows; (old, old) pairs are
+    excluded by the id contract (every new doc_id >= new_id_min > every
+    corpus doc_id — the d10 re-crawl convention), so surviving pairs are
+    exactly (corpus, new) and (new, new). Verification reads texts from
+    docs_paths (list: [corpus_parquet, new_crawl_parquet])."""
+    corpus_bands = ray.data.read_parquet(index_dir)
+    new_bands = new_ds.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8))
+    cand = _band_candidates(corpus_bands.union(new_bands))
+
+    def _touching_new(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b >= new_id_min))
+
+    cand = cand.map_batches(_touching_new, batch_format="pyarrow")
+    return _verify_pairs(cand, docs_paths, threshold, max_verify)
+
+
+NEARCRAWL_MOD = 40  # every 40th page re-crawled with a small edit
+NEARCRAWL_FRESH_OFFSET = 17  # every 40th+17 page is brand-new content
+
+
+def incremental_minhash(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """D13 driver entry. Corpus = the documents table; its sketch index is
+    built once and cached under /tmp keyed by the input's content identity.
+    New crawl = a deterministic mix of near-dup re-crawls (every
+    {NEARCRAWL_MOD}-th page, re-fetched with a trailing edit and a fresh
+    doc_id) and genuinely new pages (md5-chain gibberish — no shared
+    shingles). Expected output: one (orig, orig + RECRAWL_ID_BASE) pair per
+    re-crawl, none for the fresh pages. Rows-only oracle (LSH is not
+    SQL-expressible); pair-set correctness is pytest-verified against both
+    the plant and the from-scratch minhash_pairs_ds of the union."""
+    import hashlib
+    import os
+
+    from .simple_text import input_fingerprint
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    fp = input_fingerprint(docs_path)
+    idx_dir = f"/tmp/meili_ray_cache/mh_index_{fp}"
+    if not os.path.isdir(idx_dir) or not os.listdir(idx_dir):
+        write_minhash_index(_documents(sf_dir), idx_dir)
+
+    def _new_crawl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_ids, out_txt = [], []
+        for i, t in zip(ids, texts):
+            if i % NEARCRAWL_MOD == 0:  # re-crawl with a small edit
+                out_ids.append(int(i) + RECRAWL_ID_BASE)
+                out_txt.append(t + " [retrieved later; minor update]")
+            elif i % NEARCRAWL_MOD == NEARCRAWL_FRESH_OFFSET:  # new page
+                out_ids.append(int(i) + RECRAWL_ID_BASE)
+                out_txt.append(" ".join(
+                    hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+                    for j in range(30)))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    new_path = f"/tmp/meili_ray_cache/mh_newcrawl_{fp}"
+    new_ds = _documents(sf_dir).map_batches(
+        _new_crawl, batch_format="pyarrow", batch_size=4096)
+    if not os.path.isdir(new_path) or not os.listdir(new_path):
+        new_ds.write_parquet(new_path)  # verify stage reads texts from here
+    return incremental_minhash_pairs(
+        ray.data.read_parquet(new_path), idx_dir, [docs_path, new_path],
+        new_id_min=RECRAWL_ID_BASE, threshold=threshold)
 
 
 # ------------------------------------ exact duplicated-passage detection

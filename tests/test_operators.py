@@ -241,6 +241,58 @@ def test_minhash_pipeline_on_synthetic_dups(ray_session, tmp_path):
     assert planted <= found, f"missing planted pairs: {planted - found}"
 
 
+def test_incremental_minhash_vs_persisted_index(ray_session, tmp_path):
+    """A new crawl deduped against the corpus's PERSISTED band index finds
+    exactly the pairs a from-scratch sketch of the union finds (minus the
+    (old, old) pairs the id contract excludes), and catches every planted
+    re-crawl while ignoring fresh pages."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        incremental_minhash_pairs, minhash_pairs_ds, write_minhash_index)
+
+    rng = np.random.default_rng(11)
+    vocab = ["data", "index", "search", "thai", "engine", "ray", "batch",
+             "shard", "query", "token"]
+    corpus_texts = [" ".join(vocab[j] for j in rng.integers(0, 10, 40))
+                    for _ in range(50)]
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string())}), corpus_path)
+
+    base = 1_000_000_000
+    new_ids = [base + 0, base + 1, base + 2]
+    # small edits: 8-rows/band LSH targets J ~0.8+ recall, so plants sit
+    # well above it (J ~0.97) — a J=0.89 plant missed with this seed
+    new_texts = [corpus_texts[7] + " v2",                     # re-crawl of 7
+                 corpus_texts[23] + " data",                  # re-crawl of 23
+                 "totally unrelated fresh page about gardens and rivers "
+                 "with words shared by nothing in the corpus at all"]
+    new_path = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(new_ids, pa.int64()),
+        "text": pa.array(new_texts, pa.string())}), new_path)
+
+    idx_dir = str(tmp_path / "mh_index")
+    write_minhash_index(ray.data.read_parquet(corpus_path), idx_dir)
+    got = incremental_minhash_pairs(
+        ray.data.read_parquet(new_path), idx_dir, [corpus_path, new_path],
+        new_id_min=base, threshold=0.6)
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert {(7, base + 0), (23, base + 1)} <= got_pairs
+    assert all(b >= base for _a, b in got_pairs)
+    assert not any(b == base + 2 for _a, b in got_pairs)
+
+    # identity with a from-scratch sketch of the union, new-side pairs only
+    union = ray.data.read_parquet([corpus_path, new_path])
+    full = minhash_pairs_ds(union, [corpus_path, new_path], threshold=0.6)
+    full_pairs = {(a, b) for a, b in zip(full["a"].to_pylist(),
+                                         full["b"].to_pylist()) if b >= base}
+    assert got_pairs == full_pairs
+
+
 # ---------------- ANN ----------------
 
 def test_ann_matches_numpy_bruteforce(ray_session):
