@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m8b_repetition": cs.repetition_stats,
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,
+        "k12_weighted_sample": st.weighted_sample,
         "j8_latest_event": cs.latest_event_per_user,
         "j10_bloom_semi_join": cs.bloom_semi_join,
         "a11_bigram_pmi": cs.bigram_pmi,

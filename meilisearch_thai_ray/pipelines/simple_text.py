@@ -776,6 +776,67 @@ WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '{SAMPLE_HEX}%'
 """
 
 
+# --------------------------- weighted sampling (Efraimidis-Spirakis keys)
+
+WEIGHTED_SAMPLE_N = 100
+
+
+def _es_keys(batch: pa.Table) -> np.ndarray:
+    """Deterministic Efraimidis-Spirakis exponential key per doc: a doc
+    drawn with probability proportional to weight w = n_chars when the
+    top-n by key are kept. u is the md5-prefix uniform (the repo's shared
+    oracle key convention), shifted to the bin center so u is never 0/1;
+    key = ln(u)/w is monotone in u^(1/w)."""
+    from ..functions.hashing import md5_hex_of_ints, md5_prefix_int
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+    u = (md5_prefix_int(md5_hex_of_ints(ids)) + 0.5) / 4294967296.0
+    return np.log(u) / w
+
+
+def weighted_sample(sf_dir: str, n: int = WEIGHTED_SAMPLE_N):
+    """K12: deterministic weighted sampling WITHOUT replacement — n docs
+    drawn with inclusion probability proportional to n_chars (the
+    data-mixing primitive: sample by token mass, not by document count).
+
+    Scale shape: no shuffle, no sort, no RNG state — each batch emits its
+    local top-n by key (bounded combiner output, the k2/ANN partial-top-k
+    pattern), the driver merges <= n x n_batches tiny rows. Deterministic
+    and idempotent on resume (keys are pure functions of doc_id), so a
+    re-run or a backfill selects the identical sample."""
+    ds = read_parquet_clean(
+        _doc_path(sf_dir), columns=["doc_id", "lang", "n_chars"],
+        filter=pc.field("n_chars") > 0,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = _es_keys(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -k))[:n]
+        return batch.take(pa.array(order)).append_column(
+            "k", pa.array(k[order], pa.float64()))
+
+    parts = pa.concat_tables(
+        b for b in ds.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+        .iter_batches(batch_format="pyarrow"))
+    ids = parts["doc_id"].to_numpy(zero_copy_only=False)
+    k = parts["k"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -k))[:n]
+    return parts.take(pa.array(order)).select(["doc_id", "lang", "n_chars"])
+
+
+SQL["k12_weighted_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE n_chars > 0
+  ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0) / n_chars DESC, doc_id
+  LIMIT {WEIGHTED_SAMPLE_N})
+"""
+
+
 # ---------------------------------------------------------------- as-of join
 
 def _asof_group(group: pa.Table) -> pa.Table:

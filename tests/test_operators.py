@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "a9_distinct_users", "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
     "a10_quantiles_exact", "a12_rollup_counts",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
+    "k12_weighted_sample",
     "j8_latest_event", "a11_bigram_pmi", "d7_curate", "j9_postings_export",
     "ann_ivf_dtrain_topk", "m22_tfidf_embed",
 ]
@@ -783,3 +784,28 @@ def test_q5_star_join_boundary_merge_under_tiny_blocks(ray_session, con):
         ctx.target_max_block_size = saved
     exp = _canon(con.execute(SQL["j12_star_join"]).fetchdf())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_weighted_sample_inclusion_tracks_weight(ray_session, tmp_path):
+    """E-S keys: with weights 1000 vs 10, the heavy half must dominate the
+    sample (deterministic given doc_ids, so this asserts the estimator's
+    bias, not luck), and the selection is idempotent across runs."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.simple_text import weighted_sample
+
+    n_each = 500
+    t = pa.table({
+        "doc_id": pa.array(range(2 * n_each), pa.int64()),
+        "lang": pa.array(["en"] * (2 * n_each)),
+        "n_chars": pa.array([1000] * n_each + [10] * n_each, pa.int64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    s1 = weighted_sample(str(sf), n=100).to_pandas()
+    s2 = weighted_sample(str(sf), n=100).to_pandas()
+    pd.testing.assert_frame_equal(s1, s2)  # deterministic / resume-safe
+    assert len(s1) == 100 and not s1["doc_id"].duplicated().any()
+    heavy = (s1["n_chars"] == 1000).mean()
+    assert heavy > 0.85, f"heavy-weight inclusion only {heavy:.2f}"
