@@ -27,6 +27,24 @@ import ray.data
 PAGES_FIELDS = ("url", "warc_ts", "html", "text", "lang")
 
 
+def expand_parquet_paths(paths) -> list[str]:
+    """Expand directory entries (Ray write_parquet output dirs) into their
+    .parquet files: pyarrow.dataset()/ray.data.read_parquet() accept a
+    directory as a single path but reject directories inside a path LIST."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return out
+
+
 def read_parquet_clean(path: str, columns: list[str] | None = None,
                        **kwargs) -> ray.data.Dataset:
     """read_parquet with a metadata-stripped schema.

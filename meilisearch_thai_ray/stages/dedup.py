@@ -301,6 +301,13 @@ class JaccardVerify:
 
     def __init__(self, docs_path: str, threshold: float = 0.6,
                  shingle_k: int = 5, cache_cap: int = 200_000):
+        # pyarrow.dataset() accepts a directory as a SINGLE path but not
+        # inside a LIST (list elements must be files) — expand directories
+        # (e.g. a Ray write_parquet output dir) once per actor
+        if isinstance(docs_path, (list, tuple)):
+            from ..sources.documents import expand_parquet_paths
+
+            docs_path = expand_parquet_paths(list(docs_path))
         self.docs_path = docs_path
         self.threshold = threshold
         self.k = shingle_k

@@ -271,10 +271,15 @@ def test_incremental_minhash_vs_persisted_index(ray_session, tmp_path):
                  corpus_texts[23] + " data",                  # re-crawl of 23
                  "totally unrelated fresh page about gardens and rivers "
                  "with words shared by nothing in the corpus at all"]
-    new_path = str(tmp_path / "new.parquet")
+    # the new crawl is a DIRECTORY of parquet parts (Ray write_parquet
+    # shape) — regression: pyarrow.dataset rejects directories inside a
+    # path LIST, so JaccardVerify must expand them
+    new_path = str(tmp_path / "new_crawl")
+    (tmp_path / "new_crawl").mkdir()
     pq.write_table(pa.table({
         "doc_id": pa.array(new_ids, pa.int64()),
-        "text": pa.array(new_texts, pa.string())}), new_path)
+        "text": pa.array(new_texts, pa.string())}),
+        str(tmp_path / "new_crawl" / "part-0.parquet"))
 
     idx_dir = str(tmp_path / "mh_index")
     write_minhash_index(ray.data.read_parquet(corpus_path), idx_dir)
@@ -287,7 +292,9 @@ def test_incremental_minhash_vs_persisted_index(ray_session, tmp_path):
     assert not any(b == base + 2 for _a, b in got_pairs)
 
     # identity with a from-scratch sketch of the union, new-side pairs only
-    union = ray.data.read_parquet([corpus_path, new_path])
+    from meilisearch_thai_ray.sources.documents import expand_parquet_paths
+    union = ray.data.read_parquet(expand_parquet_paths(
+        [corpus_path, new_path]))
     full = minhash_pairs_ds(union, [corpus_path, new_path], threshold=0.6)
     full_pairs = {(a, b) for a, b in zip(full["a"].to_pylist(),
                                          full["b"].to_pylist()) if b >= base}
