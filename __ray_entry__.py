@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import curate as cur
     from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
     from meilisearch_thai_ray.pipelines import flagship
+    from meilisearch_thai_ray.pipelines import olap
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
     from meilisearch_thai_ray.pipelines import training_data as td
@@ -75,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": st.q3_shipping,
         "j12_star_join": st.q5_region_revenue,
         "q13_order_count_dist": st.q13_order_count_dist,
+        "j13_big_orders": olap.big_orders,
+        "a13_distinct_suppliers": olap.distinct_suppliers,
         "k5_hash_sample": st.hash_sample,
         "a9_distinct_users": cs.distinct_users,
         "k6_heavy_hitters": cs.heavy_hitter_words,
@@ -137,9 +140,10 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.corpus_stats import SQL as STATS_SQL
     from meilisearch_thai_ray.pipelines.curate import SQL as CURATE_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
+    from meilisearch_thai_ray.pipelines.olap import SQL as OLAP_SQL
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
     from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
-            **TRAIN_SQL}
+            **TRAIN_SQL, **OLAP_SQL}

@@ -44,7 +44,8 @@ SQL_CHECKED = [
     "d3_ngram_jaccard_pairs", "d3_cosine_pairs_exact",
     "j6_asof_join", "k2_grouped_topn", "a8_sliding_window",
     "j7_range_join", "j11_anti_join", "q3_shipping", "j12_star_join",
-    "q13_order_count_dist", "k5_hash_sample",
+    "q13_order_count_dist", "j13_big_orders", "a13_distinct_suppliers",
+    "k5_hash_sample",
     "a9_distinct_users", "k6_heavy_hitters", "k6b_heavy_hitters_by_lang",
     "a10_quantiles_exact", "a12_rollup_counts",
     "m8b_repetition", "m21_pii_scan", "k7_stratified_sample",
@@ -771,6 +772,19 @@ def test_pack_tokens_consistent_with_pack_sequences(ray_session):
     m1 = p1.groupby("chunk_id")["tok_in_chunk"].sum().to_dict()
     m2 = p2.groupby("chunk_id").size().to_dict()
     assert m1 == m2
+
+
+def test_big_orders_empty_tail_is_typed_empty(ray_session):
+    """A threshold above the global max quantity sum yields zero qualifying
+    orders: the operator must return the full 6-column schema, not raise or
+    degrade to a schemaless empty."""
+    from meilisearch_thai_ray.pipelines.olap import big_orders
+
+    out = big_orders(SF, threshold=10_000)
+    assert out.num_rows == 0
+    assert out.column_names == ["c_name", "c_custkey", "o_orderkey",
+                                "o_orderdate", "o_totalprice", "total_qty"]
+    assert out.schema.field("o_orderdate").type == pa.timestamp("us")
 
 
 def test_q5_star_join_boundary_merge_under_tiny_blocks(ray_session, con):
