@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,
         "a10b_quantiles_approx": cs.quantiles_approx,
+        # rows-only: KLL sketch quantiles (approximate; rank-error bound
+        # vs exact numpy quantiles is pytest-asserted)
+        "a10c_quantiles_kll": cs.quantiles_kll,
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
         # near-dups, so the entry opts into the deterministic planted fixture

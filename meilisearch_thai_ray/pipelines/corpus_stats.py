@@ -1078,3 +1078,46 @@ def quantiles_approx(sf_dir: str, nbins: int = APPROX_Q_BINS):
                            batch_size=32768)
             .groupby("event_type")
             .map_groups(_merge_group, batch_format="pyarrow"))
+
+
+def quantiles_kll(sf_dir: str, k: int = 200):
+    """A10c -> (event_type, p50, p90, p99) of events.value via KLL sketches
+    (Karnin-Lang-Liberty 2016) — the third quantile path, for continuous
+    UNBOUNDED columns: a10's compressed histogram needs bounded distinct
+    values and a10b's fixed grid needs a (min, max) pre-pass; KLL needs
+    neither and its partials are ~2 KB regardless of n. Per-batch partial
+    sketches per group -> ONE groupby(event_type) merge. Rank error ~O(1/k)
+    whp (pytest-asserted against exact numpy quantiles); rows-only in the
+    driver gate (approximate => no SQL hash oracle)."""
+    from ..stages.sketches import KLL
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def _kll_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        types, bufs = [], []
+        for (et,), g in df.group_by("event_type"):
+            types.append(et)
+            bufs.append(KLL(k=k).update_many(g["value"].to_numpy())
+                        .serialize())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sketch": pa.array(bufs, pa.binary())})
+
+    def _merge_group(group: pa.Table) -> pa.Table:
+        merged = KLL(k=k)
+        for buf in group["sketch"].to_pylist():
+            merged.merge(KLL.deserialize(buf))
+        p50, p90, p99 = merged.quantiles([0.5, 0.9, 0.99])
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "p50": pa.array([round(p50, 6)], pa.float64()),
+            "p90": pa.array([round(p90, 6)], pa.float64()),
+            "p99": pa.array([round(p99, 6)], pa.float64()),
+        })
+
+    return (ds.map_batches(_kll_partial, batch_format="pyarrow",
+                           batch_size=32768)
+            .groupby("event_type")
+            .map_groups(_merge_group, batch_format="pyarrow"))

@@ -263,3 +263,123 @@ class BloomFilter:
         assert self.m_bits == other.m_bits and self.k == other.k
         self.bits |= other.bits
         return self
+
+
+# ----------------------------------------------------- KLL quantile sketch
+
+class KLL:
+    """KLL streaming quantile sketch (Karnin, Lang & Liberty 2016,
+    "Optimal Quantile Approximation in Streams") over float64 values.
+
+    The mergeable companion to the two histogram quantile paths:
+    a10_quantiles_exact needs bounded distinct values and
+    a10b_quantiles_approx needs a known (min, max) to fix its grid; KLL
+    needs NEITHER — O(k log(n/k)) memory, additive rank error ~O(1/k)
+    whp, and partials merge associatively, so it is the 100-TB shape for
+    continuous unbounded columns: per-batch partial sketches -> one tiny
+    groupby merge, constant bytes per (batch, group) on the wire.
+
+    Level h holds items of weight 2**h. A compaction sorts a level, keeps
+    the odd- or even-indexed half (coin per compaction), and promotes it —
+    each compaction perturbs any rank by at most the level weight. The
+    coin stream is a deterministic splitmix64 counter seeded by `seed`, so
+    a fixed insertion order reproduces bit-identical sketches (resume /
+    pytest determinism); error bounds hold for ANY coin stream."""
+
+    C = 2.0 / 3.0  # capacity decay per level below the top
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        assert k >= 8
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._coin_ctr = np.uint64(seed)
+
+    def _coin(self) -> int:
+        # explicit mod-2^64 wraparound (numpy warns on uint64 overflow)
+        self._coin_ctr = np.uint64(
+            (int(self._coin_ctr) + 0x9E3779B97F4A7C15) % (1 << 64))
+        return int(splitmix64(self._coin_ctr[None])[0] & np.uint64(1))
+
+    def _cap(self, h: int) -> int:
+        # geometric decay from the TOP level; floor of 2 keeps low levels
+        return max(int(np.ceil(self.k * self.C ** (len(self.levels) - 1 - h))),
+                   2)
+
+    def update_many(self, values: np.ndarray) -> "KLL":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.n += int(v.size)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        for h, items in enumerate(other.levels):
+            while len(self.levels) <= h:
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], items])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while True:
+            for h, items in enumerate(self.levels):
+                if items.size > self._cap(h):
+                    srt = np.sort(items)
+                    keep = srt[self._coin()::2]
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], keep])
+                    self.levels[h] = np.empty(0, np.float64)
+                    break
+            else:
+                return
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        """quantile_disc semantics on the weighted sample: the item whose
+        cumulative weight first reaches ceil(q*n) (rank error ~O(n/k))."""
+        if self.n == 0:
+            return [float("nan") for _ in qs]
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(items.size, 1 << h, np.int64)
+            for h, items in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))
+            out.append(float(vals[np.searchsorted(cum, rank, side="left")]))
+        return out
+
+    # --- wire format: ship through an Arrow binary column ---
+
+    def serialize(self) -> bytes:
+        lens = np.array([items.size for items in self.levels], np.int64)
+        head = np.array([self.k, self.n, int(self._coin_ctr), lens.size],
+                        np.uint64)
+        return b"".join([head.tobytes(), lens.tobytes()]
+                        + [items.tobytes() for items in self.levels])
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "KLL":
+        head = np.frombuffer(buf[:32], np.uint64)
+        k, n, ctr, nlev = (int(head[0]), int(head[1]), head[2], int(head[3]))
+        sk = cls(k=k)
+        sk.n = n
+        sk._coin_ctr = np.uint64(ctr)
+        lens = np.frombuffer(buf[32:32 + 8 * nlev], np.int64)
+        off = 32 + 8 * nlev
+        sk.levels = []
+        for ln in lens:
+            sk.levels.append(
+                np.frombuffer(buf[off:off + 8 * ln], np.float64).copy())
+            off += 8 * int(ln)
+        return sk

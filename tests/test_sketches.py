@@ -377,3 +377,62 @@ def test_quantiles_approx_within_one_bin(ray_session):
         for col, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
             true = v[max(0, int(np.ceil(q * v.size)) - 1)]
             assert abs(out.loc[et, col] - true) <= width + 1e-9
+
+
+def test_kll_rank_error_bound_and_merge_and_roundtrip():
+    """KLL(k=200): additive rank error well under 3/k on a heavy-tailed
+    stream, both streamed and as a 16-way merge of partials; serialization
+    roundtrips bit-identically."""
+    from meilisearch_thai_ray.stages.sketches import KLL
+
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(0.0, 2.0, 120_000)
+    sv = np.sort(v)
+    eps = 3.0 / 200  # theory: ~O(1/k) whp; 3/k is a loose determinstic gate
+
+    streamed = KLL(k=200)
+    for chunk in np.array_split(v, 23):
+        streamed.update_many(chunk)
+    parts = [KLL(k=200, seed=i).update_many(c)
+             for i, c in enumerate(np.array_split(v, 16))]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+
+    for sk in (streamed, merged):
+        assert sk.n == v.size
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = sk.quantiles([q])[0]
+            rank = np.searchsorted(sv, est) / v.size
+            assert abs(rank - q) <= eps, (q, rank)
+        # memory stays O(k log(n/k)), far below n
+        assert sum(x.size for x in sk.levels) < 10 * 200
+
+    rt = KLL.deserialize(merged.serialize())
+    assert rt.n == merged.n
+    assert rt.quantiles([0.1, 0.5, 0.9]) == merged.quantiles([0.1, 0.5, 0.9])
+    # deterministic coin stream: same inserts -> bit-identical sketch
+    again = KLL(k=200)
+    for chunk in np.array_split(v, 23):
+        again.update_many(chunk)
+    assert again.serialize() == streamed.serialize()
+
+
+def test_quantiles_kll_pipeline_within_bound(ray_session):
+    """Distributed KLL quantiles land within the sketch's rank-error bound
+    of the true rank element, per event_type."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import quantiles_kll
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    out = quantiles_kll(sf).to_pandas().set_index("event_type")
+    assert len(out) == df["event_type"].nunique()
+    for et, g in df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        for col, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            est = out.loc[et, col]
+            rank = np.searchsorted(v, est) / v.size
+            assert abs(rank - q) <= 3.0 / 200 + 1.0 / v.size, (et, col)
