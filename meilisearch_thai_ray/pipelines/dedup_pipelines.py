@@ -145,6 +145,12 @@ def _verify_pairs(cand, docs_path, threshold: float,
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
     )
+    # candidate pairs are SMALL by construction (per-bucket caps bound
+    # them), so materializing here is cheap — and without it the count()
+    # below would execute the whole sketch+candidate pipeline once and the
+    # verify map would re-execute it from scratch (measured: ~2x the
+    # pipeline wall time at sf0.1)
+    cand = cand.materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return empty
@@ -649,7 +655,9 @@ def incremental_minhash(sf_dir: str, threshold: float = 0.6) -> pa.Table:
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     fp = input_fingerprint(docs_path)
-    idx_dir = f"/tmp/meili_ray_cache/mh_index_{fp}"
+    from ..stages.dedup import MINHASH_VERSION
+
+    idx_dir = f"/tmp/meili_ray_cache/mh_index_v{MINHASH_VERSION}_{fp}"
     if not os.path.isdir(idx_dir) or not os.listdir(idx_dir):
         write_minhash_index(_documents(sf_dir), idx_dir)
 

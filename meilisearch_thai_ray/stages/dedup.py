@@ -26,6 +26,10 @@ import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
+# bump when signature/band semantics change — keys persisted sketch-index
+# caches (a stale mh_index would silently pair against incompatible bands)
+MINHASH_VERSION = 2
+
 
 _SHINGLE_MOD = np.uint64(2147483647)  # 2^31-1: keeps 257*acc+255 < 2^64
 
@@ -47,6 +51,27 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(acc)
 
 
+def _affine_mod_mersenne(x: np.ndarray, a: np.uint64,
+                         b: np.uint64) -> np.ndarray:
+    """(a*x + b) mod 2^61-1 for x < 2^31 and a, b < 2^61-1, without ever
+    overflowing uint64: split a = a_hi*2^31 + a_lo, use 2^61 ≡ 1 (mod M)
+    to reduce the high partial product with shifts instead of a wide
+    multiply. All intermediates stay < 2^63."""
+    m = np.uint64(_MERSENNE)
+    a_lo = np.uint64(int(a) & 0x7FFFFFFF)
+    a_hi = np.uint64(int(a) >> 31)
+    t2 = a_hi * x  # < 2^30 * 2^31 = 2^61
+    # t2 * 2^31 mod M == (t2 >> 30) + ((t2 & (2^30-1)) << 31), both < 2^62
+    y = (t2 >> np.uint64(30)) + ((t2 & np.uint64(0x3FFFFFFF)) << np.uint64(31))
+    y = y + a_lo * x  # + < 2^62 -> < 2^63
+    # fold to < 2^61 + eps, then one conditional subtract per fold
+    y = (y & m) + (y >> np.uint64(61))
+    y = (y & m) + (y >> np.uint64(61))
+    y = y + b  # < 2^61 + 2^61 = 2^62
+    y = (y & m) + (y >> np.uint64(61))
+    return np.where(y >= m, y - m, y)
+
+
 def hash_bytes(data: bytes) -> int:
     from ..functions.hashing import fnv1a64
 
@@ -66,11 +91,18 @@ class MinHasher:
         # background similarity (common in small-vocab corpora) collides <3%
         # — 4 rows/band drowned real corpora in candidates
         rng = np.random.default_rng(seed)
-        # coefficients bounded by the 31-bit shingle modulus: a*sh + b stays
-        # < 2^62 + 2^31, so the uint64 product NEVER wraps before the mod
-        # (a wider draw silently overflowed and broke min-wise independence)
-        self.a = rng.integers(1, int(_SHINGLE_MOD), size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, int(_SHINGLE_MOD), size=num_perm, dtype=np.uint64)
+        # coefficients span the FULL 61-bit Mersenne field. Bounding them by
+        # the 31-bit shingle modulus (an earlier overflow "fix") silently
+        # broke min-wise independence: with a < 2^31 and x < 2^31 the
+        # product wraps mod 2^61-1 at most ONCE, so each "permutation" is
+        # piecewise monotone and its argmin is one of just TWO shingles
+        # (the doc's min, or the first past the wrap) — docs drawing from a
+        # small shared shingle pool then collide on ENTIRE signatures
+        # (measured: 1.7% of J~0.016 pairs matched >= 8/64 values). The
+        # wide product is computed wrap-free by _affine_mod_mersenne's
+        # 31-bit split multiply.
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -78,9 +110,9 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)
-        # (num_perm, n_shingles) affine permutations mod Mersenne prime
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        return np.array([
+            _affine_mod_mersenne(sh, self.a[p], self.b[p]).min()
+            for p in range(self.num_perm)], dtype=np.uint64)
 
     def signatures_batch(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perm) signatures in ONE numpy pass per permutation
@@ -98,21 +130,37 @@ class MinHasher:
         flat = np.concatenate(sh_list)  # every doc has >= 1 shingle hash
         offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
         m = np.uint64(_MERSENNE)
-        s61 = np.uint64(61)
+        s30, s31, s61 = np.uint64(30), np.uint64(31), np.uint64(61)
+        lo_mask = np.uint64(0x3FFFFFFF)
         sig = np.empty((n, self.num_perm), dtype=np.uint64)
         # preallocated work buffers + out= everywhere: the naive form
         # allocates ~5 temporaries per permutation and first-touch page
         # faults dominate the whole stage on this box (measured 2.1 s cold
-        # vs 0.4 s with reuse for a 400-doc batch)
+        # vs 0.4 s with reuse for a 400-doc batch). The op sequence mirrors
+        # _affine_mod_mersenne exactly (bit-identity asserted in tests).
         x = np.empty(flat.size, dtype=np.uint64)
-        hi = np.empty(flat.size, dtype=np.uint64)
+        t = np.empty(flat.size, dtype=np.uint64)
         ge = np.empty(flat.size, dtype=bool)
         for p in range(self.num_perm):
-            np.multiply(flat, self.a[p], out=x)
-            np.add(x, self.b[p], out=x)
-            np.right_shift(x, s61, out=hi)
+            a_lo = np.uint64(int(self.a[p]) & 0x7FFFFFFF)
+            a_hi = np.uint64(int(self.a[p]) >> 31)
+            np.multiply(flat, a_hi, out=t)           # t2 = a_hi*x < 2^61
+            np.right_shift(t, s30, out=x)            # y = t2 >> 30
+            np.bitwise_and(t, lo_mask, out=t)
+            np.left_shift(t, s31, out=t)
+            np.add(x, t, out=x)                      # y += (t2 & m30) << 31
+            np.multiply(flat, a_lo, out=t)
+            np.add(x, t, out=x)                      # y += a_lo*x  (< 2^63)
+            np.right_shift(x, s61, out=t)
             np.bitwise_and(x, m, out=x)
-            np.add(x, hi, out=x)
+            np.add(x, t, out=x)                      # fold 1
+            np.right_shift(x, s61, out=t)
+            np.bitwise_and(x, m, out=x)
+            np.add(x, t, out=x)                      # fold 2
+            np.add(x, self.b[p], out=x)              # + b (< 2^62)
+            np.right_shift(x, s61, out=t)
+            np.bitwise_and(x, m, out=x)
+            np.add(x, t, out=x)                      # fold 3
             np.greater_equal(x, m, out=ge)
             np.subtract(x, m, out=x, where=ge)
             sig[:, p] = np.minimum.reduceat(x, offs)

@@ -78,18 +78,33 @@ def test_entry_contract(ray_session):
 # ---------------- dedup kernels ----------------
 
 def test_minhash_finds_near_dups():
+    """A pair at the banding's design point (J >= 0.9, where 8 rows/band
+    gives >= 98% recall) must share a band; an unrelated pair must not.
+    Also asserts the unbiased-estimator property (match fraction ~ J) that
+    the bounded-coefficient permutation bug violated."""
+    import numpy as np
+
     from meilisearch_thai_ray.stages.dedup import MinHasher, jaccard
 
-    base = "the quick brown fox jumps over the lazy dog " * 8
-    near = base.replace("lazy", "sleepy", 1)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    words = [vocab[j] for j in rng.integers(0, 60, 400)]
+    base = " ".join(words)
+    words[200] = "REPLACED"  # one word of 400: J ~ 0.95
+    near = " ".join(words)
     far = "completely different content about databases and indexes " * 8
+    j_near, j_far = jaccard(base, near), jaccard(base, far)
+    assert j_near > 0.9 > j_far
+
     mh = MinHasher()
-    b_base = set(map(int, mh.band_hashes(mh.signature(base))))
-    b_near = set(map(int, mh.band_hashes(mh.signature(near))))
-    b_far = set(map(int, mh.band_hashes(mh.signature(far))))
-    assert b_base & b_near, "near-dup must share at least one LSH band"
+    s_base, s_near, s_far = (mh.signature(t) for t in (base, near, far))
+    assert abs(float((s_base == s_near).mean()) - j_near) < 0.15
+    assert float((s_base == s_far).mean()) < 0.1
+    b_base = set(map(int, mh.band_hashes(s_base)))
+    b_near = set(map(int, mh.band_hashes(s_near)))
+    b_far = set(map(int, mh.band_hashes(s_far)))
+    assert b_base & b_near, "J>=0.9 near-dup must share at least one band"
     assert not (b_base & b_far)
-    assert jaccard(base, near) > 0.7 > jaccard(base, far)
 
 
 def test_bpe_and_shingle_whitespace_parity_unicode():
