@@ -107,6 +107,23 @@ def test_minhash_finds_near_dups():
     assert not (b_base & b_far)
 
 
+def test_minhash_batch_bit_identical_to_scalar():
+    """signatures_batch's buffer-reusing op sequence must be bit-identical
+    to the per-doc signature() path (both are _splitmix_permute)."""
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.dedup import MinHasher
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 300, n))
+             for n in (1, 7, 80, 250)] + ["", "x"]
+    mh = MinHasher()
+    batch = mh.signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert (mh.signature(t) == batch[i]).all(), f"doc {i} diverged"
+
+
 def test_bpe_and_shingle_whitespace_parity_unicode():
     """Python \\s is Unicode-aware, RE2 \\s is ASCII-only — the shared
     explicit ASCII class must make both sides tokenize U+00A0 (and \\v)
