@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
     from meilisearch_thai_ray.pipelines import training_data as td
+    from meilisearch_thai_ray.pipelines import window_ops as wo
 
     return {
         # --- SQL-verified (oracle_sql present) ---
@@ -79,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j13_big_orders": olap.big_orders,
         "a13_distinct_suppliers": olap.distinct_suppliers,
         "k5_hash_sample": st.hash_sample,
+        "a15_running_total": wo.running_total,
+        "k13_ntile": wo.ntile_doc_buckets,
+        "a14_embed_centroids": wo.embed_centroids,
+        "a16_grouped_corr": wo.grouped_corr,
         "a9_distinct_users": cs.distinct_users,
         "k6_heavy_hitters": cs.heavy_hitter_words,
         "k6b_heavy_hitters_by_lang": cs.heavy_hitter_words_by_lang,
@@ -147,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
     from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
+    from meilisearch_thai_ray.pipelines.window_ops import SQL as WINDOW_SQL
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
-            **TRAIN_SQL, **OLAP_SQL}
+            **TRAIN_SQL, **OLAP_SQL, **WINDOW_SQL}

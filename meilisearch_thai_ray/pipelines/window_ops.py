@@ -1,0 +1,444 @@
+"""Window / rank / vector-aggregate operators (SQL-verified).
+
+Four operator classes the engine lacked, each built on the repo's
+sorted-block two-pass pattern (sort once, derive per-block boundary
+partials, broadcast the tiny carry/offset map, finalize per block — the
+same shape as q3_shipping's boundary merge) or on mergeable partials:
+
+  a15_running_total   per-key cumulative SUM over time — the distributed
+                      window prefix-scan. ONE corpus sort; the only
+                      driver-side state is one boundary row per block.
+  k13_ntile           global rank + NTILE bucketing — sort + per-block
+                      row counts -> prefix offsets -> vectorized rank.
+  a14_embed_centroids per-label mean embedding — vector aggregate via
+                      per-batch (label, count, sum-vector) partials.
+  a16_grouped_corr    Pearson correlation per group — algebraic
+                      second-moment partials (n, Σx, Σy, Σx², Σy², Σxy),
+                      shift-stabilized so the naive combine stays exact
+                      to well past 6 dp.
+
+Scale notes (100 TB): the sort is the one all-to-all exchange in a15/k13
+and is unavoidable for rank/window semantics; boundary state is O(blocks),
+offsets broadcast once via ray.put. Centroid/corr partials are O(groups)
+per block and never shuffle the raw rows. Reference analog: the reference
+keeps no windowed analytics (metrics singletons only,
+src/meilisearch_integration/document_processor.py ProcessingMetrics);
+these lift the same bookkeeping to corpus scale.
+
+Float/SQL parity: block-local np.cumsum + carry differs from DuckDB's
+sequential window accumulation only in association order (error ~1e-10 at
+1e5-row blocks); both sides round to 6 dp. corr() is shift-invariant, so
+both x and y are pre-shifted by fixed constants to kill the n·Σxy − ΣxΣy
+cancellation before the 6-dp round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..sources.documents import read_parquet_clean
+
+SQL: dict[str, str] = {}
+
+
+def _events(sf_dir: str, columns: list[str]):
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=columns)
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
+
+
+# ------------------------------------------------------------- a15 running
+
+
+def _run_scan(users: np.ndarray, values: np.ndarray):
+    """Vectorized per-run prefix sums over a (user-sorted) block.
+
+    -> (running, run_starts, run_totals): running[i] is the cumulative sum
+    of values within i's user-run; run_starts indexes each run's first row.
+    """
+    n = users.size
+    cs = np.cumsum(values)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = users[1:] != users[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.nonzero(new_run)[0]
+    base = np.where(run_starts > 0, cs[run_starts - 1], 0.0)
+    running = cs - base[run_id]
+    run_ends = np.concatenate([run_starts[1:] - 1, [n - 1]])
+    run_totals = cs[run_ends] - base
+    return running, run_starts, run_totals
+
+
+def _boundary_scan(batch: pa.Table) -> pa.Table:
+    """One row per sorted block: the block's ordering key (its first row's
+    full sort key), its first event_id (the block's identity tag for pass
+    2), and the first/last user runs' local totals — everything the driver
+    needs to compute cross-block carries."""
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    if users.size == 0:
+        return pa.table({
+            "bkey": pa.array([], pa.int64()),
+            "ord_user": pa.array([], pa.int64()),
+            "ord_ts": pa.array([], pa.int64()),
+            "ord_event": pa.array([], pa.int64()),
+            "first_user": pa.array([], pa.int64()),
+            "first_total": pa.array([], pa.float64()),
+            "last_user": pa.array([], pa.int64()),
+            "last_total": pa.array([], pa.float64()),
+        })
+    values = batch["value"].to_numpy(zero_copy_only=False)
+    events = batch["event_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    _, starts, totals = _run_scan(users, values)
+    return pa.table({
+        "bkey": pa.array([int(events[0])], pa.int64()),
+        "ord_user": pa.array([int(users[0])], pa.int64()),
+        "ord_ts": pa.array([int(ts[0])], pa.int64()),
+        "ord_event": pa.array([int(events[0])], pa.int64()),
+        "first_user": pa.array([int(users[starts[0]])], pa.int64()),
+        "first_total": pa.array([float(totals[0])], pa.float64()),
+        "last_user": pa.array([int(users[starts[-1]])], pa.int64()),
+        "last_total": pa.array([float(totals[-1])], pa.float64()),
+    })
+
+
+def _carries_from_boundaries(btab: pa.Table) -> dict[int, tuple[int, float]]:
+    """Sequential pass over the (tiny) per-block boundary rows in global
+    sort order -> {block tag: (user, carry)}. Only a block's FIRST user run
+    can continue a previous block's run (rows are user-sorted), so the
+    driver state is one (user, total) pair."""
+    import pandas as pd
+
+    df = btab.to_pandas().sort_values(["ord_user", "ord_ts", "ord_event"])
+    carries: dict[int, tuple[int, float]] = {}
+    acc_user, acc_total = None, 0.0
+    for row in df.itertuples(index=False):
+        carry = acc_total if acc_user == row.first_user else 0.0
+        carries[int(row.bkey)] = (int(row.first_user), carry)
+        acc_user = int(row.last_user)
+        acc_total = float(row.last_total) + \
+            (carry if row.last_user == row.first_user else 0.0)
+    return carries
+
+
+class _CarryScan:
+    """Pass 2: per-block local prefix sums + the broadcast carry for the
+    block's first user. Blocks are identified by their first event_id —
+    stable because both passes map over the SAME materialized sorted
+    blocks (batch_size=None = one batch per block)."""
+
+    def __init__(self, carries_ref):
+        self.carries = ray.get(carries_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        if users.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "running_value": pa.array([], pa.float64()),
+            })
+        values = batch["value"].to_numpy(zero_copy_only=False)
+        events = batch["event_id"].to_numpy(zero_copy_only=False)
+        running, _, _ = _run_scan(users, values)
+        carry_user, carry = self.carries[int(events[0])]
+        if carry != 0.0:
+            running = np.where(users == carry_user, running + carry, running)
+        return pa.table({
+            "user_id": pa.array(users.astype(np.int64)),
+            "event_id": pa.array(events.astype(np.int64)),
+            "running_value": pa.array(np.round(running, 6), pa.float64()),
+        })
+
+
+def running_total(sf_dir: str):
+    """A15: per-user running SUM(value) in (ts, event_id) order — the
+    distributed window prefix-scan. One sort; per-block boundary rows give
+    the driver O(blocks) state; the carry map is broadcast once."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"]) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        ds.map_batches(_boundary_scan, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    carries_ref = ray.put(_carries_from_boundaries(btab))
+    return ds.map_batches(
+        _CarryScan, fn_constructor_kwargs={"carries_ref": carries_ref},
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+
+
+SQL["a15_running_total"] = """
+SELECT user_id, event_id,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""
+
+
+# ------------------------------------------------------------- k13 ntile
+
+
+NTILE_TILES = 4
+
+
+def ntile_bucket(rank0: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE: first (n % tiles) buckets get ceil(n/tiles) rows.
+    rank0 is the 0-based global rank; returns 1-based bucket ids."""
+    q, r = divmod(n, tiles)
+    big = r * (q + 1)
+    small = np.maximum(q, 1)  # avoid /0 when n < tiles (unused ranks then)
+    return np.where(
+        rank0 < big,
+        rank0 // (q + 1),
+        r + (rank0 - big) // small,
+    ).astype(np.int64) + 1
+
+
+def _block_keys(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "first_chars": pa.array(
+            [int(batch["n_chars"][0].as_py())] if batch.num_rows else [],
+            pa.int64()),
+        "first_doc": pa.array(
+            [int(batch["doc_id"][0].as_py())] if batch.num_rows else [],
+            pa.int64()),
+        "n_rows": pa.array([batch.num_rows] if batch.num_rows else [],
+                           pa.int64()),
+    })
+
+
+class _NtilePartial:
+    """Pass 2: global rank = broadcast block offset + arange, NTILE bucket,
+    then a per-block per-bucket partial (count/min/max) — only O(tiles)
+    rows leave each block."""
+
+    def __init__(self, offsets_ref, total: int, tiles: int):
+        self.offsets = ray.get(offsets_ref)
+        self.total, self.tiles = total, tiles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "quartile": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "min_chars": pa.array([], pa.int64()),
+            "max_chars": pa.array([], pa.int64()),
+        })
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        key = (int(chars[0]), int(batch["doc_id"][0].as_py()))
+        rank0 = self.offsets[key] + np.arange(n, dtype=np.int64)
+        tile = ntile_bucket(rank0, self.total, self.tiles)
+        uniq, inv = np.unique(tile, return_inverse=True)
+        counts = np.bincount(inv)
+        mins = np.full(uniq.size, np.iinfo(np.int64).max)
+        maxs = np.full(uniq.size, np.iinfo(np.int64).min)
+        np.minimum.at(mins, inv, chars)
+        np.maximum.at(maxs, inv, chars)
+        return pa.table({
+            "quartile": pa.array(uniq, pa.int64()),
+            "n_docs": pa.array(counts.astype(np.int64)),
+            "min_chars": pa.array(mins, pa.int64()),
+            "max_chars": pa.array(maxs, pa.int64()),
+        })
+
+
+def ntile_doc_buckets(sf_dir: str, tiles: int = NTILE_TILES):
+    """K13: NTILE(tiles) over documents by (n_chars, doc_id) — global rank
+    via sort + per-block counts -> prefix offsets (broadcast once), then a
+    per-bucket aggregate. The driver sees O(blocks) counts and
+    O(blocks*tiles) partials, never rows."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .sort(["n_chars", "doc_id"]).materialize()
+    keys = pa.concat_tables(ray.get(
+        ds.map_batches(_block_keys, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    import pandas as pd
+
+    kdf = keys.to_pandas().sort_values(["first_chars", "first_doc"])
+    offs = np.concatenate([[0], np.cumsum(kdf["n_rows"].to_numpy())[:-1]])
+    total = int(kdf["n_rows"].sum())
+    offsets = {(int(c), int(d)): int(o) for c, d, o in
+               zip(kdf["first_chars"], kdf["first_doc"], offs)}
+    offsets_ref = ray.put(offsets)
+    partials = pa.concat_tables(ray.get(
+        ds.map_batches(
+            _NtilePartial,
+            fn_constructor_kwargs={"offsets_ref": offsets_ref,
+                                   "total": total, "tiles": tiles},
+            batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
+        ).to_arrow_refs()))
+    pdf = partials.to_pandas()
+    out = pdf.groupby("quartile", as_index=False).agg(
+        n_docs=("n_docs", "sum"), min_chars=("min_chars", "min"),
+        max_chars=("max_chars", "max")).sort_values("quartile")
+    return pa.table({
+        "quartile": pa.array(out["quartile"].to_numpy(), pa.int64()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(), pa.int64()),
+        "min_chars": pa.array(out["min_chars"].to_numpy(), pa.int64()),
+        "max_chars": pa.array(out["max_chars"].to_numpy(), pa.int64()),
+    })
+
+
+SQL["k13_ntile"] = f"""
+SELECT quartile, CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM (SELECT n_chars, NTILE({NTILE_TILES}) OVER (ORDER BY n_chars, doc_id)
+             AS quartile
+      FROM documents)
+GROUP BY quartile
+"""
+
+
+# ------------------------------------------------------- a14 centroids
+
+
+def _centroid_partial(batch: pa.Table) -> pa.Table:
+    """(label, n_part, sums list<double>) — one row per label per batch."""
+    empty = pa.table({
+        "label": pa.array([], pa.int64()),
+        "n_part": pa.array([], pa.int64()),
+        "sums": pa.array([], pa.list_(pa.float64())),
+    })
+    if batch.num_rows == 0:
+        return empty
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["embedding"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0])
+    mat = flat.reshape(-1, dim)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((uniq.size, dim), dtype=np.float64)
+    np.add.at(sums, inv, mat)
+    counts = np.bincount(inv).astype(np.int64)
+    return pa.table({
+        "label": pa.array(uniq),
+        "n_part": pa.array(counts),
+        "sums": pa.array(list(sums), pa.list_(pa.float64())),
+    })
+
+
+def embed_centroids(sf_dir: str):
+    """A14: per-label mean embedding (the vector aggregate every embedding
+    pipeline needs — e.g. IVF coarse centroids, per-source drift checks).
+    Per-batch partial sums; only O(labels) rows per block leave the tasks;
+    driver combines O(labels*blocks) partials and explodes to
+    (label, dim, mean_val) rows for the SQL hash."""
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["label", "embedding"])
+    partials = pa.concat_tables(ray.get(
+        ds.map_batches(_centroid_partial, batch_format="pyarrow",
+                       batch_size=4096).to_arrow_refs()))
+    labels = partials["label"].to_numpy(zero_copy_only=False)
+    counts = partials["n_part"].to_numpy(zero_copy_only=False)
+    col = partials["sums"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array(
+            [], pa.list_(pa.float64()))
+    flat = col.values.to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    mat = flat.reshape(-1, dim)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((uniq.size, dim), dtype=np.float64)
+    np.add.at(sums, inv, mat)
+    n = np.bincount(inv, weights=counts.astype(np.float64))
+    means = np.round(sums / n[:, None], 6)
+    k = uniq.size
+    return pa.table({
+        "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+        "mean_val": pa.array(means.reshape(-1), pa.float64()),
+    })
+
+
+SQL["a14_embed_centroids"] = """
+SELECT CAST(label AS BIGINT) AS label, dim,
+       round(avg(CAST(e AS DOUBLE)), 6) AS mean_val
+FROM (SELECT label, unnest(embedding) AS e,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
+# ------------------------------------------------------- a16 grouped corr
+
+
+# corr() is shift-invariant; shifting x/y toward their rough magnitudes
+# before accumulating kills the n*Σxy - Σx*Σy cancellation (raw price sums
+# push the cross products past 2^53, where the naive combine loses the
+# low bits the 6-dp round needs)
+CORR_X_SHIFT = 25.0       # l_quantity is ~uniform(1, 50)
+CORR_Y_SHIFT = 30_000.0   # l_extendedprice's rough center
+
+
+def _corr_partial(batch: pa.Table) -> pa.Table:
+    flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+    x = batch["l_quantity"].to_numpy(zero_copy_only=False) - CORR_X_SHIFT
+    y = batch["l_extendedprice"].to_numpy(zero_copy_only=False) - CORR_Y_SHIFT
+    uniq, inv = np.unique(flags, return_inverse=True)
+    def gsum(v):
+        return np.bincount(inv, weights=v, minlength=uniq.size)
+    return pa.table({
+        "flag": pa.array(uniq, pa.string()),
+        "n": pa.array(np.bincount(inv, minlength=uniq.size).astype(np.int64)),
+        "sx": pa.array(gsum(x), pa.float64()),
+        "sy": pa.array(gsum(y), pa.float64()),
+        "sxx": pa.array(gsum(x * x), pa.float64()),
+        "syy": pa.array(gsum(y * y), pa.float64()),
+        "sxy": pa.array(gsum(x * y), pa.float64()),
+    })
+
+
+def grouped_corr(sf_dir: str):
+    """A16: Pearson corr(l_quantity, l_extendedprice) per returnflag via
+    mergeable second-moment partials — the one-pass algebraic aggregate
+    shape (no row ever leaves its block; O(groups) rows per block)."""
+    import pandas as pd
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    partials = pa.concat_tables(ray.get(
+        ds.map_batches(_corr_partial, batch_format="pyarrow",
+                       batch_size=65536).to_arrow_refs()))
+    df = partials.to_pandas().groupby("flag", as_index=False).sum()
+    n = df["n"].to_numpy(dtype=np.float64)
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, syy, sxy = df["sxx"].to_numpy(), df["syy"].to_numpy(), \
+        df["sxy"].to_numpy()
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    denom = np.sqrt(varx * vary)
+    corr = np.where(denom > 0, cov / np.where(denom == 0, 1.0, denom), 0.0)
+    order = np.argsort(df["flag"].to_numpy())
+    return pa.table({
+        "l_returnflag": pa.array(df["flag"].to_numpy()[order], pa.string()),
+        "corr_qty_price": pa.array(np.round(corr[order], 6), pa.float64()),
+        "n": pa.array(df["n"].to_numpy()[order].astype(np.int64)),
+    })
+
+
+SQL["a16_grouped_corr"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -1,0 +1,190 @@
+"""Window / rank / vector-aggregate operators (pipelines/window_ops.py).
+
+The driver-gate SQL parity at sf0.01 covers the happy path; these tests
+force the paths small data can miss: user runs spanning MULTIPLE sorted
+blocks (the carry chain), non-divisible NTILE remainders, and partial
+merging across batch boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ---------------------------------------------------------- pure kernels
+
+
+def test_run_scan_per_run_prefix_sums():
+    from meilisearch_thai_ray.pipelines.window_ops import _run_scan
+
+    users = np.array([1, 1, 1, 2, 3, 3], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 10.0, 5.0, 7.0])
+    running, starts, totals = _run_scan(users, vals)
+    assert np.allclose(running, [1.0, 3.0, 6.0, 10.0, 5.0, 12.0])
+    assert starts.tolist() == [0, 3, 4]
+    assert np.allclose(totals, [6.0, 10.0, 12.0])
+
+
+@pytest.mark.parametrize("n,tiles", [(500, 4), (10, 3), (7, 4), (3, 5),
+                                     (1, 4), (100, 7)])
+def test_ntile_bucket_matches_duckdb(n, tiles):
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.window_ops import ntile_bucket
+
+    ours = ntile_bucket(np.arange(n, dtype=np.int64), n, tiles)
+    con = duckdb.connect()
+    theirs = con.execute(
+        f"SELECT NTILE({tiles}) OVER (ORDER BY i) FROM range({n}) t(i)"
+    ).fetchnumpy()
+    key = list(theirs.keys())[0]
+    assert ours.tolist() == theirs[key].tolist()
+
+
+# ------------------------------------------------- distributed pipelines
+
+
+def _write_events(tmp_path, users, n_files=6, rows_per_file=40, seed=3):
+    """Events parquet split over n_files so the sort yields multiple
+    blocks; user ids are drawn so every user spans many files (forcing
+    cross-block carry chains, including a user covering >= 3 blocks)."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(tmp_path, "eventsdir")
+    os.makedirs(d, exist_ok=True)
+    eid = 0
+    frames = []
+    for f in range(n_files):
+        n = rows_per_file
+        u = rng.choice(users, size=n)
+        ts = rng.integers(1_700_000_000_000_000, 1_700_100_000_000_000,
+                          size=n)
+        val = np.round(rng.uniform(-5, 50, size=n), 2)
+        t = pa.table({
+            "event_id": pa.array(np.arange(eid, eid + n), pa.int64()),
+            "user_id": pa.array(u.astype(np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_type": pa.array(["e"] * n, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(d, f"part-{f}.parquet"))
+        frames.append(t)
+        eid += n
+    pq.write_table(pa.concat_tables(frames),
+                   os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def test_running_total_cross_block_carry(ray_session, tmp_path):
+    """With only 2 distinct users over 240 rows in 6 input files, every
+    sorted block boundary cuts through a user run — the broadcast carry
+    path does real work on every block after the first."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.window_ops import running_total
+
+    sf = _write_events(tmp_path, users=np.array([7, 9]))
+    out = running_total(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = pq.read_table(os.path.join(sf, "events.parquet")).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["running_value"] = df.groupby("user_id")["value"].cumsum().round(6)
+    exp = df[["user_id", "event_id", "running_value"]] \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "event_id", "running_value"]], exp)
+
+
+def test_running_total_many_users(ray_session, tmp_path):
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.window_ops import running_total
+
+    sf = _write_events(tmp_path, users=np.arange(1, 30), seed=11)
+    out = running_total(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = pq.read_table(os.path.join(sf, "events.parquet")).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["running_value"] = df.groupby("user_id")["value"].cumsum().round(6)
+    exp = df[["user_id", "event_id", "running_value"]] \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "event_id", "running_value"]], exp)
+
+
+def test_ntile_pipeline_non_divisible(ray_session, tmp_path):
+    """503 docs / 4 tiles: remainder 3 — the first three buckets get 126
+    rows, the last 125, exactly like SQL NTILE."""
+    from meilisearch_thai_ray.pipelines.window_ops import ntile_doc_buckets
+
+    rng = np.random.default_rng(5)
+    n = 503
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array(rng.integers(10, 500, size=n), pa.int64()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = ntile_doc_buckets(str(tmp_path)).to_pandas()
+    assert out["quartile"].tolist() == [1, 2, 3, 4]
+    assert out["n_docs"].tolist() == [126, 126, 126, 125]
+    # buckets partition the sorted order: max of tile k <= min of tile k+1
+    assert (out["max_chars"].to_numpy()[:-1]
+            <= out["min_chars"].to_numpy()[1:]).all()
+
+
+def test_embed_centroids_partial_merge(ray_session, tmp_path):
+    """Centroids from partials merged across batches == numpy per-label
+    means of the full matrix."""
+    from meilisearch_thai_ray.pipelines.window_ops import embed_centroids
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 8
+    labels = rng.integers(0, 4, size=n).astype(np.int32)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row for row in mat.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    out = embed_centroids(str(tmp_path)).to_pandas()
+    assert len(out) == 4 * dim
+    for lab in range(4):
+        exp = np.round(mat[labels == lab].astype(np.float64).mean(axis=0), 6)
+        got = out[out["label"] == lab].sort_values("dim")["mean_val"] \
+            .to_numpy()
+        assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_grouped_corr_matches_numpy(ray_session, tmp_path):
+    from meilisearch_thai_ray.pipelines.window_ops import grouped_corr
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    flags = rng.choice(["A", "N", "R"], size=n)
+    x = rng.uniform(1, 50, size=n)
+    y = 30_000.0 + 500.0 * x + rng.normal(0, 5_000, size=n)  # correlated
+    t = pa.table({
+        "l_orderkey": pa.array(np.arange(n), pa.int64()),
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_quantity": pa.array(x, pa.float64()),
+        "l_extendedprice": pa.array(y, pa.float64()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "lineitem.parquet"))
+    out = grouped_corr(str(tmp_path)).to_pandas()
+    for flag in ["A", "N", "R"]:
+        m = flags == flag
+        exp = np.corrcoef(x[m], y[m])[0, 1]
+        got = float(
+            out[out["l_returnflag"] == flag]["corr_qty_price"].iloc[0])
+        assert abs(got - exp) < 1e-6
+        assert got > 0.5  # the planted correlation is strong
