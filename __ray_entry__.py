@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a13_distinct_suppliers": olap.distinct_suppliers,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
+        "a17_event_gaps": wo.event_gaps,
         "k13_ntile": wo.ntile_doc_buckets,
         "a14_embed_centroids": wo.embed_centroids,
         "a16_grouped_corr": wo.grouped_corr,

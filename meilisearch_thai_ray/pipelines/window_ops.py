@@ -185,6 +185,99 @@ FROM events
 """
 
 
+# ------------------------------------------------------------- a17 lag
+
+
+class _LagScan:
+    """Pass 2 of the LAG operator: in-block gaps are a shifted diff within
+    user runs; only the block's FIRST row can have its predecessor in the
+    previous block — the broadcast map carries that one (user, ts) pair
+    per block. First event of a user -> -1 (COALESCE'd on both sides so
+    the column stays non-null int64)."""
+
+    def __init__(self, prev_ref):
+        self.prev = ray.get(prev_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        if users.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        events = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        gap = np.full(users.size, -1, dtype=np.int64)
+        same = users[1:] == users[:-1]
+        gap[1:][same] = (ts[1:] - ts[:-1])[same]
+        prev_user, prev_ts = self.prev[int(events[0])]
+        if prev_user == int(users[0]):
+            gap[0] = ts[0] - prev_ts
+        return pa.table({
+            "user_id": pa.array(users.astype(np.int64)),
+            "event_id": pa.array(events.astype(np.int64)),
+            "gap_us": pa.array(gap),
+        })
+
+
+def _last_row_scan(batch: pa.Table) -> pa.Table:
+    """One row per block: ordering key + the block's last (user, ts)."""
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    if users.size == 0:
+        return pa.table({
+            "bkey": pa.array([], pa.int64()),
+            "ord_user": pa.array([], pa.int64()),
+            "ord_ts": pa.array([], pa.int64()),
+            "ord_event": pa.array([], pa.int64()),
+            "last_user": pa.array([], pa.int64()),
+            "last_ts": pa.array([], pa.int64()),
+        })
+    events = batch["event_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bkey": pa.array([int(events[0])], pa.int64()),
+        "ord_user": pa.array([int(users[0])], pa.int64()),
+        "ord_ts": pa.array([int(ts[0])], pa.int64()),
+        "ord_event": pa.array([int(events[0])], pa.int64()),
+        "last_user": pa.array([int(users[-1])], pa.int64()),
+        "last_ts": pa.array([int(ts[-1])], pa.int64()),
+    })
+
+
+def event_gaps(sf_dir: str):
+    """A17: LAG — microseconds since the user's previous event. Same
+    sorted-block two-pass as a15, but the carry is one (user, ts) pair
+    per block (the previous block's last row)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"]) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        ds.map_batches(_last_row_scan, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    import pandas as pd
+
+    df = btab.to_pandas().sort_values(["ord_user", "ord_ts", "ord_event"])
+    prev: dict[int, tuple[int, int]] = {}
+    last_user, last_ts = -1, -1  # no block precedes the first
+    for row in df.itertuples(index=False):
+        prev[int(row.bkey)] = (last_user, last_ts)
+        last_user, last_ts = int(row.last_user), int(row.last_ts)
+    prev_ref = ray.put(prev)
+    return ds.map_batches(
+        _LagScan, fn_constructor_kwargs={"prev_ref": prev_ref},
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+
+
+SQL["a17_event_gaps"] = """
+SELECT user_id, event_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
 # ------------------------------------------------------------- k13 ntile
 
 

@@ -117,6 +117,28 @@ def test_running_total_many_users(ray_session, tmp_path):
         out[["user_id", "event_id", "running_value"]], exp)
 
 
+def test_event_gaps_cross_block_lag(ray_session, tmp_path):
+    """Two users over 6 files: most sorted-block first rows have their
+    LAG predecessor in the previous block."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.window_ops import event_gaps
+
+    sf = _write_events(tmp_path, users=np.array([7, 9]), seed=21)
+    out = event_gaps(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = pq.read_table(os.path.join(sf, "events.parquet")).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    tsus = df["ts"].astype("int64")
+    gap = tsus - tsus.shift(1)
+    gap[df["user_id"] != df["user_id"].shift(1)] = -1
+    df["gap_us"] = gap.astype("int64")
+    exp = df[["user_id", "event_id", "gap_us"]].sort_values("event_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["user_id", "event_id", "gap_us"]],
+                                  exp)
+
+
 def test_ntile_pipeline_non_divisible(ray_session, tmp_path):
     """503 docs / 4 tiles: remainder 3 — the first three buckets get 126
     rows, the last 125, exactly like SQL NTILE."""
