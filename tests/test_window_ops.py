@@ -187,6 +187,40 @@ def test_embed_centroids_partial_merge(ray_session, tmp_path):
         assert np.allclose(got, exp, atol=1e-9)
 
 
+def test_curate_exact_dedup_cross_block_runs(ray_session, tmp_path):
+    """Exact dedup keeps min doc_id per identical text even when a hash
+    run spans sorted-block boundaries: 3 distinct texts x 40 copies each
+    over 8 input files means every block boundary cuts a hash run."""
+    from meilisearch_thai_ray.pipelines.curate import curated_docs
+
+    texts = [f"unique words {' '.join(f'w{i}{j}' for j in range(30))}"
+             for i in range(3)]
+    d = os.path.join(tmp_path, "docs")
+    rows = []
+    for copy in range(40):
+        for i, t in enumerate(texts):
+            rows.append((copy * 3 + i, t))
+    for f in range(8):
+        chunk = rows[f * 15:(f + 1) * 15]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+            "text": pa.array([r[1] for r in chunk], pa.string()),
+            "lang": pa.array(["en"] * len(chunk), pa.string()),
+            "source": pa.array(["s"] * len(chunk), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in chunk], pa.int64()),
+        })
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, f"part-{f}.parquet"))
+    # documents.parquet as a directory works via read_parquet_clean
+    import shutil
+
+    shutil.move(d, os.path.join(tmp_path, "documents.parquet"))
+    out = curated_docs(str(tmp_path)).to_pandas()
+    # near-dup stage then drops 2 of the 3 distinct texts? no — texts are
+    # fully distinct (Jaccard 0 between them): exactly the 3 min ids stay
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2]
+
+
 def test_grouped_corr_matches_numpy(ray_session, tmp_path):
     from meilisearch_thai_ray.pipelines.window_ops import grouped_corr
 
