@@ -696,25 +696,23 @@ def _latest_partial(batch: pa.Table) -> pa.Table:
             .group_by("user_id", maintain_order=True).head(1).to_arrow())
 
 
-def _latest_group(group: pa.Table) -> pa.Table:
-    import polars as pl
-
-    df = pl.from_arrow(group).sort(["ts", "event_id"],
-                                   descending=[True, True])
-    return df.head(1).select(_EV_FULL).to_arrow()
-
-
 def latest_event_per_user(sf_dir: str):
     """J8: distributed argmax — each user's newest event (ties broken by
-    event_id), via per-batch partial argmax + one groupby(user_id). The
-    newest-wins-by-key dedup every snapshot ingestion needs."""
+    event_id), via per-batch partial argmax + ONE sort of the shrunken
+    partials + first-of-run scan (stages/runs.py — no per-user Python
+    dispatch; the winner per user is its run's first row under the
+    newest-first order). The newest-wins-by-key dedup every snapshot
+    ingestion needs."""
+    from ..stages.runs import keep_first_per_run
+
     ds = _events(sf_dir, _EV_FULL)
-    return (
-        ds.map_batches(_latest_partial, batch_format="pyarrow",
-                       batch_size=16384)
-        .groupby("user_id")
-        .map_groups(_latest_group, batch_format="pyarrow")
-    )
+    shrunk = ds.map_batches(_latest_partial, batch_format="pyarrow",
+                            batch_size=16384)
+    sorted_ds = shrunk.sort(["user_id", "ts", "event_id"],
+                            descending=[False, True, True]).materialize()
+    return keep_first_per_run(
+        sorted_ds, ["user_id"], ["user_id", "ts", "event_id"],
+        [False, True, True]).select_columns(_EV_FULL)
 
 
 SQL["j8_latest_event"] = """

@@ -72,44 +72,9 @@ def _hash_text(batch: pa.Table) -> pa.Table:
     return batch.append_column("h", pa.array(h, pa.string()))
 
 
-def _hash_block_bounds(batch: pa.Table) -> pa.Table:
-    """One row per sorted block: ordering key (first h, first doc_id),
-    the block's identity tag (first doc_id), and its last hash."""
-    if batch.num_rows == 0:
-        return pa.table({
-            "bkey": pa.array([], pa.int64()),
-            "ord_h": pa.array([], pa.string()),
-            "ord_id": pa.array([], pa.int64()),
-            "last_h": pa.array([], pa.string()),
-        })
-    return pa.table({
-        "bkey": pa.array([int(batch["doc_id"][0].as_py())], pa.int64()),
-        "ord_h": pa.array([batch["h"][0].as_py()], pa.string()),
-        "ord_id": pa.array([int(batch["doc_id"][0].as_py())], pa.int64()),
-        "last_h": pa.array([batch["h"][-1].as_py()], pa.string()),
-    })
-
-
-class _FirstPerHash:
-    """Keep the first row of each hash run. Rows arrive sorted by
-    (h, doc_id), so the group's minimum doc_id is its run's first row;
-    a run continuing from the previous block is recognized via the
-    broadcast {block tag: previous block's last hash} map. Replaces a
-    groupby(h).map_groups — which paid one Python dispatch PER UNIQUE
-    TEXT (millions of calls at corpus scale) — with one vectorized pass
-    per block over the same sort exchange."""
-
-    def __init__(self, prev_ref):
-        self.prev = ray.get(prev_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.drop_columns(["h"])
-        h = np.asarray(batch["h"].to_pylist(), dtype=object)
-        keep = np.empty(h.size, dtype=bool)
-        keep[1:] = h[1:] != h[:-1]
-        keep[0] = h[0] != self.prev[int(batch["doc_id"][0].as_py())]
-        return batch.filter(pa.array(keep)).drop_columns(["h"])
+# exact dedup = first row per content-hash run over ONE sort — see
+# stages/runs.py:keep_first_per_run (replaces a groupby(h).map_groups
+# that paid one Python dispatch PER UNIQUE TEXT)
 
 
 def curated_docs(sf_dir: str, n_blocks: int | None = None,
@@ -140,6 +105,8 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars", "text"],
     )
+    from ..stages.runs import keep_first_per_run
+
     hashed = (
         ds.map_batches(_quality_filter, batch_format="pyarrow",
                        batch_size=4096)
@@ -147,20 +114,11 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
         .sort(["h", "doc_id"])
         .materialize()
     )
-    btab = pa.concat_tables(ray.get(
-        hashed.map_batches(_hash_block_bounds, batch_format="pyarrow",
-                           batch_size=None).to_arrow_refs()))
-    bdf = btab.to_pandas().sort_values(["ord_h", "ord_id"])
-    prev: dict[int, str] = {}
-    last_h = ""  # no md5 hex is empty: the first block's first run survives
-    for row in bdf.itertuples(index=False):
-        prev[int(row.bkey)] = last_h
-        last_h = row.last_h
-    prev_ref = ray.put(prev)
-    survivors = hashed.map_batches(
-        _FirstPerHash, fn_constructor_kwargs={"prev_ref": prev_ref},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
-    ).materialize()  # reused twice: pair join input + final filter
+    survivors = (
+        keep_first_per_run(hashed, ["h"], ["h", "doc_id"])
+        .select_columns(["doc_id", "lang", "n_chars", "text"])
+        .materialize()  # reused twice: pair join input + final filter
+    )
     if near_dup == "minhash":
         import tempfile
 

@@ -523,7 +523,7 @@ def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
     """Exact-content dedup of a NEW snapshot against an EXISTING corpus —
     the incremental-crawl ingest op (only docs unseen in prior snapshots
     enter the index). Both sides are hashed per batch down to (doc_id,
-    content-hash, side) rows, so the ONE groupby(hash) exchange carries 3
+    content-hash, side) rows, so the ONE sort(hash) exchange carries 3
     small columns, never text; no side is broadcast (both are corpus-sized
     at 100 TB). Emits (doc_id, dup_of): each new doc whose exact text
     exists in the old snapshot, with the smallest matching old doc_id."""
@@ -540,25 +540,100 @@ def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
             })
         return f
 
-    def _emit(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy(zero_copy_only=False)
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        old_ids, new_ids = ids[side == 0], ids[side == 1]
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "dup_of": pa.array([], pa.int64())})
-        if old_ids.size == 0 or new_ids.size == 0:
-            return empty
-        return pa.table({
-            "doc_id": pa.array(np.sort(new_ids), pa.int64()),
-            "dup_of": pa.array(np.full(new_ids.size, old_ids.min()),
-                               pa.int64()),
+    # One sort(h, side, doc_id) replaces groupby(h).map_groups (one Python
+    # dispatch per unique text). Within an h-run, old rows sort before new
+    # rows and doc_ids ascend, so a run's old-minimum is its FIRST row when
+    # that row is old-side; runs spanning blocks are resolved by a forward
+    # prefix-min carry over the per-block boundary rows (O(blocks) driver
+    # state, broadcast once) — the new rows' matching old doc can only live
+    # in the same or an EARLIER block.
+    _INF = 1 << 62
+
+    def _bounds(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "tag": pa.array([], pa.string()),
+            "first_h": pa.array([], pa.string()),
+            "last_h": pa.array([], pa.string()),
+            "first_old_min": pa.array([], pa.int64()),
+            "last_old_min": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
         })
+        if batch.num_rows == 0:
+            return empty
+        from ..stages.runs import new_run_mask
+
+        mask = new_run_mask(batch, ["h"])
+        starts = np.nonzero(mask)[0]
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+        def run_old_min(s):
+            return int(ids[s]) if side[s] == 0 else _INF
+
+        tag = repr((batch["h"][0].as_py(), int(side[0]), int(ids[0])))
+        return pa.table({
+            "tag": pa.array([tag], pa.string()),
+            "first_h": pa.array([batch["h"][0].as_py()], pa.string()),
+            "last_h": pa.array([batch["h"][-1].as_py()], pa.string()),
+            "first_old_min": pa.array([run_old_min(starts[0])], pa.int64()),
+            "last_old_min": pa.array([run_old_min(starts[-1])], pa.int64()),
+            "n_runs": pa.array([int(starts.size)], pa.int64()),
+        })
+
+    def _carries(btab: pa.Table) -> dict[str, int]:
+        import ast
+
+        rows = sorted(btab.to_pylist(),
+                      key=lambda r: ast.literal_eval(r["tag"]))
+        carry: dict[str, int] = {}
+        acc_h, acc_min = None, _INF
+        for e in rows:
+            cont = e["first_h"] == acc_h
+            carry[e["tag"]] = acc_min if cont else _INF
+            if e["n_runs"] == 1 and cont:
+                acc_min = min(acc_min, e["last_old_min"])
+            else:
+                acc_h, acc_min = e["last_h"], e["last_old_min"]
+        return carry
+
+    class _EmitDups:
+        def __init__(self, carry_ref):
+            self.carry = ray.get(carry_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "dup_of": pa.array([], pa.int64())})
+            if batch.num_rows == 0:
+                return empty
+            from ..stages.runs import new_run_mask
+
+            mask = new_run_mask(batch, ["h"])
+            run_id = np.cumsum(mask) - 1
+            starts = np.nonzero(mask)[0]
+            side = batch["side"].to_numpy(zero_copy_only=False)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            old_min = np.where(side[starts] == 0, ids[starts], _INF)
+            tag = repr((batch["h"][0].as_py(), int(side[0]), int(ids[0])))
+            old_min[0] = min(old_min[0], self.carry[tag])
+            dup_of = old_min[run_id]
+            keep = (side == 1) & (dup_of < _INF)
+            return pa.table({
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                "dup_of": pa.array(dup_of[keep].astype(np.int64)),
+            })
 
     u = (old_ds.map_batches(_hash_side(0), batch_format="pyarrow",
                             batch_size=2048)
          .union(new_ds.map_batches(_hash_side(1), batch_format="pyarrow",
                                    batch_size=2048)))
-    return u.groupby("h").map_groups(_emit, batch_format="pyarrow")
+    sorted_u = u.sort(["h", "side", "doc_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        sorted_u.map_batches(_bounds, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    carry_ref = ray.put(_carries(btab))
+    return sorted_u.map_batches(
+        _EmitDups, fn_constructor_kwargs={"carry_ref": carry_ref},
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
 
 
 RECRAWL_MOD = 3          # every 3rd page reappears in the new snapshot
@@ -701,10 +776,12 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
     pipeline cuts out of the training text.
 
     Distributed shape: every-offset grams are emitted per batch
-    (vectorized slicing), duplicate groups are found by ONE
-    groupby(gram) — the Ray-Data-native equivalent of the per-shard
-    suffix-array merge, with identical output — and the per-doc counts
-    come from a combiner + one small groupby(doc_id). The gram exchange
+    (vectorized slicing), duplicate groups are found by ONE sort(gram)
+    + per-block run-length scan with a driver-merged cross-block run
+    chain (stages/runs.py pattern) — the Ray-Data-native equivalent of
+    the per-shard suffix-array merge, with identical output and NO
+    per-unique-gram Python dispatch — and the per-doc counts come from
+    a combiner + one small groupby(doc_id). The gram exchange
     (~gram_len bytes x corpus positions) IS the inherent cost of the
     exact op; at 100 TB swap the gram string for its 8-byte md5 prefix as
     the shuffle key (identical grouping up to md5 collision) and keep
@@ -713,20 +790,117 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
     def _grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_ids, out_grams = [], []
+        out_ids, out_grams, out_offs = [], [], []
         for d, t in zip(ids.tolist(), texts):
             n = len(t) - gram_len + 1
             if n <= 0:
                 continue
             out_ids.extend([d] * n)
             out_grams.extend(t[i:i + gram_len] for i in range(n))
+            out_offs.extend(range(n))
+        # (gram, doc_id, off) is row-unique: the sorted blocks' first rows
+        # are stable block tags for the run-total merge below
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
-                         "gram": pa.array(out_grams, pa.string())})
+                         "gram": pa.array(out_grams, pa.string()),
+                         "off": pa.array(out_offs, pa.int64())})
 
-    def _emit_dup_instances(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        return pa.table({"doc_id": group["doc_id"].cast(pa.int64())})
+    def _run_bounds(batch: pa.Table) -> pa.Table:
+        """One row per sorted block: tag + first/last gram-run profile."""
+        if batch.num_rows == 0:
+            return pa.table({
+                "tag": pa.array([], pa.string()),
+                "first_gram": pa.array([], pa.string()),
+                "first_len": pa.array([], pa.int64()),
+                "last_gram": pa.array([], pa.string()),
+                "last_len": pa.array([], pa.int64()),
+                "n_runs": pa.array([], pa.int64()),
+            })
+        from ..stages.runs import new_run_mask
+
+        mask = new_run_mask(batch, ["gram"])
+        starts = np.nonzero(mask)[0]
+        n = batch.num_rows
+        tag = repr((batch["gram"][0].as_py(),
+                    int(batch["doc_id"][0].as_py()),
+                    int(batch["off"][0].as_py())))
+        return pa.table({
+            "tag": pa.array([tag], pa.string()),
+            "first_gram": pa.array([batch["gram"][0].as_py()], pa.string()),
+            "first_len": pa.array(
+                [int(starts[1]) if starts.size > 1 else n], pa.int64()),
+            "last_gram": pa.array([batch["gram"][-1].as_py()], pa.string()),
+            "last_len": pa.array([n - int(starts[-1])], pa.int64()),
+            "n_runs": pa.array([int(starts.size)], pa.int64()),
+        })
+
+    def _merge_run_totals(btab: pa.Table) -> dict[str, tuple[int, int]]:
+        """Chain first/last runs across block boundaries (a gram's run can
+        span MANY blocks) -> {tag: (first-run total, last-run total)}."""
+        import ast
+
+        rows = sorted(btab.to_pylist(),
+                      key=lambda r: ast.literal_eval(r["tag"]))
+        first_total: dict[str, int] = {}
+        last_total: dict[str, int] = {}
+        open_gram, open_sum = None, 0
+        members: list[tuple[str, str]] = []
+
+        def close():
+            for tag, kind in members:
+                if kind in ("first", "whole"):
+                    first_total[tag] = open_sum
+                if kind in ("last", "whole"):
+                    last_total[tag] = open_sum
+
+        for e in rows:
+            if open_gram is not None and e["first_gram"] == open_gram:
+                open_sum += e["first_len"]
+                if e["n_runs"] == 1:
+                    members.append((e["tag"], "whole"))
+                    continue
+                members.append((e["tag"], "first"))
+                close()
+            else:
+                if open_gram is not None:
+                    close()
+                if e["n_runs"] == 1:
+                    open_gram, open_sum = e["first_gram"], e["first_len"]
+                    members = [(e["tag"], "whole")]
+                    continue
+                first_total[e["tag"]] = e["first_len"]
+            open_gram, open_sum = e["last_gram"], e["last_len"]
+            members = [(e["tag"], "last")]
+        if open_gram is not None:
+            close()
+        return {t: (first_total[t], last_total[t]) for t in first_total}
+
+    class _KeepDupRuns:
+        """Vectorized per-block filter: keep rows whose gram occurs >= 2
+        times corpus-wide. Interior run lengths are local; the first and
+        last runs use the broadcast cross-block totals. Replaces a
+        groupby(gram).map_groups that paid one Python dispatch PER UNIQUE
+        GRAM (~one per corpus position)."""
+
+        def __init__(self, totals_ref):
+            self.totals = ray.get(totals_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            from ..stages.runs import new_run_mask
+
+            mask = new_run_mask(batch, ["gram"])
+            run_id = np.cumsum(mask) - 1
+            lens = np.bincount(run_id)
+            tag = repr((batch["gram"][0].as_py(),
+                        int(batch["doc_id"][0].as_py()),
+                        int(batch["off"][0].as_py())))
+            first_total, last_total = self.totals[tag]
+            lens[0] = first_total
+            lens[-1] = last_total
+            keep = lens[run_id] >= 2
+            return pa.table({"doc_id": batch["doc_id"].filter(
+                pa.array(keep)).cast(pa.int64())})
 
     def _partial_counts(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -740,11 +914,20 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
             "n_dup_grams": batch["sum(cnt)"].cast(pa.int64()),
         })
 
-    return (
+    sorted_grams = (
         _documents(sf_dir)
         .map_batches(_grams, batch_format="pyarrow", batch_size=1024)
-        .groupby("gram")
-        .map_groups(_emit_dup_instances, batch_format="pyarrow")
+        .sort(["gram", "doc_id", "off"])
+        .materialize()
+    )
+    btab = pa.concat_tables(ray.get(
+        sorted_grams.map_batches(_run_bounds, batch_format="pyarrow",
+                                 batch_size=None).to_arrow_refs()))
+    totals_ref = ray.put(_merge_run_totals(btab))
+    return (
+        sorted_grams.map_batches(
+            _KeepDupRuns, fn_constructor_kwargs={"totals_ref": totals_ref},
+            batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
         .map_batches(_partial_counts, batch_format="pyarrow",
                      batch_size=65536)
         .groupby("doc_id").sum("cnt")

@@ -257,6 +257,38 @@ def test_cross_snapshot_dedup_planted(ray_session, tmp_path):
     assert out["dup_of"].tolist() == [1, 7]  # min old id for "shared A"
 
 
+def test_cross_snapshot_dedup_runs_span_blocks(ray_session):
+    """A hash run spanning MANY sorted blocks: 2 distinct texts x 60 copies
+    per side over 12 input blocks — the forward prefix-min carry must hand
+    every new copy the global min old id even when the old minimum lives
+    blocks earlier."""
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        cross_snapshot_dup_ds)
+
+    texts = ["alpha content " * 3, "beta content " * 3]
+    old_tabs, new_tabs = [], []
+    for blk in range(6):
+        ids = [blk * 20 + i for i in range(10)]
+        old_tabs.append(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i % 2] for i in ids], pa.string()),
+        }))
+        nids = [1000 + blk * 20 + i for i in range(10)]
+        new_tabs.append(pa.table({
+            "doc_id": pa.array(nids, pa.int64()),
+            "text": pa.array([texts[i % 2] for i in nids], pa.string()),
+        }))
+    old = ray.data.from_arrow(old_tabs)
+    new = ray.data.from_arrow(new_tabs)
+    out = cross_snapshot_dup_ds(old, new).to_pandas()
+    assert len(out) == 60  # every new doc is a dup of an old one
+    # min old id per text: text[0] on even ids -> 0; text[1] on odd -> 1
+    for _, row in out.iterrows():
+        assert row["dup_of"] == int(row["doc_id"]) % 2
+
+
 def test_dup_grams_planted(ray_session, tmp_path):
     """A 50-gram shared by two docs (and a self-repeating doc) is counted
     exactly; unique docs are absent."""
