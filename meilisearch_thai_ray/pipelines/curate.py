@@ -64,17 +64,16 @@ def _quality_filter(batch: pa.Table) -> pa.Table:
     return kept.select(["doc_id", "lang", "n_chars", "text"]).to_arrow()
 
 
-def _hash_text(batch: pa.Table) -> pa.Table:
+def _hash_keys(batch: pa.Table) -> pa.Table:
+    """(doc_id, h) only — the dedup exchange carries 40 B/row, never
+    text. The verdict comes back as loser ids (stages/runs.py:
+    anti_id_filter) and the payload is filtered IN PLACE."""
     import hashlib
 
     h = [hashlib.md5(t.encode()).hexdigest()
          for t in batch["text"].to_pylist()]
-    return batch.append_column("h", pa.array(h, pa.string()))
-
-
-# exact dedup = first row per content-hash run over ONE sort — see
-# stages/runs.py:keep_first_per_run (replaces a groupby(h).map_groups
-# that paid one Python dispatch PER UNIQUE TEXT)
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                     "h": pa.array(h, pa.string())})
 
 
 def curated_docs(sf_dir: str, n_blocks: int | None = None,
@@ -105,20 +104,21 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars", "text"],
     )
-    from ..stages.runs import keep_first_per_run
+    from ..stages.runs import anti_id_filter, keep_first_per_run
 
-    hashed = (
-        ds.map_batches(_quality_filter, batch_format="pyarrow",
-                       batch_size=4096)
-        .map_batches(_hash_text, batch_format="pyarrow", batch_size=4096)
-        .sort(["h", "doc_id"])
-        .materialize()
-    )
-    survivors = (
-        keep_first_per_run(hashed, ["h"], ["h", "doc_id"])
-        .select_columns(["doc_id", "lang", "n_chars", "text"])
-        .materialize()  # reused twice: pair join input + final filter
-    )
+    filtered = ds.map_batches(_quality_filter, batch_format="pyarrow",
+                              batch_size=4096).materialize()
+    # exact dedup without moving text: ONE sort over (doc_id, h) rows,
+    # losers = every non-first row of a hash run, payload filtered in
+    # place by id membership (broadcast / side-parquet swap inside
+    # anti_id_filter)
+    keys = (filtered.map_batches(_hash_keys, batch_format="pyarrow",
+                                 batch_size=4096)
+            .sort(["h", "doc_id"]).materialize())
+    losers = keep_first_per_run(keys, ["h"], ["h", "doc_id"],
+                                invert=True).select_columns(["doc_id"])
+    survivors = anti_id_filter(filtered, losers).materialize()
+    # materialized: reused twice (pair join input + final filter)
     if near_dup == "minhash":
         import tempfile
 

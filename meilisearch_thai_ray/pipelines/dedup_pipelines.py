@@ -596,31 +596,28 @@ def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
                 acc_h, acc_min = e["last_h"], e["last_old_min"]
         return carry
 
-    class _EmitDups:
-        def __init__(self, carry_ref):
-            self.carry = ray.get(carry_ref)
+    def _emit_dups(batch: pa.Table, *, carry_ref) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        from ..stages.runs import fetch, new_run_mask
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                              "dup_of": pa.array([], pa.int64())})
-            if batch.num_rows == 0:
-                return empty
-            from ..stages.runs import new_run_mask
-
-            mask = new_run_mask(batch, ["h"])
-            run_id = np.cumsum(mask) - 1
-            starts = np.nonzero(mask)[0]
-            side = batch["side"].to_numpy(zero_copy_only=False)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            old_min = np.where(side[starts] == 0, ids[starts], _INF)
-            tag = repr((batch["h"][0].as_py(), int(side[0]), int(ids[0])))
-            old_min[0] = min(old_min[0], self.carry[tag])
-            dup_of = old_min[run_id]
-            keep = (side == 1) & (dup_of < _INF)
-            return pa.table({
-                "doc_id": pa.array(ids[keep].astype(np.int64)),
-                "dup_of": pa.array(dup_of[keep].astype(np.int64)),
-            })
+        carry = fetch(carry_ref)
+        mask = new_run_mask(batch, ["h"])
+        run_id = np.cumsum(mask) - 1
+        starts = np.nonzero(mask)[0]
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        old_min = np.where(side[starts] == 0, ids[starts], _INF)
+        tag = repr((batch["h"][0].as_py(), int(side[0]), int(ids[0])))
+        old_min[0] = min(old_min[0], carry[tag])
+        dup_of = old_min[run_id]
+        keep = (side == 1) & (dup_of < _INF)
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+            "dup_of": pa.array(dup_of[keep].astype(np.int64)),
+        })
 
     u = (old_ds.map_batches(_hash_side(0), batch_format="pyarrow",
                             batch_size=2048)
@@ -632,8 +629,8 @@ def cross_snapshot_dup_ds(old_ds: ray.data.Dataset,
                              batch_size=None).to_arrow_refs()))
     carry_ref = ray.put(_carries(btab))
     return sorted_u.map_batches(
-        _EmitDups, fn_constructor_kwargs={"carry_ref": carry_ref},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        _emit_dups, fn_kwargs={"carry_ref": carry_ref},
+        batch_format="pyarrow", batch_size=None)
 
 
 RECRAWL_MOD = 3          # every 3rd page reappears in the new snapshot
@@ -874,33 +871,29 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
             close()
         return {t: (first_total[t], last_total[t]) for t in first_total}
 
-    class _KeepDupRuns:
+    def _keep_dup_runs(batch: pa.Table, *, totals_ref) -> pa.Table:
         """Vectorized per-block filter: keep rows whose gram occurs >= 2
         times corpus-wide. Interior run lengths are local; the first and
         last runs use the broadcast cross-block totals. Replaces a
         groupby(gram).map_groups that paid one Python dispatch PER UNIQUE
         GRAM (~one per corpus position)."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        from ..stages.runs import fetch, new_run_mask
 
-        def __init__(self, totals_ref):
-            self.totals = ray.get(totals_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64())})
-            from ..stages.runs import new_run_mask
-
-            mask = new_run_mask(batch, ["gram"])
-            run_id = np.cumsum(mask) - 1
-            lens = np.bincount(run_id)
-            tag = repr((batch["gram"][0].as_py(),
-                        int(batch["doc_id"][0].as_py()),
-                        int(batch["off"][0].as_py())))
-            first_total, last_total = self.totals[tag]
-            lens[0] = first_total
-            lens[-1] = last_total
-            keep = lens[run_id] >= 2
-            return pa.table({"doc_id": batch["doc_id"].filter(
-                pa.array(keep)).cast(pa.int64())})
+        totals = fetch(totals_ref)
+        mask = new_run_mask(batch, ["gram"])
+        run_id = np.cumsum(mask) - 1
+        lens = np.bincount(run_id)
+        tag = repr((batch["gram"][0].as_py(),
+                    int(batch["doc_id"][0].as_py()),
+                    int(batch["off"][0].as_py())))
+        first_total, last_total = totals[tag]
+        lens[0] = first_total
+        lens[-1] = last_total
+        keep = lens[run_id] >= 2
+        return pa.table({"doc_id": batch["doc_id"].filter(
+            pa.array(keep)).cast(pa.int64())})
 
     def _partial_counts(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -926,8 +919,8 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
     totals_ref = ray.put(_merge_run_totals(btab))
     return (
         sorted_grams.map_batches(
-            _KeepDupRuns, fn_constructor_kwargs={"totals_ref": totals_ref},
-            batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+            _keep_dup_runs, fn_kwargs={"totals_ref": totals_ref},
+            batch_format="pyarrow", batch_size=None)
         .map_batches(_partial_counts, batch_format="pyarrow",
                      batch_size=65536)
         .groupby("doc_id").sum("cnt")

@@ -10,6 +10,10 @@ rows) and broadcast back. This is the same exchange a groupby would pay
 GROUP — which scales with distinct keys (unique texts, users, grams:
 corpus-sized), not with blocks.
 
+The broadcast state is tiny (O(blocks) entries), so the scan stages are
+plain TASK functions — no actor pool to spin up; each worker process
+ray.get()s the state once via the module-level memo (`fetch`).
+
 Used by: curate.py exact dedup (first doc per content hash),
 corpus_stats.py j8 (newest event per user), dedup_pipelines.py d10/d11
 (which add their own per-run reductions on the same pattern).
@@ -21,6 +25,18 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+_MEMO: dict[str, object] = {}
+
+
+def fetch(ref: "ray.ObjectRef") -> object:
+    """ray.get(ref) once per worker process (plasma hit + deserialization
+    are paid once, not per batch) — lets broadcast state ride in plain
+    task functions instead of forcing an actor pool."""
+    key = ref.hex()
+    if key not in _MEMO:
+        _MEMO[key] = ray.get(ref)
+    return _MEMO[key]
 
 
 def _col_np(batch: pa.Table, col: str) -> np.ndarray:
@@ -39,10 +55,7 @@ def new_run_mask(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     mask[0] = True
     for col in key_cols:
         v = _col_np(batch, col)
-        if v.dtype == object:
-            mask[1:] |= v[1:] != v[:-1]
-        else:
-            mask[1:] |= v[1:] != v[:-1]
+        mask[1:] |= v[1:] != v[:-1]
     return mask
 
 
@@ -56,11 +69,26 @@ def _row_tuple(batch: pa.Table, cols: list[str], idx: int) -> tuple:
     return tuple(out)
 
 
+def _keep_scan(batch: pa.Table, *, prev_ref, key_cols, order_cols,
+               invert) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    prev = fetch(prev_ref)
+    keep = new_run_mask(batch, key_cols)
+    tag = repr(_row_tuple(batch, order_cols, 0))
+    keep[0] = repr(_row_tuple(batch, key_cols, 0)) != prev[tag]
+    if invert:
+        keep = ~keep
+    return batch.filter(pa.array(keep))
+
+
 def keep_first_per_run(sorted_ds, key_cols: list[str],
                        order_cols: list[str],
                        descending: list[bool] | None = None,
-                       concurrency=(1, 8)):
-    """-> Dataset with exactly the FIRST row of every key run kept.
+                       invert: bool = False):
+    """-> Dataset with exactly the FIRST row of every key run kept
+    (invert=True keeps everything EXCEPT run firsts — the "losers" of a
+    dedup, i.e. rows whose key already appeared earlier in the order).
 
     sorted_ds must be MATERIALIZED and sorted by order_cols (with the
     given descending flags); order_cols must start with key_cols and be
@@ -106,18 +134,81 @@ def keep_first_per_run(sorted_ds, key_cols: list[str],
         last = lastkey
     prev_ref = ray.put(prev)
 
-    class _Keep:
-        def __init__(self, prev_ref):
-            self.prev = ray.get(prev_ref)
+    return sorted_ds.map_batches(
+        _keep_scan,
+        fn_kwargs={"prev_ref": prev_ref, "key_cols": key_cols,
+                   "order_cols": order_cols, "invert": invert},
+        batch_format="pyarrow", batch_size=None)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+
+def anti_id_filter(ds, loser_ds, id_col: str = "doc_id",
+                   max_broadcast: int = 5_000_000,
+                   tmp_dir: str | None = None):
+    """Drop every row of `ds` whose `id_col` appears in `loser_ds` (a
+    Dataset holding the ids to remove) — the anti-semi-join that applies a
+    dedup verdict WITHOUT shuffling the payload: text/binary columns stay
+    in their blocks; only membership information moves.
+
+    Two physical forms, picked by loser count:
+      - broadcast (<= max_broadcast ids): one sorted int64 array via
+        ray.put (8 B/id: 5M ids = 40 MB), per-batch searchsorted probe.
+      - side-parquet (the 100-TB path, loser sets too big for worker
+        heaps): losers sorted by id and written to parquet with small row
+        groups; each payload block RANGE-reads only the loser slice
+        covering its own [min_id, max_id] (row-group stats pruning), so
+        per-task memory is O(overlap), never O(losers).
+    """
+    import os
+    import tempfile
+
+    n = loser_ds.count()
+    if n == 0:
+        return ds
+
+    if n <= max_broadcast:
+        ids = np.sort(np.concatenate([
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in ray.get(loser_ds.to_arrow_refs()) if t.num_rows
+        ]))
+        ref = ray.put(ids)
+
+        def _drop(batch: pa.Table, *, ref) -> pa.Table:
             if batch.num_rows == 0:
                 return batch
-            keep = new_run_mask(batch, key_cols)
-            tag = repr(_row_tuple(batch, order_cols, 0))
-            keep[0] = repr(_row_tuple(batch, key_cols, 0)) != self.prev[tag]
-            return batch.filter(pa.array(keep))
+            losers = fetch(ref)
+            v = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(losers, v)
+            pos[pos == losers.size] = 0
+            hit = losers[pos] == v
+            return batch.filter(pa.array(~hit))
 
-    return sorted_ds.map_batches(
-        _Keep, fn_constructor_kwargs={"prev_ref": prev_ref},
-        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+        return ds.map_batches(_drop, fn_kwargs={"ref": ref},
+                              batch_format="pyarrow", batch_size=8192)
+
+    path = tmp_dir or tempfile.mkdtemp(prefix="anti_ids_", dir="/tmp")
+    (loser_ds.sort(id_col)
+     .write_parquet(path, row_group_size=64 * 1024))
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+
+    def _drop_file(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.dataset as pads
+
+        v = batch[id_col].to_numpy(zero_copy_only=False)
+        lo, hi = int(v.min()), int(v.max())
+        tab = pads.dataset(files).to_table(
+            columns=[id_col],
+            filter=(pads.field(id_col) >= lo) & (pads.field(id_col) <= hi))
+        losers = np.sort(
+            tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        if losers.size == 0:
+            return batch
+        pos = np.searchsorted(losers, v)
+        pos[pos == losers.size] = 0
+        hit = losers[pos] == v
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(_drop_file, batch_format="pyarrow",
+                          batch_size=8192)

@@ -244,3 +244,35 @@ def test_grouped_corr_matches_numpy(ray_session, tmp_path):
             out[out["l_returnflag"] == flag]["corr_qty_price"].iloc[0])
         assert abs(got - exp) < 1e-6
         assert got > 0.5  # the planted correlation is strong
+
+
+def test_anti_id_filter_broadcast_and_sidefile_paths(ray_session):
+    """Both physical forms of the payload-in-place anti filter drop the
+    same rows: broadcast sorted-array probe and the side-parquet
+    range-read path (forced with max_broadcast=0)."""
+    import ray.data
+
+    from meilisearch_thai_ray.stages.runs import anti_id_filter
+
+    tabs = [pa.table({
+        "doc_id": pa.array(list(range(b * 50, b * 50 + 50)), pa.int64()),
+        "text": pa.array([f"t{b}-{i}" for i in range(50)], pa.string()),
+    }) for b in range(4)]
+    ds = ray.data.from_arrow(tabs)
+    loser_ids = [3, 7, 49, 50, 120, 199]  # spans blocks, hits both edges
+    losers = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(loser_ids, pa.int64())}))
+    expect = sorted(set(range(200)) - set(loser_ids))
+
+    broad = anti_id_filter(ds, losers).to_pandas()
+    assert sorted(broad["doc_id"].tolist()) == expect
+
+    side = anti_id_filter(ds, losers, max_broadcast=0).to_pandas()
+    assert sorted(side["doc_id"].tolist()) == expect
+    # payload survived intact alongside the ids
+    assert set(broad.columns) == {"doc_id", "text"}
+
+    # empty loser set is the identity
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert anti_id_filter(ds, empty).count() == 200
