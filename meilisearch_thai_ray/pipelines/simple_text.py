@@ -669,51 +669,17 @@ FROM events
 SESSION_GAP_MIN = 30
 
 
-def _sessionize_group(group: pa.Table) -> pa.Table:
-    """map_groups body for groupby(user_id): order one user's events by
-    (ts, event_id), split sessions at >30-min gaps, aggregate per session —
-    all numpy (reduceat over session boundaries), timestamps stay
-    timestamp[us] end-to-end (pandas would degrade them)."""
-    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
-    uid = group["user_id"][0].as_py()
-    ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy()
-    eid = group["event_id"].to_numpy(zero_copy_only=False)
-    val = group["value"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, ts))
-    ts, val = ts[order], val[order]
-    n = ts.size
-    new = np.ones(n, dtype=bool)
-    new[1:] = (ts[1:] - ts[:-1]) > gap_us
-    starts = np.flatnonzero(new)
-    ends = np.append(starts[1:], n)
-    return pa.table(
-        {
-            "user_id": pa.array(np.full(starts.size, uid, dtype=np.int64)),
-            "session_id": pa.array(np.arange(1, starts.size + 1, dtype=np.int64)),
-            "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
-            "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
-            "n_events": pa.array((ends - starts).astype(np.int64)),
-            "total_value": pa.array(
-                np.round(np.add.reduceat(val, starts), 6), pa.float64()
-            ),
-        }
-    )
-
-
 def sessionize(sf_dir: str):
     """A7: gap-based sessionization over the events stream (§2.9 windowed
-    aggregate the reference lacks — documented partitioning assumption: one
-    user's events must co-locate, so groupby(user_id) is the one shuffle;
-    session logic itself is a per-group vectorized pass. At skewed scale a
-    hot user bounds a task at that user's event count — salt by day if a
-    single user exceeds worker memory)."""
-    ds = read_parquet_clean(
-        _doc_path(sf_dir, "events"),
-        columns=["event_id", "ts", "user_id", "value"],
-    )
-    return ds.groupby("user_id").map_groups(
-        _sessionize_group, batch_format="pyarrow"
-    )
+    aggregate the reference lacks). Implementation lives in
+    window_ops.sessionize: ONE sort(user, ts, event), per-block session
+    fragments with globally-numbered ids (cross-block chain broadcast
+    once), tiny fragment groupby — no per-user Python dispatch, no
+    hot-user task bound (the original groupby(user_id).map_groups form
+    paid both)."""
+    from .window_ops import sessionize as _sessionize
+
+    return _sessionize(sf_dir, gap_us=SESSION_GAP_MIN * 60 * 1_000_000)
 
 
 SQL["a7_sessionize"] = f"""

@@ -278,6 +278,168 @@ FROM events
 """
 
 
+# ------------------------------------------------------ a7 sessionization
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # SQL oracle: INTERVAL 30 MINUTE
+
+
+def _session_mask(users: np.ndarray, ts: np.ndarray,
+                  gap_us: int) -> np.ndarray:
+    """Row i starts a new session within this block: new user run, or
+    in-run inter-event gap exceeding gap_us."""
+    n = users.size
+    mask = np.empty(n, dtype=bool)
+    mask[0] = True
+    mask[1:] = (users[1:] != users[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+    return mask
+
+
+def _session_frags(batch: pa.Table, *, carry_ref, gap_us) -> pa.Table:
+    """Pass 2: one row per LOCAL session (fragment) with its partial
+    aggregate and GLOBAL session number. A fragment continuing the
+    previous block's open session shares its (user, session_no) key, so
+    the downstream tiny groupby merges them; O(sessions + blocks)
+    fragment rows total, never events."""
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "total_value": pa.array([], pa.float64()),
+        "start_us": pa.array([], pa.int64()),
+        "end_us": pa.array([], pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    from ..stages.runs import fetch
+
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    events = batch["event_id"].to_numpy(zero_copy_only=False)
+    values = batch["value"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    base, continues = fetch(carry_ref)[int(events[0])]
+    mask = _session_mask(users, ts, gap_us)
+    sid = np.cumsum(mask) - 1
+    starts = np.nonzero(mask)[0]
+    ends = np.concatenate([starts[1:] - 1, [users.size - 1]])
+    s_user = users[starts]
+    # local per-user session rank (sessions are contiguous per user)
+    user_new = np.empty(starts.size, dtype=bool)
+    user_new[0] = True
+    user_new[1:] = s_user[1:] != s_user[:-1]
+    ustart = np.nonzero(user_new)[0]
+    uid = np.cumsum(user_new) - 1
+    local_k = np.arange(starts.size) - ustart[uid] + 1
+    sess_no = np.where(s_user == users[0],
+                       base + local_k - (1 if continues else 0),
+                       local_k)
+    cs = np.concatenate([[0.0], np.cumsum(values)])
+    return pa.table({
+        "user_id": pa.array(s_user.astype(np.int64)),
+        "session_id": pa.array(sess_no.astype(np.int64)),
+        "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        "total_value": pa.array(cs[ends + 1] - cs[starts], pa.float64()),
+        "start_us": pa.array(ts[starts].astype(np.int64)),
+        "end_us": pa.array(ts[ends].astype(np.int64)),
+    })
+
+
+def _session_bounds(batch: pa.Table, *, gap_us) -> pa.Table:
+    """Pass 1: per-block boundary profile for the session-number chain."""
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    if users.size == 0:
+        return pa.table({
+            "bkey": pa.array([], pa.int64()),
+            "ord_user": pa.array([], pa.int64()),
+            "ord_ts": pa.array([], pa.int64()),
+            "ord_event": pa.array([], pa.int64()),
+            "first_user": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.int64()),
+            "last_user": pa.array([], pa.int64()),
+            "last_ts": pa.array([], pa.int64()),
+            "n_sess_last_user": pa.array([], pa.int64()),
+        })
+    events = batch["event_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    mask = _session_mask(users, ts, gap_us)
+    starts = np.nonzero(mask)[0]
+    n_last = int(np.sum(users[starts] == users[-1]))
+    return pa.table({
+        "bkey": pa.array([int(events[0])], pa.int64()),
+        "ord_user": pa.array([int(users[0])], pa.int64()),
+        "ord_ts": pa.array([int(ts[0])], pa.int64()),
+        "ord_event": pa.array([int(events[0])], pa.int64()),
+        "first_user": pa.array([int(users[0])], pa.int64()),
+        "first_ts": pa.array([int(ts[0])], pa.int64()),
+        "last_user": pa.array([int(users[-1])], pa.int64()),
+        "last_ts": pa.array([int(ts[-1])], pa.int64()),
+        "n_sess_last_user": pa.array([n_last], pa.int64()),
+    })
+
+
+def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """A7: gap-based sessionization — the streaming session-window
+    operator (§2.9) as a batch pipeline. ONE sort(user, ts, event); each
+    block emits per-local-session fragment aggregates with GLOBAL session
+    numbers (the cross-block chain — open-session merge + per-user
+    numbering offsets — is O(blocks) driver state, broadcast once); a
+    tiny groupby over fragments merges sessions that span blocks. Events
+    never leave their sorted block a second time.
+
+    Replaces the original groupby(user_id).map_groups form: same output
+    (SQL["a7_sessionize"], simple_text.py), but no per-user Python
+    dispatch and no hot-user task bound — a user with a billion events
+    costs its share of sorted blocks, not one task's memory."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"]) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        ds.map_batches(_session_bounds, fn_kwargs={"gap_us": gap_us},
+                       batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    df = btab.to_pandas().sort_values(["ord_user", "ord_ts", "ord_event"])
+    carry: dict[int, tuple[int, bool]] = {}
+    cur_user, cur_last_ts, cur_count = -1, -(1 << 62), 0
+    for row in df.itertuples(index=False):
+        continues = (int(row.first_user) == cur_user
+                     and int(row.first_ts) - cur_last_ts <= gap_us)
+        base = cur_count if int(row.first_user) == cur_user else 0
+        carry[int(row.bkey)] = (base, continues)
+        if int(row.last_user) == int(row.first_user):
+            cur_count = base + int(row.n_sess_last_user) - int(continues)
+        else:
+            cur_count = int(row.n_sess_last_user)
+        cur_user, cur_last_ts = int(row.last_user), int(row.last_ts)
+    carry_ref = ray.put(carry)
+    frags = ds.map_batches(
+        _session_frags, fn_kwargs={"carry_ref": carry_ref,
+                                   "gap_us": gap_us},
+        batch_format="pyarrow", batch_size=None)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        # timestamps must leave as timestamp[us] (SQL oracle parity)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "session_id": batch["session_id"].cast(pa.int64()),
+            "session_start": batch["min(start_us)"].cast(pa.int64())
+            .cast(pa.timestamp("us")),
+            "session_end": batch["max(end_us)"].cast(pa.int64())
+            .cast(pa.timestamp("us")),
+            "n_events": batch["sum(n_events)"].cast(pa.int64()),
+            "total_value": pa.array(
+                np.round(batch["sum(total_value)"]
+                         .to_numpy(zero_copy_only=False), 6), pa.float64()),
+        })
+
+    return (frags.groupby(["user_id", "session_id"])
+            .aggregate(Sum("n_events"), Sum("total_value"),
+                       Min("start_us"), Max("end_us"))
+            .map_batches(_finalize, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------- k13 ntile
 
 

@@ -276,3 +276,44 @@ def test_anti_id_filter_broadcast_and_sidefile_paths(ray_session):
     empty = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([], pa.int64())}))
     assert anti_id_filter(ds, empty).count() == 200
+
+
+def test_sessionize_cross_block_numbering_and_merge(ray_session, tmp_path):
+    """Two users over 6 files: session fragments span sorted blocks and
+    the per-user session NUMBERING must chain across every boundary.
+    Expected result computed per user with plain numpy."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.window_ops import (
+        SESSION_GAP_US, sessionize)
+
+    sf = _write_events(tmp_path, users=np.array([7, 9]), seed=33)
+    out = sessionize(sf).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    df = pq.read_table(os.path.join(sf, "events.parquet")).to_pandas()
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        val = g["value"].to_numpy()
+        new = np.ones(ts.size, dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], ts.size)
+        for k, (s, e) in enumerate(zip(starts, ends), start=1):
+            rows.append((uid, k, ts[s], ts[e - 1], e - s,
+                         round(float(val[s:e].sum()), 6)))
+    exp = pd.DataFrame(rows, columns=[
+        "user_id", "session_id", "start_us", "end_us", "n_events",
+        "total_value"]).sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert out["session_id"].tolist() == exp["session_id"].tolist()
+    assert out["n_events"].tolist() == exp["n_events"].tolist()
+    assert out["session_start"].astype("int64").tolist() == \
+        exp["start_us"].tolist()
+    assert out["session_end"].astype("int64").tolist() == \
+        exp["end_us"].tolist()
+    assert np.allclose(out["total_value"], exp["total_value"], atol=1e-6)
+    # sessions really do span blocks: more sessions than blocks per user
+    assert (out.groupby("user_id")["session_id"].max() > 6).all()
