@@ -991,20 +991,84 @@ def bloom_semi_join(sf_dir: str, min_purchases: int = VIP_MIN_PURCHASES,
             "is_marker": pa.array(np.ones(n, dtype=bool)),
         })
 
-    def _confirm(group: pa.Table) -> pa.Table:
-        marker = group["is_marker"].to_numpy(zero_copy_only=False)
-        if not marker.any():  # bloom false positive: drop
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "user_id": pa.array([], pa.int64()),
-                             "event_type": pa.array([], pa.string())})
-        return group.filter(pa.array(~marker)).drop_columns(["is_marker"])
+    # exact confirm without per-user dispatch: ONE sort(user, event) over
+    # survivors + marker rows (markers sort first in a user run: event_id
+    # -1); a user's rows are kept iff their run contains a marker — a
+    # per-run ANY reduction, chained across block boundaries by the
+    # shared merge (stages/runs.py). A bloom false positive's run has no
+    # marker and is dropped, so output has zero false positives.
+    _CONFIRM_EMPTY = {
+        "tag": pa.array([], pa.string()),
+        "first_key": pa.array([], pa.int64()),
+        "last_key": pa.array([], pa.int64()),
+        "first_val": pa.array([], pa.bool_()),
+        "last_val": pa.array([], pa.bool_()),
+        "n_runs": pa.array([], pa.int64()),
+    }
+
+    def _confirm_bounds(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_CONFIRM_EMPTY)
+        from ..stages.runs import new_run_mask
+
+        mask = new_run_mask(batch, ["user_id"])
+        starts = np.nonzero(mask)[0]
+        m = batch["is_marker"].to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        first_end = int(starts[1]) if starts.size > 1 else batch.num_rows
+        tag = repr((int(users[0]),
+                    int(batch["event_id"][0].as_py())))
+        return pa.table({
+            "tag": pa.array([tag], pa.string()),
+            "first_key": pa.array([int(users[0])], pa.int64()),
+            "last_key": pa.array([int(users[-1])], pa.int64()),
+            "first_val": pa.array([bool(m[:first_end].any())], pa.bool_()),
+            "last_val": pa.array([bool(m[starts[-1]:].any())], pa.bool_()),
+            "n_runs": pa.array([int(starts.size)], pa.int64()),
+        })
+
+    def _confirm_scan(batch: pa.Table, *, totals_ref) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        from ..stages.runs import fetch, new_run_mask
+
+        totals = fetch(totals_ref)
+        mask = new_run_mask(batch, ["user_id"])
+        run_id = np.cumsum(mask) - 1
+        m = batch["is_marker"].to_numpy(zero_copy_only=False)
+        has = np.bincount(run_id, weights=m.astype(np.float64)) > 0
+        tag = repr((int(batch["user_id"][0].as_py()),
+                    int(batch["event_id"][0].as_py())))
+        first_t, last_t = totals[tag]
+        has[0] = first_t
+        has[-1] = last_t
+        keep = has[run_id] & ~m
+        return batch.filter(pa.array(keep)) \
+            .drop_columns(["is_marker"])
 
     survivors = events.map_batches(_prefilter, batch_format="pyarrow",
                                    batch_size=8192)
     marks = vip_ids.map_batches(_markers, batch_format="pyarrow",
                                 batch_size=8192)
-    return survivors.union(marks).groupby("user_id").map_groups(
-        _confirm, batch_format="pyarrow")
+    sorted_u = survivors.union(marks) \
+        .sort(["user_id", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        sorted_u.map_batches(_confirm_bounds, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    import ast
+    import operator
+
+    from ..stages.runs import merge_run_reductions
+
+    totals_ref = ray.put(merge_run_reductions(
+        sorted(btab.to_pylist(), key=lambda r: ast.literal_eval(r["tag"])),
+        operator.or_))
+    return sorted_u.map_batches(
+        _confirm_scan, fn_kwargs={"totals_ref": totals_ref},
+        batch_format="pyarrow", batch_size=None)
 
 
 SQL["j10_bloom_semi_join"] = f"""

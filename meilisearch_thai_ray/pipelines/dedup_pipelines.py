@@ -255,18 +255,68 @@ def bucket_cosine_pairs(group: pa.Table, threshold: float,
     })
 
 
+def _bucket_runs(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of contiguous bucket runs in a bucket-sorted block."""
+    b = batch["bucket"].to_numpy(zero_copy_only=False)
+    if b.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.flatnonzero(b[1:] != b[:-1]) + 1
+    return (np.concatenate([[0], change]).astype(np.int64),
+            np.concatenate([change, [b.size]]).astype(np.int64))
+
+
+def _block_cosine_pairs(batch: pa.Table, *, threshold,
+                        max_bucket) -> pa.Table:
+    """Per-BLOCK exact cosine over the bucket-sorted vector stream's
+    INTERIOR runs (first/last may continue in neighboring blocks and are
+    owned by the boundary pass — same split as the MinHash band path's
+    block_candidate_pairs). Only multi-member runs do any work; singleton
+    buckets (the vast majority) cost one mask entry, not a Python call."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64()),
+                      "capped": pa.array([], pa.bool_())})
+    starts, ends = _bucket_runs(batch)
+    if starts.size <= 2:
+        return empty
+    out = [empty]
+    for s, e in zip(starts[1:-1], ends[1:-1]):
+        if e - s >= 2:
+            out.append(bucket_cosine_pairs(
+                batch.slice(s, e - s), threshold, max_bucket))
+    return pa.concat_tables(out)
+
+
+def _block_boundary_vecs(batch: pa.Table) -> pa.Table:
+    """The first and last bucket runs of a sorted block — members (with
+    embeddings) of the <= 2 buckets the interior pass skipped."""
+    starts, ends = _bucket_runs(batch)
+    if starts.size == 0:
+        return batch.select(["bucket", "vec_id", "embedding"])
+    take = np.concatenate([
+        np.arange(starts[0], ends[0]),
+        np.arange(starts[-1], ends[-1]) if starts.size > 1
+        else np.empty(0, np.int64),
+    ])
+    return batch.select(["bucket", "vec_id", "embedding"]).take(
+        pa.array(take.astype(np.int64)))
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
                             nbits: int = 10, plant: bool = False):
     """Embedding-cosine near-dup: random-hyperplane LSH buckets (one pass)
     -> capped within-bucket exact cosine verification -> (a, b, cos) pairs.
 
-    The bucket groupby is the only shuffle; per-bucket work is bounded by
-    bucket_cosine_pairs' max_bucket cap (capped buckets are reported, never
-    silent). plant defaults to FALSE — the production operator must never
-    fabricate pairs; the driver's d2_embed_neardup entry opts in explicitly
-    (see _plant_near_dups) because its synthetic embeddings have no natural
-    near-dups to find."""
-    import functools
+    ONE sort(bucket, vec_id) is the only exchange; interior bucket runs
+    are verified vectorized per block, the <= 2 boundary runs per block
+    merge on the driver (bucket_cosine_pairs is the shared kernel for
+    both passes). This replaces a groupby(bucket).map_groups that paid a
+    Python dispatch per BUCKET — nearly one per vector at sane nbits.
+    Per-bucket work stays bounded by max_bucket (capped buckets are
+    reported, never silent). plant defaults to FALSE — the production
+    operator must never fabricate pairs; the driver's d2_embed_neardup
+    entry opts in explicitly (see _plant_near_dups) because its synthetic
+    embeddings have no natural near-dups to find."""
     import os
 
     import pyarrow.dataset as pads
@@ -285,20 +335,49 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9,
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=2,
-    )
-    out = bucketed.groupby("bucket").map_groups(
-        functools.partial(bucket_cosine_pairs, threshold=threshold),
-        batch_format="pyarrow",
-    )
-    tables = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    ).sort(["bucket", "vec_id"]).materialize()
+    interior = bucketed.map_batches(
+        _block_cosine_pairs, fn_kwargs={"threshold": threshold,
+                                        "max_bucket": 500},
+        batch_format="pyarrow", batch_size=None)
+    boundary_members = pa.concat_tables(ray.get(
+        bucketed.map_batches(_block_boundary_vecs, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    boundary = _boundary_cosine_pairs(boundary_members, threshold)
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64()),
                       "capped": pa.array([], pa.bool_())})
+    tables = [x for x in ray.get(interior.to_arrow_refs()) if x.num_rows]
+    if boundary.num_rows:
+        tables.append(boundary)
     if not tables:
         return empty
     t = pa.concat_tables(tables)  # verified pairs only: tiny
     order = np.lexsort((t["b"].to_numpy(), t["a"].to_numpy()))
     return t.take(pa.array(order))
+
+
+def _boundary_cosine_pairs(members: pa.Table, threshold: float) -> pa.Table:
+    """Driver-side verification of the boundary buckets (<= 2 per block
+    by construction — tiny): group member rows by bucket, run the shared
+    bucket_cosine_pairs kernel per bucket."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64()),
+                      "capped": pa.array([], pa.bool_())})
+    if members.num_rows == 0:
+        return empty
+    b = members["bucket"].to_numpy(zero_copy_only=False)
+    ids = members["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, b))
+    members = members.take(pa.array(order))
+    starts, ends = _bucket_runs(members)
+    out = [empty]
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            out.append(bucket_cosine_pairs(members.slice(s, e - s),
+                                           threshold))
+    return pa.concat_tables(out)
 
 
 def lang_id(sf_dir: str):
@@ -832,44 +911,20 @@ def dup_grams(sf_dir: str, gram_len: int = GRAM_LEN) -> ray.data.Dataset:
 
     def _merge_run_totals(btab: pa.Table) -> dict[str, tuple[int, int]]:
         """Chain first/last runs across block boundaries (a gram's run can
-        span MANY blocks) -> {tag: (first-run total, last-run total)}."""
+        span MANY blocks) -> {tag: (first-run total, last-run total)} via
+        the shared associative-reduction merge (stages/runs.py)."""
         import ast
+        import operator
+
+        from ..stages.runs import merge_run_reductions
 
         rows = sorted(btab.to_pylist(),
                       key=lambda r: ast.literal_eval(r["tag"]))
-        first_total: dict[str, int] = {}
-        last_total: dict[str, int] = {}
-        open_gram, open_sum = None, 0
-        members: list[tuple[str, str]] = []
-
-        def close():
-            for tag, kind in members:
-                if kind in ("first", "whole"):
-                    first_total[tag] = open_sum
-                if kind in ("last", "whole"):
-                    last_total[tag] = open_sum
-
-        for e in rows:
-            if open_gram is not None and e["first_gram"] == open_gram:
-                open_sum += e["first_len"]
-                if e["n_runs"] == 1:
-                    members.append((e["tag"], "whole"))
-                    continue
-                members.append((e["tag"], "first"))
-                close()
-            else:
-                if open_gram is not None:
-                    close()
-                if e["n_runs"] == 1:
-                    open_gram, open_sum = e["first_gram"], e["first_len"]
-                    members = [(e["tag"], "whole")]
-                    continue
-                first_total[e["tag"]] = e["first_len"]
-            open_gram, open_sum = e["last_gram"], e["last_len"]
-            members = [(e["tag"], "last")]
-        if open_gram is not None:
-            close()
-        return {t: (first_total[t], last_total[t]) for t in first_total}
+        return merge_run_reductions(
+            [{"tag": e["tag"], "first_key": e["first_gram"],
+              "last_key": e["last_gram"], "first_val": e["first_len"],
+              "last_val": e["last_len"], "n_runs": e["n_runs"]}
+             for e in rows], operator.add)
 
     def _keep_dup_runs(batch: pa.Table, *, totals_ref) -> pa.Table:
         """Vectorized per-block filter: keep rows whose gram occurs >= 2

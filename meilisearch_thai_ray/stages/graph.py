@@ -82,7 +82,8 @@ _EMPTY_EDGES = pa.table({"u": pa.array([], pa.int64()),
 
 def _large_star(group: pa.Table) -> pa.Table:
     """Γ(u) from both orientations; connect every neighbour > u to
-    m = min(Γ(u) ∪ {u})."""
+    m = min(Γ(u) ∪ {u}). Semantic oracle for the sorted-scan fast path
+    (_star_scan mode="large") — kept for tests."""
     u = int(group["u"][0].as_py())
     nb = np.unique(group["v"].to_numpy(zero_copy_only=False))
     m = min(int(nb[0]), u)
@@ -97,7 +98,7 @@ def _large_star(group: pa.Table) -> pa.Table:
 
 def _small_star(group: pa.Table) -> pa.Table:
     """Neighbours all < u (max-first orientation): connect N ∪ {u} \\ {m}
-    to m = min(N)."""
+    to m = min(N). Semantic oracle for _star_scan mode="small"."""
     u = int(group["u"][0].as_py())
     nb = np.unique(group["v"].to_numpy(zero_copy_only=False))
     m = int(nb[0])
@@ -108,6 +109,110 @@ def _small_star(group: pa.Table) -> pa.Table:
     })
 
 
+# --- sorted-scan star rounds -------------------------------------------
+# groupby(u).map_groups paid one Python dispatch per NODE per half-round
+# (nodes are corpus-sized for a dup graph). The same exchange as ONE
+# sort(u, v) gives each block contiguous (u, v) runs: per-run min(v) is
+# the run's FIRST v (sorted), duplicate (u, v) rows are adjacent, and a
+# run spanning blocks is resolved by a driver chain over per-block
+# boundary profiles. Edge rows are NOT unique (different groups emit the
+# same edge), so blocks can't be identified by content tags — instead
+# the passes run as explicit per-block tasks over the materialized sort
+# output's ORDERED block refs, with each block's carry passed directly.
+
+
+@ray.remote
+def _star_bounds(tab: pa.Table):
+    """Per-block boundary profile for the star-scan chain (tiny)."""
+    u = tab["u"].to_numpy(zero_copy_only=False)
+    if u.size == 0:
+        return None
+    v = tab["v"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(
+        [[True], u[1:] != u[:-1]]))
+    return {
+        "first_u": int(u[0]), "last_u": int(u[-1]),
+        "last_v": int(v[-1]),
+        "last_run_first_v": int(v[starts[-1]]),
+        "n_runs": int(starts.size),
+    }
+
+
+@ray.remote
+def _star_scan(tab: pa.Table, carry, mode: str) -> pa.Table:
+    """One (u, v)-sorted block -> its star-round output edges.
+
+    carry = (prev_u, prev_v, first_v_cont): the previous block's last row
+    (for cross-boundary duplicate drop) and, when the block's first run
+    continues an earlier block, that run's GLOBAL first v (its min).
+    Emission is bit-equivalent to _large_star/_small_star over the full
+    groups: per kept (deduped) row of a run with minimum m —
+      large: emit (v, min(m, u)) for rows with v > u
+      small: emit (u, m) at the run's global start (where v == m),
+             (v, m) for every other kept row."""
+    u = tab["u"].to_numpy(zero_copy_only=False)
+    if u.size == 0:
+        return _EMPTY_EDGES
+    v = tab["v"].to_numpy(zero_copy_only=False)
+    prev_u, prev_v, first_v_cont = carry
+    new_run = np.concatenate([[True], u[1:] != u[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    continues = prev_u is not None and int(u[0]) == prev_u
+    # per-run global minimum (sorted by v: first occurrence is the min)
+    run_min = v[starts].astype(np.int64)
+    if continues and first_v_cont is not None:
+        run_min = run_min.copy()
+        run_min[0] = first_v_cont
+    # duplicate (u, v) drop — duplicates are adjacent under the sort
+    keep = np.concatenate(
+        [[not (continues and prev_v == int(v[0]))],
+         (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+    m_row = run_min[run_id]
+    if mode == "large":
+        m_row = np.minimum(m_row, u)
+        sel = keep & (v > u)
+        return pa.table({
+            "u": pa.array(v[sel].astype(np.int64)),
+            "v": pa.array(m_row[sel], pa.int64()),
+        })
+    # small star: the run's global start is its min row (v == m)
+    gstart = new_run.copy()
+    if continues:
+        gstart[0] = False
+    out_u = np.where(gstart, u, v)[keep]
+    return pa.table({
+        "u": pa.array(out_u.astype(np.int64)),
+        "v": pa.array(m_row[keep], pa.int64()),
+    })
+
+
+def _star_round(edges: ray.data.Dataset, mode: str) -> ray.data.Dataset:
+    """ONE sort(u, v) + per-block scan tasks = one large- or small-star
+    half-round, no per-node dispatch."""
+    sorted_e = edges.sort(["u", "v"]).materialize()
+    refs = sorted_e.to_arrow_refs()  # in dataset (= sort) order
+    bounds = ray.get([_star_bounds.remote(r) for r in refs])
+    carries = []
+    prev_u = prev_v = None
+    open_first_v = None
+    cur_u = None
+    for b in bounds:
+        if b is None:
+            carries.append((None, None, None))
+            continue
+        continues = cur_u is not None and b["first_u"] == cur_u
+        carries.append((prev_u, prev_v,
+                        open_first_v if continues else None))
+        if not (b["n_runs"] == 1 and continues):
+            open_first_v = b["last_run_first_v"]
+        cur_u = b["last_u"]
+        prev_u, prev_v = b["last_u"], b["last_v"]
+    out = [_star_scan.remote(r, c, mode)
+           for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out)
+
+
 def connected_components(edges: ray.data.Dataset,
                          max_rounds: int = 30) -> ray.data.Dataset:
     """Edge Dataset (u:int64, v:int64, u != v) -> (doc_id, component) with
@@ -115,11 +220,13 @@ def connected_components(edges: ray.data.Dataset,
     Only nodes that appear in an edge are emitted (singletons are the
     caller's complement set).
 
-    Each round = large-star then small-star, one groupby shuffle each,
-    materialized between rounds (iterative algorithms must checkpoint or the
-    lazy plan re-executes from scratch every round). Stops when the edge-set
-    fingerprint is stable across a round (or at max_rounds — O(log n) is the
-    proven bound, 30 covers any conceivable corpus)."""
+    Each round = large-star then small-star, one sort(u, v) exchange each
+    (the same all-to-all a groupby pays) scanned per block with NO
+    per-node dispatch (_star_round), materialized between rounds
+    (iterative algorithms must checkpoint or the lazy plan re-executes
+    from scratch every round). Stops when the edge-set fingerprint is
+    stable across a round (or at max_rounds — O(log n) is the proven
+    bound, 30 covers any conceivable corpus)."""
     edges = edges.materialize()
     prev = _fingerprint(edges)
     if prev[0] == 0:
@@ -128,15 +235,12 @@ def connected_components(edges: ray.data.Dataset,
             "component": pa.array([], pa.int64()),
         }))
     for _ in range(max_rounds):
-        edges = (
-            edges.map_batches(_both_orientations, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star, batch_format="pyarrow")
-            .map_batches(_orient_max_first, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_small_star, batch_format="pyarrow")
-            .materialize()
-        )
+        large = _star_round(
+            edges.map_batches(_both_orientations, batch_format="pyarrow"),
+            "large")
+        edges = _star_round(
+            large.map_batches(_orient_max_first, batch_format="pyarrow"),
+            "small").materialize()
         cur = _fingerprint(edges)
         if cur == prev:
             break

@@ -212,3 +212,54 @@ def anti_id_filter(ds, loser_ds, id_col: str = "doc_id",
 
     return ds.map_batches(_drop_file, batch_format="pyarrow",
                           batch_size=8192)
+
+
+_NO_KEY = object()
+
+
+def merge_run_reductions(rows: list[dict], combine):
+    """Chain per-block boundary profiles into FULL cross-block reductions
+    of each block's first and last key runs, under any associative
+    `combine` (sum for run lengths, min for per-run minima, or for
+    any-flags...). A key's run may span MANY blocks.
+
+    rows: one mapping per block, in GLOBAL sort order, with keys
+      tag        stable block identity (any hashable)
+      first_key / last_key   the block's first / last run's key value
+      first_val / last_val   the block-local reduction of those runs
+      n_runs     number of key runs in the block
+    -> {tag: (first_run_total, last_run_total)}  (equal when n_runs == 1).
+    """
+    first_total: dict = {}
+    last_total: dict = {}
+    open_key, open_acc = _NO_KEY, None
+    members: list[tuple] = []
+
+    def close():
+        for tag, kind in members:
+            if kind in ("first", "whole"):
+                first_total[tag] = open_acc
+            if kind in ("last", "whole"):
+                last_total[tag] = open_acc
+
+    for e in rows:
+        if open_key is not _NO_KEY and e["first_key"] == open_key:
+            open_acc = combine(open_acc, e["first_val"])
+            if e["n_runs"] == 1:
+                members.append((e["tag"], "whole"))
+                continue
+            members.append((e["tag"], "first"))
+            close()
+        else:
+            if open_key is not _NO_KEY:
+                close()
+            if e["n_runs"] == 1:
+                open_key, open_acc = e["first_key"], e["first_val"]
+                members = [(e["tag"], "whole")]
+                continue
+            first_total[e["tag"]] = e["first_val"]
+        open_key, open_acc = e["last_key"], e["last_val"]
+        members = [(e["tag"], "last")]
+    if open_key is not _NO_KEY:
+        close()
+    return {t: (first_total[t], last_total[t]) for t in first_total}

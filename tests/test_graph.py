@@ -132,3 +132,51 @@ def test_curate_minhash_mode_matches_exact_on_planted_dups(ray_session,
     assert exact == mh == [1, 3]
     with pytest.raises(ValueError):
         curated_docs(str(tmp_path), near_dup="nope")
+
+
+def test_star_scan_matches_group_oracle(ray_session):
+    """_star_round (sort + per-block scan) emits the SAME edge multiset
+    as the per-group _large_star/_small_star oracles, on a random
+    multigraph with duplicate edges and runs spanning blocks."""
+    import collections
+
+    import ray.data
+
+    from meilisearch_thai_ray.stages.graph import (
+        _both_orientations, _large_star, _orient_max_first, _small_star,
+        _star_round)
+
+    rng = np.random.default_rng(7)
+    tabs = []
+    for blk in range(8):
+        u = rng.integers(0, 40, size=60)
+        v = rng.integers(0, 40, size=60)
+        ok = u != v
+        tabs.append(pa.table({"u": pa.array(u[ok], pa.int64()),
+                              "v": pa.array(v[ok], pa.int64())}))
+    edges = ray.data.from_arrow(tabs)
+
+    def group_oracle(tab: pa.Table, star) -> collections.Counter:
+        u = tab["u"].to_numpy(zero_copy_only=False)
+        out = collections.Counter()
+        for uu in np.unique(u):
+            g = tab.filter(pa.array(u == uu))
+            o = star(g)
+            out.update(zip(o["u"].to_pylist(), o["v"].to_pylist()))
+        return out
+
+    both = pa.concat_tables(
+        [_both_orientations(t) for t in tabs])
+    got_large = _star_round(
+        edges.map_batches(_both_orientations, batch_format="pyarrow"),
+        "large").to_pandas()
+    assert collections.Counter(zip(got_large["u"], got_large["v"])) == \
+        group_oracle(both, _large_star)
+
+    oriented = _orient_max_first(both)
+    got_small = _star_round(
+        ray.data.from_arrow(both).map_batches(
+            _orient_max_first, batch_format="pyarrow"),
+        "small").to_pandas()
+    assert collections.Counter(zip(got_small["u"], got_small["v"])) == \
+        group_oracle(oriented, _small_star)

@@ -862,3 +862,39 @@ def test_weighted_sample_inclusion_tracks_weight(ray_session, tmp_path):
     assert len(s1) == 100 and not s1["doc_id"].duplicated().any()
     heavy = (s1["n_chars"] == 1000).mean()
     assert heavy > 0.85, f"heavy-weight inclusion only {heavy:.2f}"
+
+
+def test_embedding_neardup_bucket_runs_span_blocks(ray_session, tmp_path):
+    """Two LSH buckets whose runs span MANY sorted blocks (60 identical
+    vectors each over 6 input files): the interior/boundary split must
+    still emit exactly every within-bucket pair once."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        embedding_neardup_pairs)
+
+    va = np.zeros(16); va[0] = 1.0
+    vb = np.zeros(16); vb[1] = 1.0
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "embeddings.parquet").mkdir()
+    for f in range(6):
+        ids, vecs = [], []
+        for i in range(20):
+            vid = f * 20 + i
+            ids.append(vid)
+            vecs.append(list(va if vid % 2 == 0 else vb))
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+            str(d / "embeddings.parquet" / f"part-{f}.parquet"))
+    pairs = embedding_neardup_pairs(str(d), threshold=0.99).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    evens = [i for i in range(120) if i % 2 == 0]
+    odds = [i for i in range(120) if i % 2 == 1]
+    expect = set(itertools.combinations(evens, 2)) | \
+        set(itertools.combinations(odds, 2))
+    assert found == expect
+    assert len(pairs) == len(expect)  # each pair exactly once
