@@ -846,20 +846,154 @@ def _asof_group(group: pa.Table) -> pa.Table:
     })
 
 
+def _asof_bounds(batch: pa.Table) -> pa.Table:
+    """One row per sorted block: ordering tag + the block's last user run's
+    latest click (the candidate carry for the next block)."""
+    empty = pa.table({
+        "tag": pa.array([], pa.string()),
+        "first_user": pa.array([], pa.int64()),
+        "last_user": pa.array([], pa.int64()),
+        "n_runs": pa.array([], pa.int64()),
+        "click_has": pa.array([], pa.bool_()),
+        "click_ts": pa.array([], pa.int64()),
+        "click_id": pa.array([], pa.int64()),
+        "click_val": pa.array([], pa.float64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    vals = batch["value"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+    s = int(starts[-1])
+    clicks = np.flatnonzero(side[s:] == 0)
+    has = clicks.size > 0
+    ci = s + (int(clicks[-1]) if has else 0)
+    tag = repr((int(users[0]), int(ts[0]), int(side[0]), int(ids[0])))
+    return pa.table({
+        "tag": pa.array([tag], pa.string()),
+        "first_user": pa.array([int(users[0])], pa.int64()),
+        "last_user": pa.array([int(users[-1])], pa.int64()),
+        "n_runs": pa.array([int(starts.size)], pa.int64()),
+        "click_has": pa.array([has], pa.bool_()),
+        "click_ts": pa.array([int(ts[ci]) if has else -1], pa.int64()),
+        "click_id": pa.array([int(ids[ci]) if has else -1], pa.int64()),
+        "click_val": pa.array([float(vals[ci]) if has else 0.0],
+                              pa.float64()),
+    })
+
+
+def _asof_scan(batch: pa.Table, *, carry_ref) -> pa.Table:
+    """Pass 2: forward-fill the latest click within user runs; purchases
+    take the filled click, the block's first run falls back to the
+    broadcast carry (the same user's latest click in earlier blocks)."""
+    from ..stages.runs import fetch
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "click_event_id": pa.array([], pa.int64()),
+        "click_ts": pa.array([], pa.timestamp("us")),
+        "click_value": pa.array([], pa.float64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    vals = batch["value"].to_numpy(zero_copy_only=False)
+    n = users.size
+    r = np.arange(n)
+    ffill = np.maximum.accumulate(np.where(side == 0, r, -1))
+    new_run = np.concatenate([[True], users[1:] != users[:-1]])
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    run_start = starts[run_id]
+    in_run = ffill >= run_start  # click from the same user run
+    tag = repr((int(users[0]), int(ts[0]), int(side[0]), int(ids[0])))
+    carry = fetch(carry_ref)[tag]  # None or (ts, id, val)
+    is_p = side == 1
+    # purchases with an in-block click
+    sel = is_p & in_run
+    out = [pa.table({
+        "event_id": pa.array(ids[sel].astype(np.int64)),
+        "user_id": pa.array(users[sel].astype(np.int64)),
+        "ts": pa.array(ts[sel].astype(np.int64)).cast(pa.timestamp("us")),
+        "click_event_id": pa.array(ids[ffill[sel]].astype(np.int64)),
+        "click_ts": pa.array(ts[ffill[sel]].astype(np.int64))
+        .cast(pa.timestamp("us")),
+        "click_value": pa.array(vals[ffill[sel]], pa.float64()),
+    })]
+    if carry is not None:
+        # first-run purchases with no in-block click use the carry
+        selc = is_p & ~in_run & (run_id == 0)
+        if selc.any():
+            c_ts, c_id, c_val = carry
+            m = int(selc.sum())
+            out.append(pa.table({
+                "event_id": pa.array(ids[selc].astype(np.int64)),
+                "user_id": pa.array(users[selc].astype(np.int64)),
+                "ts": pa.array(ts[selc].astype(np.int64))
+                .cast(pa.timestamp("us")),
+                "click_event_id": pa.array(np.full(m, c_id), pa.int64()),
+                "click_ts": pa.array(np.full(m, c_ts))
+                .cast(pa.timestamp("us")),
+                "click_value": pa.array(np.full(m, c_val), pa.float64()),
+            }))
+    return pa.concat_tables(out)
+
+
 def asof_join(sf_dir: str):
     """J6: AS-OF join — each purchase event joined to the same user's most
     recent click at-or-before it. Ray Data has no asof operator; the
-    composition is the documented pattern for it: ONE co-partitioning
-    shuffle (groupby user_id — both sides ride the same exchange because
-    they're one filtered read), then a per-group vectorized merge. Skew
-    bound: a task holds one user's events; salt hot users by time range if
-    a single key exceeds worker memory."""
+    composition is the documented pattern for it: both sides ride ONE
+    sort(user, ts, side, event) exchange (side orders clicks before
+    purchases on ts ties, matching p.ts >= c.ts), then a per-block
+    vectorized forward-fill; the only cross-block state is each block's
+    latest-click boundary row, chained on the driver (O(blocks)) and
+    broadcast. No per-user dispatch, and no hot-user task bound — a hot
+    user costs its share of sorted blocks, not one task's memory (the
+    previous groupby(user_id).map_groups form paid both)."""
+
+    def _tag_sides(batch: pa.Table) -> pa.Table:
+        side = pc.if_else(pc.equal(batch["event_type"], "purchase"), 1, 0)
+        return batch.drop_columns(["event_type"]) \
+            .append_column("side", side.cast(pa.int8()))
+
     ds = read_parquet_clean(
         _doc_path(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
         filter=pc.field("event_type").isin(["purchase", "click"]),
-    )
-    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")
+    ).map_batches(_tag_sides, batch_format="pyarrow", batch_size=8192)
+    sorted_ds = ds.sort(["user_id", "ts", "side", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        sorted_ds.map_batches(_asof_bounds, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs()))
+    import ast
+
+    rows = sorted(btab.to_pylist(),
+                  key=lambda r: ast.literal_eval(r["tag"]))
+    carry: dict[str, tuple | None] = {}
+    cur_user, cur_click = -1, None
+    for e in rows:
+        carry[e["tag"]] = cur_click if e["first_user"] == cur_user else None
+        if e["click_has"]:
+            new_click = (e["click_ts"], e["click_id"], e["click_val"])
+        elif e["n_runs"] == 1 and e["first_user"] == cur_user:
+            new_click = cur_click  # single continuing run, no new click
+        else:
+            new_click = None
+        cur_user, cur_click = e["last_user"], new_click
+    carry_ref = ray.put(carry)
+    return sorted_ds.map_batches(
+        _asof_scan, fn_kwargs={"carry_ref": carry_ref},
+        batch_format="pyarrow", batch_size=None)
 
 
 SQL["j6_asof_join"] = """
@@ -903,21 +1037,140 @@ def _range_count_group(group: pa.Table) -> pa.Table:
     })
 
 
+_RANGE_WIN_US = RANGE_JOIN_MIN * 60 * 1_000_000
+
+
+def _range_bounds(batch: pa.Table) -> pa.Table:
+    """One row per sorted block: ordering tag + the last run's clicks
+    within the trailing window of the block end (the halo a continuing
+    run's next block needs — bounded by the click rate x window, the
+    band join's inherent locality)."""
+    empty = pa.table({
+        "tag": pa.array([], pa.string()),
+        "first_user": pa.array([], pa.int64()),
+        "last_user": pa.array([], pa.int64()),
+        "n_runs": pa.array([], pa.int64()),
+        "last_ts": pa.array([], pa.int64()),
+        "halo": pa.array([], pa.list_(pa.int64())),
+    })
+    if batch.num_rows == 0:
+        return empty
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+    s = int(starts[-1])
+    last_ts = int(ts[-1])
+    cts = ts[s:][side[s:] == 0]
+    halo = cts[cts >= last_ts - _RANGE_WIN_US]
+    tag = repr((int(users[0]), int(ts[0]), int(side[0]), int(ids[0])))
+    return pa.table({
+        "tag": pa.array([tag], pa.string()),
+        "first_user": pa.array([int(users[0])], pa.int64()),
+        "last_user": pa.array([int(users[-1])], pa.int64()),
+        "n_runs": pa.array([int(starts.size)], pa.int64()),
+        "last_ts": pa.array([last_ts], pa.int64()),
+        "halo": pa.array([halo.astype(np.int64).tolist()],
+                         pa.list_(pa.int64())),
+    })
+
+
+def _range_scan(batch: pa.Table, *, carry_ref) -> pa.Table:
+    """Pass 2: per user run, count clicks in each error's trailing band
+    with two searchsorted bounds; the first run adds the broadcast halo
+    (same user's recent clicks from earlier blocks)."""
+    from ..stages.runs import fetch
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "n_clicks": pa.array([], pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    users = batch["user_id"].to_numpy(zero_copy_only=False)
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    tag = repr((int(users[0]), int(ts[0]), int(side[0]), int(ids[0])))
+    halo = fetch(carry_ref)[tag]  # sorted int64 array (maybe empty)
+    starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+    ends = np.concatenate([starts[1:], [users.size]])
+    click_prefix = np.cumsum(side == 0)  # clicks at positions <= i
+    out_id, out_u, out_n = [], [], []
+    for k, (s, e) in enumerate(zip(starts, ends)):
+        sl = slice(s, e)
+        err = np.flatnonzero(side[sl] == 1) + s
+        if err.size == 0:
+            continue
+        ets = ts[err]
+        cts = ts[sl][side[sl] == 0]
+        base = click_prefix[s] - (1 if side[s] == 0 else 0)
+        hi = click_prefix[err] - (side[err] == 0) - base  # clicks before
+        lo = np.searchsorted(cts, ets - _RANGE_WIN_US, side="left")
+        n = hi - lo
+        if k == 0 and halo.size:
+            n = n + (halo.size -
+                     np.searchsorted(halo, ets - _RANGE_WIN_US, "left"))
+        out_id.append(ids[err])
+        out_u.append(users[err])
+        out_n.append(n)
+    if not out_id:
+        return empty
+    return pa.table({
+        "event_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+        "user_id": pa.array(np.concatenate(out_u).astype(np.int64)),
+        "n_clicks": pa.array(np.concatenate(out_n).astype(np.int64)),
+    })
+
+
 def range_join(sf_dir: str):
     """J7: RANGE (interval-band) join — per error event, how many clicks the
     same user made in the preceding {RANGE_JOIN_MIN} minutes (inclusive
-    bounds, matching BETWEEN). Same shape as the as-of join: one
-    co-partitioning shuffle carries both sides, then the band [ts-w, ts] is
-    resolved with two vectorized searchsorted bounds per group — the pair
-    blow-up of a naive inequality join never materializes."""
+    bounds, matching BETWEEN). Both sides ride ONE sort(user, ts, side,
+    event) exchange; each block resolves its errors' bands with two
+    vectorized searchsorted bounds per run — the pair blow-up of a naive
+    inequality join never materializes. Cross-block bands are served by a
+    HALO carry: each block exports only its last run's clicks within one
+    window of the block end (O(click-rate x window) per boundary — the
+    band join's inherent locality), chained on the driver and broadcast.
+    No per-user dispatch, no hot-user task bound."""
+
+    def _tag_sides(batch: pa.Table) -> pa.Table:
+        side = pc.if_else(pc.equal(batch["event_type"], "error"), 1, 0)
+        return batch.drop_columns(["event_type"]) \
+            .append_column("side", side.cast(pa.int8()))
+
     ds = read_parquet_clean(
         _doc_path(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type"],
         filter=pc.field("event_type").isin(["error", "click"]),
-    )
-    return ds.groupby("user_id").map_groups(
-        _range_count_group, batch_format="pyarrow"
-    )
+    ).map_batches(_tag_sides, batch_format="pyarrow", batch_size=8192)
+    sorted_ds = ds.sort(["user_id", "ts", "side", "event_id"]).materialize()
+    btab = pa.concat_tables(ray.get(
+        sorted_ds.map_batches(_range_bounds, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs()))
+    import ast
+
+    rows = sorted(btab.to_pylist(),
+                  key=lambda r: ast.literal_eval(r["tag"]))
+    carry: dict[str, np.ndarray] = {}
+    cur_user, cur_halo = -1, np.empty(0, dtype=np.int64)
+    for e in rows:
+        cont = e["first_user"] == cur_user
+        carry[e["tag"]] = cur_halo if cont else np.empty(0, dtype=np.int64)
+        recent = np.asarray(e["halo"], dtype=np.int64)
+        if e["n_runs"] == 1 and cont:
+            recent = np.concatenate([cur_halo, recent])
+        cur_halo = recent[recent >= e["last_ts"] - _RANGE_WIN_US]
+        cur_user = e["last_user"]
+    carry_ref = ray.put(carry)
+    return sorted_ds.map_batches(
+        _range_scan, fn_kwargs={"carry_ref": carry_ref},
+        batch_format="pyarrow", batch_size=None)
 
 
 SQL["j7_range_join"] = f"""

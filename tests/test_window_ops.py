@@ -317,3 +317,109 @@ def test_sessionize_cross_block_numbering_and_merge(ray_session, tmp_path):
     assert np.allclose(out["total_value"], exp["total_value"], atol=1e-6)
     # sessions really do span blocks: more sessions than blocks per user
     assert (out.groupby("user_id")["session_id"].max() > 6).all()
+
+
+def test_asof_join_cross_block_click_carry(ray_session, tmp_path):
+    """Two users' purchase/click streams over 6 files: many purchases'
+    latest click lives in an EARLIER sorted block — the carry chain must
+    hand it over (including through click-free blocks of the same user)."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.simple_text import asof_join
+
+    rng = np.random.default_rng(13)
+    d = os.path.join(tmp_path, "eventsdir")
+    os.makedirs(d, exist_ok=True)
+    eid = 0
+    for f in range(6):
+        n = 40
+        u = rng.choice([7, 9], size=n)
+        ts = rng.integers(1_700_000_000_000_000, 1_700_100_000_000_000,
+                          size=n)
+        # sparse clicks so several blocks of a user have none
+        et = np.where(rng.uniform(size=n) < 0.15, "click", "purchase")
+        t = pa.table({
+            "event_id": pa.array(np.arange(eid, eid + n), pa.int64()),
+            "user_id": pa.array(u.astype(np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 2),
+                              pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(d, f"part-{f}.parquet"))
+        eid += n
+    import shutil
+
+    shutil.move(d, os.path.join(tmp_path, "events.parquet"))
+    out = asof_join(str(tmp_path)).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = pq.read_table(os.path.join(tmp_path, "events.parquet")).to_pandas()
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        clicks = g[g["event_type"] == "click"]
+        for _, p in g[g["event_type"] == "purchase"].iterrows():
+            c = clicks[clicks["ts"] <= p["ts"]]
+            if len(c):
+                c = c.iloc[-1]
+                rows.append((p["event_id"], uid, p["ts"], c["event_id"],
+                             c["ts"], c["value"]))
+    exp = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "click_event_id", "click_ts",
+        "click_value"]).sort_values("event_id").reset_index(drop=True)
+    exp = exp.astype({"event_id": "int64", "user_id": "int64",
+                      "click_event_id": "int64",
+                      "ts": "datetime64[us]", "click_ts": "datetime64[us]"})
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_range_join_cross_block_halo(ray_session, tmp_path):
+    """Dense two-user error/click stream over 6 files with a ts span that
+    makes most 5-minute bands cross sorted-block boundaries — the halo
+    carry must supply earlier blocks' clicks."""
+    import pandas as pd
+
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        _RANGE_WIN_US, range_join)
+
+    rng = np.random.default_rng(17)
+    d = os.path.join(tmp_path, "eventsdir")
+    os.makedirs(d, exist_ok=True)
+    base = 1_700_000_000_000_000
+    eid = 0
+    for f in range(6):
+        n = 40
+        u = rng.choice([7, 9], size=n)
+        # whole stream inside ~40 minutes: bands overlap heavily
+        ts = base + rng.integers(0, 40 * 60 * 1_000_000, size=n)
+        et = np.where(rng.uniform(size=n) < 0.5, "click", "error")
+        t = pa.table({
+            "event_id": pa.array(np.arange(eid, eid + n), pa.int64()),
+            "user_id": pa.array(u.astype(np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(d, f"part-{f}.parquet"))
+        eid += n
+    import shutil
+
+    shutil.move(d, os.path.join(tmp_path, "events.parquet"))
+    out = range_join(str(tmp_path)).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = pq.read_table(os.path.join(tmp_path, "events.parquet")).to_pandas()
+    rows = []
+    for _, e in df[df["event_type"] == "error"].iterrows():
+        ets = int(pd.Timestamp(e["ts"]).value // 1000)  # ns -> us
+        c = df[(df["event_type"] == "click")
+               & (df["user_id"] == e["user_id"])]
+        cts = c["ts"].apply(lambda x: int(pd.Timestamp(x).value // 1000))
+        nn = int(((cts >= ets - _RANGE_WIN_US) & (cts <= ets)).sum())
+        rows.append((int(e["event_id"]), int(e["user_id"]), nn))
+    exp = pd.DataFrame(rows, columns=["event_id", "user_id", "n_clicks"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"n_clicks": "int64"}), exp)
+    assert (exp["n_clicks"] > 0).mean() > 0.5  # bands really are dense
