@@ -805,46 +805,6 @@ SELECT doc_id, lang, n_chars FROM (
 
 # ---------------------------------------------------------------- as-of join
 
-def _asof_group(group: pa.Table) -> pa.Table:
-    """One user's purchase+click events -> each purchase matched to the
-    latest click at-or-before it (vectorized searchsorted, no row loop)."""
-    is_p = pc.equal(group["event_type"], "purchase").to_numpy(
-        zero_copy_only=False)
-    ts = group["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
-    ids = group["event_id"].to_numpy(zero_copy_only=False)
-    val = group["value"].to_numpy(zero_copy_only=False)
-    p_ts, p_ids = ts[is_p], ids[is_p]
-    c_ts, c_ids, c_val = ts[~is_p], ids[~is_p], val[~is_p]
-    empty = pa.table({
-        "event_id": pa.array([], pa.int64()),
-        "user_id": pa.array([], pa.int64()),
-        "ts": pa.array([], pa.timestamp("us")),
-        "click_event_id": pa.array([], pa.int64()),
-        "click_ts": pa.array([], pa.timestamp("us")),
-        "click_value": pa.array([], pa.float64()),
-    })
-    if not p_ts.size or not c_ts.size:
-        return empty
-    order = np.argsort(c_ts, kind="stable")
-    c_ts, c_ids, c_val = c_ts[order], c_ids[order], c_val[order]
-    # greatest click ts <= purchase ts (ASOF semantics); ties impossible to
-    # mis-pick: (user_id, ts) is unique per side by construction of event ts
-    idx = np.searchsorted(c_ts, p_ts, side="right") - 1
-    keep = idx >= 0
-    if not keep.any():
-        return empty
-    idx = idx[keep]
-    uid = group["user_id"][0].as_py()
-    n = int(keep.sum())
-    return pa.table({
-        "event_id": pa.array(p_ids[keep].astype(np.int64)),
-        "user_id": pa.array(np.full(n, uid, dtype=np.int64)),
-        "ts": pa.array(p_ts[keep]).cast(pa.timestamp("us")),
-        "click_event_id": pa.array(c_ids[idx].astype(np.int64)),
-        "click_ts": pa.array(c_ts[idx]).cast(pa.timestamp("us")),
-        "click_value": pa.array(c_val[idx], pa.float64()),
-    })
-
 
 def _asof_bounds(batch: pa.Table) -> pa.Table:
     """One row per sorted block: ordering tag + the block's last user run's
@@ -1010,34 +970,6 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 RANGE_JOIN_MIN = 5
 
-
-def _range_count_group(group: pa.Table) -> pa.Table:
-    """One user's error+click events -> per-error count of clicks in the
-    trailing window (two searchsorted bounds, no pair materialization)."""
-    is_e = pc.equal(group["event_type"], "error").to_numpy(
-        zero_copy_only=False)
-    ts = group["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
-    ids = group["event_id"].to_numpy(zero_copy_only=False)
-    e_ts, e_ids = ts[is_e], ids[is_e]
-    if not e_ts.size:
-        return pa.table({
-            "event_id": pa.array([], pa.int64()),
-            "user_id": pa.array([], pa.int64()),
-            "n_clicks": pa.array([], pa.int64()),
-        })
-    c_ts = np.sort(ts[~is_e])
-    win = np.timedelta64(RANGE_JOIN_MIN * 60 * 1_000_000, "us")
-    lo = np.searchsorted(c_ts, e_ts - win, side="left")
-    hi = np.searchsorted(c_ts, e_ts, side="right")
-    uid = group["user_id"][0].as_py()
-    return pa.table({
-        "event_id": pa.array(e_ids.astype(np.int64)),
-        "user_id": pa.array(np.full(e_ids.size, uid, dtype=np.int64)),
-        "n_clicks": pa.array((hi - lo).astype(np.int64)),
-    })
-
-
-_RANGE_WIN_US = RANGE_JOIN_MIN * 60 * 1_000_000
 
 
 def _range_bounds(batch: pa.Table) -> pa.Table:
