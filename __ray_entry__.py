@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": st.q3_shipping,
         "j12_star_join": st.q5_region_revenue,
         "q13_order_count_dist": st.q13_order_count_dist,
+        "q10_top_returners": st.q10_top_returners,
+        "a19_embed_cov": wo.embed_covariance,
         "j13_big_orders": olap.big_orders,
         "a13_distinct_suppliers": olap.distinct_suppliers,
         "k5_hash_sample": st.hash_sample,

@@ -969,6 +969,7 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 # ---------------------------------------------------------------- range join
 
 RANGE_JOIN_MIN = 5
+_RANGE_WIN_US = RANGE_JOIN_MIN * 60 * 1_000_000
 
 
 
@@ -2114,3 +2115,196 @@ def mm_embed_topk(sf_dir: str, k: int = 10):
                          "sim": pa.array([], pa.float64())})
     out = merge_topk(pa.Table.from_pylist(rows), k)
     return out.rename_columns(["doc_id", "sim"])
+
+
+# ------------------------------------- Q10 (top customers by returned rev)
+
+Q10_DATE_LO = "1996-04-01"
+Q10_DATE_HI = "1996-07-01"
+Q10_TOPN = 20
+
+
+def q10_top_returners(sf_dir: str):
+    """Q10-style top-N: the {Q10_TOPN} customers with the highest revenue
+    from RETURNED items ordered in a 3-month window, with name/balance/
+    nation resolved only for the winners.
+
+    Distributed shape, stage by stage:
+      1. orders (date-filtered, pruned read) and lineitem (returnflag R)
+         harmonize and ride ONE sort(orderkey) co-partition exchange —
+         the q3_shipping join pattern: each block collapses its interior
+         orderkey segments to (custkey, rev) partials pre-aggregated with
+         np.add.at; <= 2 boundary segments per block merge on the driver.
+      2. per-batch custkey combiner -> ONE small groupby(custkey) sum.
+      3. top-N by (revenue desc, custkey) via per-batch partial top-N +
+         driver merge — never a global sort.
+      4. names/balances arrive by a FILTERED customer read on the N
+         winner keys (semi-join pushdown) and the nation map broadcasts —
+         the corpus-sized customer table is never joined wholesale."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(Q10_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q10_DATE_HI)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "custkey": batch["o_custkey"].cast(pa.int64()),
+            "rev": pa.array(np.zeros(n), pa.float64()),
+            "is_ord": pa.array(np.ones(n, np.int8)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table({
+            "orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "custkey": pa.array(np.full(n, -1), pa.int64()),
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            "is_ord": pa.array(np.zeros(n, np.int8)),
+        })
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(line_side, batch_format="pyarrow", batch_size=8192)
+
+    def _segments(batch: pa.Table) -> pa.Table:
+        """orderkey-sorted block -> (custkey, rev) partials for interior
+        segments (pre-aggregated by custkey) + raw boundary partials."""
+        empty = pa.table({
+            "orderkey": pa.array([], pa.int64()),
+            "custkey": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.float64()),
+            "n_ord": pa.array([], pa.int64()),
+            "n_line": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.bool_()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        ok = batch["orderkey"].to_numpy(zero_copy_only=False)
+        ck = batch["custkey"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        iso = batch["is_ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.concatenate([[True], ok[1:] != ok[:-1]])
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        rev_s = np.bincount(seg, weights=rev, minlength=nseg)
+        ord_s = np.bincount(seg, weights=iso, minlength=nseg).astype(np.int64)
+        line_s = np.bincount(seg, weights=1 - iso,
+                             minlength=nseg).astype(np.int64)
+        ck_s = np.full(nseg, -1, dtype=np.int64)
+        np.maximum.at(ck_s, seg, ck)
+        first_ok = ok[np.flatnonzero(new)]
+        is_b = np.zeros(nseg, dtype=bool)
+        is_b[0] = True
+        is_b[-1] = True
+        # interior segments: complete -> join + pre-aggregate by custkey
+        it = ~is_b & (ord_s > 0) & (line_s > 0)
+        icust = ck_s[it]
+        uniq, inv = np.unique(icust, return_inverse=True)
+        irev = np.bincount(inv, weights=rev_s[it]) if uniq.size else \
+            np.empty(0)
+        bi = np.flatnonzero(is_b)
+        return pa.table({
+            "orderkey": pa.array(np.concatenate(
+                [np.full(uniq.size, -1), first_ok[bi]]).astype(np.int64)),
+            "custkey": pa.array(np.concatenate([uniq, ck_s[bi]])
+                                .astype(np.int64)),
+            "rev": pa.array(np.concatenate([irev, rev_s[bi]]), pa.float64()),
+            "n_ord": pa.array(np.concatenate(
+                [np.zeros(uniq.size), ord_s[bi]]).astype(np.int64)),
+            "n_line": pa.array(np.concatenate(
+                [np.zeros(uniq.size), line_s[bi]]).astype(np.int64)),
+            "partial": pa.array(np.concatenate(
+                [np.zeros(uniq.size, bool), np.ones(bi.size, bool)])),
+        })
+
+    seg = (orders.union(lines).sort("orderkey")
+           .map_batches(_segments, batch_format="pyarrow", batch_size=None)
+           .materialize())
+    interior = seg.map_batches(
+        lambda t: t.filter(pc.invert(t["partial"]))
+        .select(["custkey", "rev"]), batch_format="pyarrow")
+    bdf = pa.concat_tables(ray.get(
+        seg.map_batches(lambda t: t.filter(t["partial"]),
+                        batch_format="pyarrow").to_arrow_refs())).to_pandas()
+    merged = bdf.groupby("orderkey", as_index=False).agg(
+        custkey=("custkey", "max"), rev=("rev", "sum"),
+        n_ord=("n_ord", "sum"), n_line=("n_line", "sum"))
+    merged = merged[(merged["n_ord"] > 0) & (merged["n_line"] > 0)]
+    btab = pa.table({
+        "custkey": pa.array(merged["custkey"].to_numpy(), pa.int64()),
+        "rev": pa.array(merged["rev"].to_numpy(), pa.float64()),
+    })
+
+    def _cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["custkey"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "custkey": pa.array(uniq.astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=rev), pa.float64()),
+        })
+
+    totals = (interior.union(ray.data.from_arrow(btab))
+              .map_batches(_cust_partial, batch_format="pyarrow",
+                           batch_size=65536)
+              .groupby("custkey").sum("rev"))
+
+    def _topn_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["custkey"].to_numpy(zero_copy_only=False)
+        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:Q10_TOPN]
+        return pa.table({"custkey": pa.array(ck[order].astype(np.int64)),
+                         "rev": pa.array(rev[order], pa.float64())})
+
+    parts = pa.concat_tables(ray.get(
+        totals.map_batches(_topn_partial, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs()))
+    ck = parts["custkey"].to_numpy(zero_copy_only=False)
+    rev = parts["rev"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -rev))[:Q10_TOPN]
+    ck, rev = ck[order].astype(np.int64), rev[order]
+
+    cust = pa.concat_tables(ray.get(read_parquet_clean(
+        _doc_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(ck.tolist()),
+    ).to_arrow_refs())).to_pandas().set_index("c_custkey")
+    nat = pa.concat_tables(ray.get(read_parquet_clean(
+        _doc_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"],
+    ).to_arrow_refs())).to_pandas().set_index("n_nationkey")["n_name"]
+    return pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array([cust.loc[k, "c_name"] for k in ck], pa.string()),
+        "revenue": pa.array(np.round(rev, 6), pa.float64()),
+        "c_acctbal": pa.array([float(cust.loc[k, "c_acctbal"]) for k in ck],
+                              pa.float64()),
+        "n_name": pa.array([nat[int(cust.loc[k, "c_nationkey"])]
+                            for k in ck], pa.string()),
+    })
+
+
+SQL["q10_top_returners"] = f"""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q10_DATE_HI}'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT {Q10_TOPN}
+"""

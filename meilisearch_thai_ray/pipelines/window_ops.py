@@ -697,3 +697,81 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# ------------------------------------------------ a19 embedding covariance
+
+
+def _embed_mat(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0])
+    return flat.reshape(-1, dim)
+
+
+def embed_covariance(sf_dir: str):
+    """A19: the d x d sample covariance of the embedding columns — the
+    aggregate behind PCA whitening / drift detection on an embedding
+    corpus (PCA itself = one driver-side eigh over this d x d output).
+
+    Two streaming passes of mergeable partials, no row ever shuffled:
+    pass 1 (n, sum-vector) -> broadcast means; pass 2 centered outer
+    products summed per batch (np.einsum), partials are fixed d x d
+    float64 blocks. Centering before accumulation keeps the combine
+    exact to well past 6 dp (same rationale as a16's shift)."""
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])
+
+    def _sum_partial(batch: pa.Table) -> pa.Table:
+        mat = _embed_mat(batch)
+        return pa.table({
+            "n": pa.array([mat.shape[0]], pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+        })
+
+    p1 = pa.concat_tables(ray.get(
+        ds.map_batches(_sum_partial, batch_format="pyarrow",
+                       batch_size=4096).to_arrow_refs()))
+    n = int(sum(p1["n"].to_pylist()))
+    mean = np.sum([np.asarray(x) for x in p1["s"].to_pylist()],
+                  axis=0) / n
+    mean_ref = ray.put(mean)
+
+    def _outer_partial(batch: pa.Table, *, mean_ref) -> pa.Table:
+        from ..stages.runs import fetch
+
+        mat = _embed_mat(batch) - fetch(mean_ref)
+        outer = np.einsum("ni,nj->ij", mat, mat)
+        return pa.table({"outer": pa.array([outer.reshape(-1).tolist()],
+                                           pa.list_(pa.float64()))})
+
+    p2 = pa.concat_tables(ray.get(
+        ds.map_batches(_outer_partial, fn_kwargs={"mean_ref": mean_ref},
+                       batch_format="pyarrow",
+                       batch_size=4096).to_arrow_refs()))
+    d = mean.size
+    cov = np.sum([np.asarray(x) for x in p2["outer"].to_pylist()],
+                 axis=0).reshape(d, d) / (n - 1)
+    iu, ju = np.triu_indices(d)
+    return pa.table({
+        "dim_i": pa.array(iu.astype(np.int64)),
+        "dim_j": pa.array(ju.astype(np.int64)),
+        "cov": pa.array(np.round(cov[iu, ju], 6), pa.float64()),
+    })
+
+
+SQL["a19_embed_cov"] = """
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS e,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       round(covar_samp(CAST(a.e AS DOUBLE), CAST(b.e AS DOUBLE)), 6) AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
