@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k6b_heavy_hitters_by_lang": cs.heavy_hitter_words_by_lang,
         "a10_quantiles_exact": cs.quantiles_exact,
         "a12_rollup_counts": cs.rollup_counts,
+        "k14_pivot_daily": cs.pivot_daily_events,
         "m8b_repetition": cs.repetition_stats,
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,

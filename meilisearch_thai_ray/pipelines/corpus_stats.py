@@ -1183,3 +1183,71 @@ def quantiles_kll(sf_dir: str, k: int = 200):
                            batch_size=32768)
             .groupby("event_type")
             .map_groups(_merge_group, batch_format="pyarrow"))
+
+
+# --------------------------------------------------- k14 pivot (long->wide)
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_daily_events(sf_dir: str):
+    """K14: PIVOT — the long (ts, event_type) stream reshaped to one WIDE
+    row per day with a count column per event type (the reshape every
+    monitoring/report sink wants). Each batch emits already-wide partial
+    rows (np.add.at over a day x type count grid — bounded by distinct
+    days x types, never row count), then ONE tiny groupby(day) sums the
+    columns. Unknown event types fail loudly rather than silently
+    vanishing from the wide schema."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+    type_idx = {t: i for i, t in enumerate(PIVOT_TYPES)}
+    day_us = 24 * 3600 * 1_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {f"n_{t}": pa.array([], pa.int64()) for t in PIVOT_TYPES}
+        if batch.num_rows == 0:
+            return pa.table({"day_us": pa.array([], pa.int64()), **cols})
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        days = (ts // day_us) * day_us
+        types = batch["event_type"].to_pylist()
+        unknown = set(types) - set(PIVOT_TYPES)
+        if unknown:
+            raise ValueError(f"unpivoted event types: {sorted(unknown)}")
+        ti = np.fromiter((type_idx[t] for t in types), dtype=np.int64,
+                         count=len(types))
+        uday, dinv = np.unique(days, return_inverse=True)
+        grid = np.zeros((uday.size, len(PIVOT_TYPES)), dtype=np.int64)
+        np.add.at(grid, (dinv, ti), 1)
+        return pa.table({
+            "day_us": pa.array(uday.astype(np.int64)),
+            **{f"n_{t}": pa.array(grid[:, i], pa.int64())
+               for t, i in type_idx.items()},
+        })
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day_us"].cast(pa.int64())
+            .cast(pa.timestamp("us")),
+            **{f"n_{t}": batch[f"sum(n_{t})"].cast(pa.int64())
+               for t in PIVOT_TYPES},
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=32768)
+            .groupby("day_us")
+            .aggregate(*[Sum(f"n_{t}") for t in PIVOT_TYPES])
+            .map_batches(_finalize, batch_format="pyarrow"))
+
+
+SQL["k14_pivot_daily"] = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY day
+"""
