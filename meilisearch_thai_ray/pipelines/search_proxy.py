@@ -50,6 +50,9 @@ BOOST_COMPOUND = 1.3     # settings.py:63
 DECAY_FACTOR = 0.1       # settings.py:64
 MIN_SCORE_THRESHOLD = 0.1  # settings.py:65
 MAX_RESULTS_PER_VARIANT = 100  # settings.py:66
+# Meilisearch sortableAttributes analog: the non-text doc-metadata columns
+# of the index's docs table (index/build.py DOCS_SCHEMA)
+SORTABLE_FIELDS = frozenset({"doc_id", "url", "lang", "token_count"})
 MAX_QUERY_VARIANTS = 5
 TOKENIZATION_CONFIDENCE_FACTOR = 0.5  # result_ranker.py ExtendedRankingConfig
 
@@ -93,8 +96,21 @@ class SearchOptions:
     # its terms via the engine's typo matching (Meilisearch's default-on
     # index setting); False = off everywhere
     typo_tolerance: bool | None = None
+    # Meilisearch sort criteria (requests.py:15): ["field:asc"|"field:desc",
+    # ...] over the sortable doc-metadata fields; relevancy rank breaks
+    # ties, docs missing the field go last (Meilisearch sort semantics)
+    sort: list[str] | None = None
 
     def __post_init__(self):
+        if self.sort is not None:
+            for c in self.sort:
+                field, _, direction = c.partition(":")
+                if direction not in ("asc", "desc") \
+                        or field not in SORTABLE_FIELDS:
+                    raise ValueError(
+                        f"bad sort criterion {c!r}: expected "
+                        f"'<field>:asc|desc' with field in "
+                        f"{sorted(SORTABLE_FIELDS)}")
         if not 1 <= self.limit <= 100:
             raise ValueError("limit must be in [1, 100]")
         if self.offset < 0:
@@ -498,7 +514,13 @@ class SearchProxy:
 
         algorithm = self.select_algorithm(query, session_id)
         ranked, n_unique = self._RANKERS[algorithm](self, candidates, analysis)
-        target = offset + k
+        sort_crit = options.sort if options else None
+        if sort_crit and any(not c.startswith("doc_id:") for c in sort_crit) \
+                and not self.docs_path:
+            raise ValueError("sort over metadata fields requires docs_path")
+        # with sort, pagination applies AFTER the criteria ordering: keep
+        # every passing hit (bounded by the per-variant candidate caps)
+        target = (1 << 62) if sort_crit else offset + k
         allowed = None
         if options and options.filters:
             allowed = self._filter_allowed(
@@ -556,7 +578,10 @@ class SearchProxy:
             )
             if len(out) >= target:
                 break
-        out = out[offset:]
+        if sort_crit:
+            out = self._apply_sort(out, sort_crit)[offset:offset + k]
+        else:
+            out = out[offset:]
         if options and options.highlight and self.docs_path:
             qterms = self.tokenizer.index_terms(self.tokenizer.tokenize(query))
             texts = self._doc_texts([h["doc_id"] for h in out])
@@ -566,6 +591,44 @@ class SearchProxy:
                     options.crop_length, options.crop_marker,
                 )
         return out
+
+    def _doc_fields(self, doc_ids: list[int],
+                    fields: list[str]) -> dict[int, dict]:
+        """Sortable-field values for a candidate id set via one pruned
+        parquet read (never a corpus scan)."""
+        want = [f for f in dict.fromkeys(fields) if f != "doc_id"]
+        if not want or not self.docs_path or not doc_ids:
+            return {d: {} for d in doc_ids}
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(self.docs_path).to_table(
+            columns=["doc_id"] + want,
+            filter=pc.field("doc_id").isin(doc_ids))
+        rows = t.to_pylist()
+        return {r["doc_id"]: {f: r[f] for f in want} for r in rows}
+
+    def _apply_sort(self, hits: list[dict],
+                    criteria: list[str]) -> list[dict]:
+        """Meilisearch `sort` semantics: order by the criteria sequence,
+        relevancy rank (the incoming order) breaking ties — stable sorts
+        applied in reverse criteria order; docs missing a field go last
+        under either direction."""
+        vals = self._doc_fields(
+            [h["doc_id"] for h in hits],
+            [c.partition(":")[0] for c in criteria])
+        for crit in reversed(criteria):
+            fieldname, _, direction = crit.partition(":")
+
+            def val(h):
+                if fieldname == "doc_id":
+                    return h["doc_id"]
+                return vals.get(h["doc_id"], {}).get(fieldname)
+
+            present = [h for h in hits if val(h) is not None]
+            present.sort(key=val, reverse=direction == "desc")
+            hits = present + [h for h in hits if val(h) is None]
+        return hits
 
     def _filter_allowed(self, doc_ids: list[int], dsl: dict) -> set[int]:
         """Per-request metadata filter (reference SearchOptions.filters):

@@ -364,3 +364,51 @@ def test_search_options_variant_controls(proxy):
                          options=SearchOptions(limit=10,
                                                enable_compound_search=False))
     assert all(h["variant_type"] != "compound_split" for h in hits2)
+
+
+def test_sort_parameter_orders_and_paginates(proxy):
+    """Meilisearch `sort` criterion (requests.py:15): results reorder by
+    the sortable field with relevancy as tie-break, pagination applies
+    AFTER the sort, and doc_id sorting needs no docs_path."""
+    import os
+
+    from meilisearch_thai_ray.pipelines.search_proxy import (
+        SearchOptions, SearchProxy)
+
+    docs_path = os.path.join(proxy.engine.index_dir, "docs")
+    p = SearchProxy(proxy.engine, docs_path=docs_path)
+    q = "สาหร่ายวากาเมะ"
+    plain = p.search(q, k=10)
+    assert len(plain) >= 3
+
+    asc = p.search(q, options=SearchOptions(limit=10,
+                                            sort=["token_count:asc"]))
+    desc = p.search(q, options=SearchOptions(limit=10,
+                                             sort=["token_count:desc"]))
+    assert {h["doc_id"] for h in asc} == {h["doc_id"] for h in plain}
+    fields = p._doc_fields([h["doc_id"] for h in asc], ["token_count"])
+    tc_asc = [fields[h["doc_id"]]["token_count"] for h in asc]
+    assert tc_asc == sorted(tc_asc)
+    tc_desc = [p._doc_fields([h["doc_id"]], ["token_count"])
+               [h["doc_id"]]["token_count"] for h in desc]
+    assert tc_desc == sorted(tc_desc, reverse=True)
+
+    # pagination slices the SORTED order
+    page2 = p.search(q, options=SearchOptions(
+        limit=2, offset=2, sort=["token_count:asc"]))
+    assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in asc[2:4]]
+
+    # doc_id sorting works without docs_path
+    ids = p.search(q, options=SearchOptions(limit=10, sort=["doc_id:desc"]))
+    got = [h["doc_id"] for h in ids]
+    assert got == sorted(got, reverse=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SearchOptions(sort=["token_count:sideways"])
+    with _pytest.raises(ValueError):
+        SearchOptions(sort=["text:asc"])  # not a sortable field
+    bare = SearchProxy(proxy.engine)  # no docs_path
+    with _pytest.raises(ValueError):
+        bare.search(q, options=SearchOptions(sort=["token_count:asc"]))
