@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k6_heavy_hitters": cs.heavy_hitter_words,
         "k6b_heavy_hitters_by_lang": cs.heavy_hitter_words_by_lang,
         "a10_quantiles_exact": cs.quantiles_exact,
+        "a10d_quantiles_cont": cs.quantiles_cont,
         "a12_rollup_counts": cs.rollup_counts,
         "k14_pivot_daily": cs.pivot_daily_events,
         "m8b_repetition": cs.repetition_stats,

@@ -1251,3 +1251,46 @@ SELECT date_trunc('day', ts) AS day,
        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
 FROM events GROUP BY day
 """
+
+
+# -------------------------------------- a10d continuous quantiles per lang
+
+
+def _quantiles_cont_group(group: pa.Table) -> pa.Table:
+    v = group["v"].to_numpy(zero_copy_only=False)
+    cnt = group["cnt"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(v, return_inverse=True)
+    merged = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(merged, inv, cnt)
+    from ..stages.sketches import quantile_cont_sparse
+
+    p50, p90, p99 = quantile_cont_sparse(uniq, merged, list(_QUANTS))
+    return pa.table({
+        "lang": pa.array([group["lang"][0].as_py()]),
+        "p50": pa.array([round(p50, 6)], pa.float64()),
+        "p90": pa.array([round(p90, 6)], pa.float64()),
+        "p99": pa.array([round(p99, 6)], pa.float64()),
+    })
+
+
+def quantiles_cont(sf_dir: str):
+    """A10d: EXACT interpolated (continuous) quantiles of n_chars per
+    language — same compressed-histogram partials as a10 (one tiny
+    groupby(lang) over (lang, value, count) rows, never a global sort);
+    the finalize interpolates DuckDB quantile_cont semantics."""
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return (
+        ds.map_batches(_hist_partial, batch_format="pyarrow",
+                       batch_size=16384)
+        .groupby("lang")
+        .map_groups(_quantiles_cont_group, batch_format="pyarrow")
+    )
+
+
+SQL["a10d_quantiles_cont"] = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 6)  AS p50,
+       round(quantile_cont(n_chars, 0.9), 6)  AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""

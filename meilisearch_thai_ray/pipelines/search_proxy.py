@@ -592,6 +592,47 @@ class SearchProxy:
                 )
         return out
 
+    def search_with_info(self, query: str, k: int = 10,
+                         session_id: str | None = None,
+                         options: "SearchOptions | None" = None) -> dict:
+        """SearchRequest.include_tokenization_info=True analog: hits plus
+        the reference's TokenizationInfo block (responses.py:61-73) —
+        engine, timing, tokens, fallback engines, confidence, and token
+        shape stats. The info derives from its own _prepare pass (the
+        same kernel search() runs), so the numbers describe exactly what
+        the search used."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        analysis, tokens, confidence, variants = self._prepare(
+            query,
+            max_variants=options.max_query_variants if options else None,
+            enable_compound=options.enable_compound_search
+            if options else True,
+        )
+        tok_ms = (_time.perf_counter() - t0) * 1000.0
+        hits = self.search(query, k=k, session_id=session_id,
+                           options=options)
+        primary = next((v.engine for v in variants
+                        if v.variant_type == TOKENIZED), "none")
+        fallbacks = sorted({v.engine for v in variants
+                            if v.variant_type == FALLBACK})
+        return {
+            "hits": hits,
+            "tokenization_info": {
+                "tokenization_engine": primary,
+                "tokenization_time_ms": round(tok_ms, 3),
+                "tokens": list(tokens),
+                "fallback_engines_used": fallbacks,
+                "tokenization_confidence": confidence,
+                "original_text_length": len(query),
+                "token_count": len(tokens),
+                "average_token_length": round(
+                    sum(len(t) for t in tokens) / len(tokens), 6)
+                if tokens else 0.0,
+            },
+        }
+
     def _doc_fields(self, doc_ids: list[int],
                     fields: list[str]) -> dict[int, dict]:
         """Sortable-field values for a candidate id set via one pruned

@@ -2264,7 +2264,9 @@ def q10_top_returners(sf_dir: str):
 
     def _topn_partial(batch: pa.Table) -> pa.Table:
         ck = batch["custkey"].to_numpy(zero_copy_only=False)
-        rev = batch["sum(rev)"].to_numpy(zero_copy_only=False)
+        # rank on the 6-dp-ROUNDED revenue: the oracle's ORDER BY uses the
+        # rounded alias, so near-ties must break by custkey on both sides
+        rev = np.round(batch["sum(rev)"].to_numpy(zero_copy_only=False), 6)
         order = np.lexsort((ck, -rev))[:Q10_TOPN]
         return pa.table({"custkey": pa.array(ck[order].astype(np.int64)),
                          "rev": pa.array(rev[order], pa.float64())})
@@ -2273,7 +2275,7 @@ def q10_top_returners(sf_dir: str):
         totals.map_batches(_topn_partial, batch_format="pyarrow",
                            batch_size=None).to_arrow_refs()))
     ck = parts["custkey"].to_numpy(zero_copy_only=False)
-    rev = parts["rev"].to_numpy(zero_copy_only=False)
+    rev = np.round(parts["rev"].to_numpy(zero_copy_only=False), 6)
     order = np.lexsort((ck, -rev))[:Q10_TOPN]
     ck, rev = ck[order].astype(np.int64), rev[order]
 

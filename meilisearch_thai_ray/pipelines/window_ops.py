@@ -568,15 +568,12 @@ def _centroid_partial(batch: pa.Table) -> pa.Table:
     })
     if batch.num_rows == 0:
         return empty
+    from ..functions.vectors import list_matrix
+
     labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-    col = batch["embedding"].combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0)
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    offs = col.offsets.to_numpy(zero_copy_only=False)
-    dim = int(offs[1] - offs[0])
-    mat = flat.reshape(-1, dim)
+    mat = list_matrix(batch["embedding"])
     uniq, inv = np.unique(labels, return_inverse=True)
+    dim = mat.shape[1]
     sums = np.zeros((uniq.size, dim), dtype=np.float64)
     np.add.at(sums, inv, mat)
     counts = np.bincount(inv).astype(np.int64)
@@ -598,16 +595,12 @@ def embed_centroids(sf_dir: str):
     partials = pa.concat_tables(ray.get(
         ds.map_batches(_centroid_partial, batch_format="pyarrow",
                        batch_size=4096).to_arrow_refs()))
+    from ..functions.vectors import list_matrix
+
     labels = partials["label"].to_numpy(zero_copy_only=False)
     counts = partials["n_part"].to_numpy(zero_copy_only=False)
-    col = partials["sums"].combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0) if col.num_chunks else pa.array(
-            [], pa.list_(pa.float64()))
-    flat = col.values.to_numpy(zero_copy_only=False)
-    offs = col.offsets.to_numpy(zero_copy_only=False)
-    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-    mat = flat.reshape(-1, dim)
+    mat = list_matrix(partials["sums"])
+    dim = mat.shape[1]
     uniq, inv = np.unique(labels, return_inverse=True)
     sums = np.zeros((uniq.size, dim), dtype=np.float64)
     np.add.at(sums, inv, mat)
@@ -703,13 +696,9 @@ GROUP BY l_returnflag
 
 
 def _embed_mat(batch: pa.Table) -> np.ndarray:
-    col = batch["embedding"].combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0)
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    offs = col.offsets.to_numpy(zero_copy_only=False)
-    dim = int(offs[1] - offs[0])
-    return flat.reshape(-1, dim)
+    from ..functions.vectors import list_matrix
+
+    return list_matrix(batch["embedding"])
 
 
 def embed_covariance(sf_dir: str):
@@ -726,6 +715,10 @@ def embed_covariance(sf_dir: str):
                             columns=["embedding"])
 
     def _sum_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.list_(pa.float64()))})
+        if batch.num_rows == 0:
+            return empty
         mat = _embed_mat(batch)
         return pa.table({
             "n": pa.array([mat.shape[0]], pa.int64()),
@@ -742,6 +735,8 @@ def embed_covariance(sf_dir: str):
     mean_ref = ray.put(mean)
 
     def _outer_partial(batch: pa.Table, *, mean_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"outer": pa.array([], pa.list_(pa.float64()))})
         from ..stages.runs import fetch
 
         mat = _embed_mat(batch) - fetch(mean_ref)

@@ -27,14 +27,19 @@ import pyarrow as pa
 import ray
 
 _MEMO: dict[str, object] = {}
+_MEMO_CAP = 8  # a stage uses ONE broadcast object; don't pin old ones
 
 
 def fetch(ref: "ray.ObjectRef") -> object:
     """ray.get(ref) once per worker process (plasma hit + deserialization
     are paid once, not per batch) — lets broadcast state ride in plain
-    task functions instead of forcing an actor pool."""
+    task functions instead of forcing an actor pool. Bounded: long-lived
+    workers running many pipelines must not pin every broadcast object
+    (and its plasma buffer) forever."""
     key = ref.hex()
     if key not in _MEMO:
+        if len(_MEMO) >= _MEMO_CAP:
+            _MEMO.clear()
         _MEMO[key] = ray.get(ref)
     return _MEMO[key]
 
@@ -62,10 +67,16 @@ def new_run_mask(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
 def _row_tuple(batch: pa.Table, cols: list[str], idx: int) -> tuple:
     out = []
     for col in cols:
-        v = batch[col][idx].as_py()
-        if hasattr(v, "timestamp"):  # datetime -> int us (hashable, stable)
-            v = int(v.timestamp() * 1_000_000)
-        out.append(v)
+        c = batch[col]
+        if pa.types.is_timestamp(c.type):
+            # tz-safe epoch-us via arrow casts — naive datetime.timestamp()
+            # is local-timezone dependent (non-monotonic across DST) and
+            # float-truncates, which would disagree with the sort order
+            i = idx if idx >= 0 else batch.num_rows + idx
+            out.append(c.slice(i, 1).cast(pa.timestamp("us"))
+                       .cast(pa.int64())[0].as_py())
+        else:
+            out.append(c[idx].as_py())
     return tuple(out)
 
 
@@ -161,6 +172,7 @@ def anti_id_filter(ds, loser_ds, id_col: str = "doc_id",
     import os
     import tempfile
 
+    loser_ds = loser_ds.materialize()  # consumed twice: count + collect
     n = loser_ds.count()
     if n == 0:
         return ds

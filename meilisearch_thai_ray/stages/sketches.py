@@ -220,6 +220,30 @@ def quantile_disc_from_hist(hist: np.ndarray, qs: list[float]) -> list[int]:
     return quantile_disc_sparse(np.arange(hist.size), np.asarray(hist), qs)
 
 
+def quantile_cont_sparse(values: np.ndarray, counts: np.ndarray,
+                         qs: list[float]) -> list[float]:
+    """CONTINUOUS (interpolated) quantiles over a sparse (sorted unique
+    value, count) histogram — DuckDB quantile_cont / numpy 'linear'
+    semantics: h = q * (n - 1); linear interpolation between the elements
+    at ranks floor(h) and ceil(h) of the sorted column."""
+    n = int(counts.sum())
+    if n == 0:
+        return [float("nan") for _ in qs]
+    cum = np.cumsum(counts)
+
+    def at(rank: int) -> float:
+        return float(values[np.searchsorted(cum, rank + 1, side="left")])
+
+    out = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        hi = int(np.ceil(h))
+        vlo = at(lo)
+        out.append(vlo if hi == lo else vlo + (h - lo) * (at(hi) - vlo))
+    return out
+
+
 class BloomFilter:
     """Fixed-size Bloom filter over integer keys (double hashing from one
     splitmix64 pass — Kirsch & Mitzenmacher 2006: idx_i = h1 + i*h2).

@@ -412,3 +412,20 @@ def test_sort_parameter_orders_and_paginates(proxy):
     bare = SearchProxy(proxy.engine)  # no docs_path
     with _pytest.raises(ValueError):
         bare.search(q, options=SearchOptions(sort=["token_count:asc"]))
+
+
+def test_search_with_info_tokenization_block(proxy):
+    """include_tokenization_info analog: hits identical to search(), plus
+    the reference TokenizationInfo fields (responses.py:61-73)."""
+    q = "สาหร่ายวากาเมะ"
+    out = proxy.search_with_info(q, k=5)
+    assert out["hits"] == proxy.search(q, k=5)
+    info = out["tokenization_info"]
+    assert set(info) == {
+        "tokenization_engine", "tokenization_time_ms", "tokens",
+        "fallback_engines_used", "tokenization_confidence",
+        "original_text_length", "token_count", "average_token_length"}
+    assert info["original_text_length"] == len(q)
+    assert info["token_count"] == len(info["tokens"]) > 0
+    assert 0.0 <= info["tokenization_confidence"] <= 1.0
+    assert info["average_token_length"] > 0

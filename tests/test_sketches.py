@@ -436,3 +436,28 @@ def test_quantiles_kll_pipeline_within_bound(ray_session):
             est = out.loc[et, col]
             rank = np.searchsorted(v, est) / v.size
             assert abs(rank - q) <= 3.0 / 200 + 1.0 / v.size, (et, col)
+
+
+def test_quantile_cont_sparse_matches_numpy_and_duckdb():
+    """Interpolated quantiles over the sparse histogram == numpy 'linear'
+    == DuckDB quantile_cont, including single-element and heavy-tie data."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    from meilisearch_thai_ray.stages.sketches import quantile_cont_sparse
+
+    for data in [rng.integers(0, 50, size=997),
+                 np.array([7]), np.array([3, 3, 3, 3]),
+                 rng.integers(0, 3, size=100)]:
+        uniq, cnt = np.unique(data, return_counts=True)
+        qs = [0.5, 0.9, 0.99, 0.0, 1.0]
+        ours = quantile_cont_sparse(uniq, cnt.astype(np.int64), qs)
+        nump = [float(np.quantile(data, q, method="linear")) for q in qs]
+        assert np.allclose(ours, nump), (ours, nump)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS v",
+                    [data.tolist()])
+        duck = [con.execute(
+            f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            for q in qs]
+        assert np.allclose(ours, duck), (ours, duck)
