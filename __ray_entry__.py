@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                               plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
         "mm2_embed_topk": st.mm_embed_topk,
+        "mm3_audio_features": st.mm_audio_features,
+        "mm4_audio_chunks": st.mm_audio_chunks,
         "m13_lang_id": dp.lang_id,
         "thai_flagship_search": flagship.flagship_search,
         "thai_proxy_search": flagship.flagship_proxy_search,

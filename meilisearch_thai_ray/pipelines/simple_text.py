@@ -2310,3 +2310,32 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT {Q10_TOPN}
 """
+
+
+def mm_audio_features(sf_dir: str):
+    """MM3 (rows-only — the decode is the deterministic fake): payload ->
+    AudioFeatures actor pool. The DSP kernels (RMS, zero-crossing rate,
+    FFT spectral centroid + banded log-spectrum embedding) are REAL numpy
+    — only the container-format decode is the stand-in (`real_codec`
+    marks the swap boundary). Batch size stays small: fat binary rows
+    (stages/multimodal.py scale note)."""
+    from ..stages.multimodal import AudioFeatures, attach_payload
+
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4))
+
+
+def mm_audio_chunks(sf_dir: str):
+    """MM4 (rows-only): fixed-size audio chunking — one output row per
+    chunk with byte offsets (flat-map shape; bounds per-task decode cost
+    downstream)."""
+    from ..stages.multimodal import AudioChunker, attach_payload
+
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=512).map_batches(
+        AudioChunker, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))

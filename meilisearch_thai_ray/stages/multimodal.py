@@ -170,3 +170,91 @@ class ImageDecodeStub:
                 ),
             }
         )
+
+
+# ------------------------------------------------------------------ audio
+
+
+def _fake_pcm(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decode: payload bytes as centered int8 PCM in
+    [-1, 1). A real pipeline swaps this one line for an audio demuxer;
+    every kernel downstream (RMS, ZCR, FFT) is genuine DSP."""
+    if not payload:
+        return np.zeros(1, dtype=np.float64)
+    return (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            - 128.0) / 128.0
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extraction: REAL numpy DSP over the
+    deterministic fake decode (`real_codec` marks the swap boundary, as in
+    ImageFeatures). Per clip: RMS energy, zero-crossing rate, spectral
+    centroid (rfft-magnitude weighted mean bin), and a `bins`-band
+    log-magnitude spectrum embedding (list<float64>) that feeds the ANN
+    stages exactly like the image embedding does."""
+
+    def __init__(self, bins: int = 8, real_codec: bool = False):
+        if real_codec:
+            raise NotImplementedError(
+                "audio codecs are not available in this container")
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rms, zcr, cent, embeds = [], [], [], [], []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            x = _fake_pcm(p)
+            ids.append(batch["doc_id"][i].as_py())
+            rms.append(float(np.sqrt(np.mean(x * x))))
+            zcr.append(float(np.mean(np.signbit(x[1:]) !=
+                                     np.signbit(x[:-1]))) if x.size > 1
+                       else 0.0)
+            mag = np.abs(np.fft.rfft(x))
+            tot = mag.sum()
+            cent.append(float((mag * np.arange(mag.size)).sum() / tot)
+                        if tot > 0 else 0.0)
+            # pool |rfft| into `bins` log-magnitude bands (pad to multiple)
+            k = -(-mag.size // self.bins)
+            pad = np.zeros(k * self.bins)
+            pad[:mag.size] = mag
+            band = np.log1p(pad.reshape(self.bins, k).mean(axis=1))
+            embeds.append(band)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rms": pa.array(np.round(rms, 6), pa.float64()),
+            "zero_cross_rate": pa.array(np.round(zcr, 6), pa.float64()),
+            "spectral_centroid": pa.array(np.round(cent, 6), pa.float64()),
+            "embedding": pa.array([e.tolist() for e in embeds],
+                                  pa.list_(pa.float64())),
+        })
+
+
+class AudioChunker:
+    """Fixed-duration chunking (flat-map shape: one OUTPUT row per chunk
+    with byte offsets) — the audio analog of FrameSampler: bounds
+    downstream decode/inference cost per task; a real pipeline swaps byte
+    arithmetic for a demuxer's packet index."""
+
+    def __init__(self, chunk_bytes: int = 1024, min_tail: int = 128):
+        self.chunk_bytes = chunk_bytes
+        self.min_tail = min_tail  # drop trailing fragments shorter than this
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, chunks, offs, lens = [], [], [], []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            n = len(p)
+            c = 0
+            for off in range(0, max(n, 1), self.chunk_bytes):
+                ln = min(self.chunk_bytes, n - off)
+                if c > 0 and ln < self.min_tail:
+                    break
+                ids.append(batch["doc_id"][i].as_py())
+                chunks.append(c)
+                offs.append(off)
+                lens.append(max(ln, 0))
+                c += 1
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk": pa.array(chunks, pa.int64()),
+            "byte_offset": pa.array(offs, pa.int64()),
+            "n_bytes": pa.array(lens, pa.int64()),
+        })

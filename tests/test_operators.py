@@ -898,3 +898,68 @@ def test_embedding_neardup_bucket_runs_span_blocks(ray_session, tmp_path):
         set(itertools.combinations(odds, 2))
     assert found == expect
     assert len(pairs) == len(expect)  # each pair exactly once
+
+
+def test_audio_features_dsp_kernels_are_real():
+    """AudioFeatures over a synthetic square-ish tone: RMS, ZCR and the
+    spectral centroid land where DSP says they must."""
+    from meilisearch_thai_ray.stages.multimodal import (
+        AudioFeatures, _fake_pcm)
+
+    n, period = 4096, 16
+    # alternating blocks of 255/0 -> square wave, |pcm| ~ 127/128
+    wave = bytes(255 if (i // (period // 2)) % 2 == 0 else 0
+                 for i in range(n))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([wave], pa.binary())})
+    out = AudioFeatures(bins=8)(t)
+    rms = out["rms"][0].as_py()
+    zcr = out["zero_cross_rate"][0].as_py()
+    cent = out["spectral_centroid"][0].as_py()
+    assert abs(rms - 127.5 / 128.0) < 0.01
+    # a square wave of period 16 crosses zero twice per period
+    assert abs(zcr - 2.0 / period) < 0.01
+    # fundamental at bin n/period; harmonics push the centroid higher
+    assert cent >= n / period * 0.9
+    emb = out["embedding"][0].as_py()
+    assert len(emb) == 8 and all(v >= 0 for v in emb)
+    # empty payload is safe
+    empty = AudioFeatures()(pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "payload": pa.array([b""], pa.binary())}))
+    assert empty["rms"][0].as_py() == 0.0
+
+
+def test_audio_chunker_offsets_and_tail():
+    from meilisearch_thai_ray.stages.multimodal import AudioChunker
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"x" * 2500, b"y" * 100],
+                                      pa.binary())})
+    out = AudioChunker(chunk_bytes=1024, min_tail=128)(t).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    # 2500 bytes -> chunks at 0/1024/2048; tail (452 >= min_tail) kept
+    assert d1["byte_offset"].tolist() == [0, 1024, 2048]
+    assert d1["n_bytes"].tolist() == [1024, 1024, 452]
+    d2 = out[out["doc_id"] == 2]  # short clip: one (partial) chunk
+    assert d2["byte_offset"].tolist() == [0]
+    assert d2["n_bytes"].tolist() == [100]
+    # a 1040-byte clip's 16-byte tail is dropped (< min_tail)
+    t3 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "payload": pa.array([b"z" * 1040], pa.binary())})
+    o3 = AudioChunker(chunk_bytes=1024, min_tail=128)(t3).to_pandas()
+    assert o3["byte_offset"].tolist() == [0]
+
+
+def test_mm_audio_pipeline_rows(ray_session):
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        mm_audio_chunks, mm_audio_features)
+
+    feats = mm_audio_features(SF).to_pandas()
+    assert len(feats) == 500
+    assert set(feats.columns) == {"doc_id", "rms", "zero_cross_rate",
+                                  "spectral_centroid", "embedding"}
+    assert feats["embedding"].map(len).eq(8).all()
+    chunks = mm_audio_chunks(SF).to_pandas()
+    assert len(chunks) >= 500
+    assert (chunks.groupby("doc_id")["chunk"].min() == 0).all()
