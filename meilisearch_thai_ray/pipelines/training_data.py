@@ -798,3 +798,119 @@ SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
        COALESCE(a.clean_text, '') AS clean_text
 FROM t LEFT JOIN a USING (doc_id)
 """
+
+
+# ------------------------------- k15 sorted export + range-served reads
+
+
+@ray.remote
+def _write_sorted_part(tab: pa.Table, path: str, key: str) -> dict:
+    import pyarrow.parquet as pq
+
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, path)
+    v = tab[key].to_numpy(zero_copy_only=False)
+    return {"file": os.path.basename(path),
+            "min": int(v[0]) if len(v) else None,
+            "max": int(v[-1]) if len(v) else None,
+            "rows": tab.num_rows}
+
+
+def export_sorted(ds: ray.data.Dataset, out_dir: str, key: str,
+                  order_cols: list[str] | None = None) -> dict:
+    """GLOBAL-ORDER export: sort by `order_cols` (default [key]) and write
+    one parquet file per sorted block plus a manifest of per-file
+    [min(key), max(key)] ranges — the layout that makes downstream range
+    reads prune whole files (read_sorted_range) and gives anti_id_filter's
+    side-parquet path a formal sink.
+
+    Complement of export_training_corpus: hash shards are DETERMINISTIC
+    across runs, so that sink resumes per shard; sorted-block boundaries
+    are not (Ray picks them), so THIS sink is atomic at whole-export
+    granularity — a complete manifest means done (re-run = no-op), no
+    manifest means rebuild. Callers needing finer resume pre-partition by
+    key range and export each partition."""
+    import json
+
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)  # partial export: rebuild
+    os.makedirs(out_dir, exist_ok=True)
+    sorted_ds = ds.sort(order_cols or [key]).materialize()
+    refs = sorted_ds.to_arrow_refs()  # dataset (= sort) order
+    parts = ray.get([
+        _write_sorted_part.remote(
+            r, os.path.join(out_dir, f"part-{i:05d}.parquet"), key)
+        for i, r in enumerate(refs)])
+    parts = [p for p in parts if p["rows"]]
+    man = {"key": key, "files": parts,
+           "rows": int(sum(p["rows"] for p in parts))}
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, manifest_path)
+    return man
+
+
+def read_sorted_range(out_dir: str, lo: int, hi: int,
+                      columns: list[str] | None = None):
+    """Range read over an export_sorted layout: the manifest prunes to the
+    files whose [min, max] overlaps [lo, hi]; only those are opened (plus
+    a row filter for the edges). Returns (arrow table, n_files_read)."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        man = json.load(f)
+    key = man["key"]
+    hit = [p["file"] for p in man["files"]
+           if p["min"] is not None and p["min"] <= hi and p["max"] >= lo]
+    if not hit:
+        return None, 0
+    import pyarrow.compute as _pc
+
+    tab = pads.dataset(
+        [os.path.join(out_dir, f) for f in hit]).to_table(
+        columns=columns,
+        filter=(_pc.field(key) >= lo) & (_pc.field(key) <= hi))
+    return tab, len(hit)
+
+
+K15_RANGE = (400, 900)  # n_chars band for the driver query
+
+
+def sorted_export_range(sf_dir: str):
+    """K15: export documents in GLOBAL (n_chars, doc_id) order with a
+    key-range manifest, then serve a band query by manifest pruning —
+    only the overlapping files are opened. Export is cached per input
+    (manifest = done)."""
+    import hashlib
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang", "n_chars"])
+    fp = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"/tmp/meili_ray_cache/sorted_docs_{fp}"
+    export_sorted(ds, out, key="n_chars", order_cols=["n_chars", "doc_id"])
+    tab, _ = read_sorted_range(out, *K15_RANGE,
+                               columns=["doc_id", "lang", "n_chars"])
+    if tab is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "n_chars": pa.array([], pa.int64())})
+    import pyarrow.compute as _pc
+
+    return tab.take(_pc.sort_indices(
+        tab, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]))
+
+
+SQL["k15_sorted_export"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars BETWEEN {K15_RANGE[0]} AND {K15_RANGE[1]}
+ORDER BY n_chars, doc_id
+"""

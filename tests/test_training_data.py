@@ -351,3 +351,55 @@ def test_line_dedup_oracle_parity_planted(ray_session):
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
     assert (got["n_removed"] > 0).any()  # the plant actually fired
+
+
+def test_export_sorted_manifest_pruning_and_reuse(ray_session, tmp_path):
+    """Global-order export: manifest ranges partition the key space in
+    file order; range reads open ONLY overlapping files; a complete
+    manifest makes the re-run a no-op."""
+    import json
+    import os
+
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.training_data import (
+        export_sorted, read_sorted_range)
+
+    rng = np.random.default_rng(29)
+    tabs = [pa.table({
+        "doc_id": pa.array(np.arange(b * 100, b * 100 + 100), pa.int64()),
+        "n_chars": pa.array(rng.integers(0, 10_000, 100), pa.int64()),
+    }) for b in range(6)]
+    ds = ray.data.from_arrow(tabs)
+    out = str(tmp_path / "sorted")
+    man = export_sorted(ds, out, key="n_chars",
+                        order_cols=["n_chars", "doc_id"])
+    assert man["rows"] == 600
+    assert len(man["files"]) > 1  # multiple blocks -> pruning is real
+    # files cover the key space in nondecreasing, non-overlapping order
+    for a, b in zip(man["files"], man["files"][1:]):
+        assert a["min"] <= a["max"] <= b["min"] <= b["max"]
+
+    lo, hi = 2000, 3000
+    tab, n_read = read_sorted_range(out, lo, hi)
+    vals = tab["n_chars"].to_numpy(zero_copy_only=False)
+    assert ((vals >= lo) & (vals <= hi)).all()
+    full = pa.concat_tables(tabs)
+    fv = full["n_chars"].to_numpy(zero_copy_only=False)
+    assert len(tab) == int(((fv >= lo) & (fv <= hi)).sum())
+    overlap = [p for p in man["files"] if p["min"] <= hi and p["max"] >= lo]
+    assert n_read == len(overlap) < len(man["files"])  # pruning happened
+
+    # complete manifest -> re-run returns it untouched (no rebuild)
+    mtimes = {p["file"]: os.path.getmtime(os.path.join(out, p["file"]))
+              for p in man["files"]}
+    man2 = export_sorted(ds, out, key="n_chars",
+                         order_cols=["n_chars", "doc_id"])
+    assert man2 == man
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m
+    # a partial export (manifest missing) is rebuilt from scratch
+    os.remove(os.path.join(out, "manifest.json"))
+    man3 = export_sorted(ds, out, key="n_chars",
+                         order_cols=["n_chars", "doc_id"])
+    assert man3["rows"] == 600
