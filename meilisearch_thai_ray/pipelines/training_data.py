@@ -890,11 +890,13 @@ def sorted_export_range(sf_dir: str):
     key-range manifest, then serve a band query by manifest pruning —
     only the overlapping files are opened. Export is cached per input
     (manifest = done)."""
-    import hashlib
+    from .simple_text import input_fingerprint
 
     ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "lang", "n_chars"])
-    fp = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # keyed by input IDENTITY (path + per-file mtime/size), not path alone:
+    # a mutated documents table must never serve a stale export
+    fp = input_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     out = f"/tmp/meili_ray_cache/sorted_docs_{fp}"
     export_sorted(ds, out, key="n_chars", order_cols=["n_chars", "doc_id"])
     tab, _ = read_sorted_range(out, *K15_RANGE,
