@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: KLL sketch quantiles (approximate; rank-error bound
         # vs exact numpy quantiles is pytest-asserted)
         "a10c_quantiles_kll": cs.quantiles_kll,
+        # rows-only: PCA projection (eigenvector sign fixed
+        # deterministically; numpy-parity asserted in pytest)
+        "a19b_embed_pca": wo.embed_pca,
         "d2_minhash_pairs": dp.minhash_pairs,
         # plant=True: the driver's synthetic embeddings hold no natural
         # near-dups, so the entry opts into the deterministic planted fixture

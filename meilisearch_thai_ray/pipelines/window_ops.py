@@ -701,16 +701,14 @@ def _embed_mat(batch: pa.Table) -> np.ndarray:
     return list_matrix(batch["embedding"])
 
 
-def embed_covariance(sf_dir: str):
-    """A19: the d x d sample covariance of the embedding columns — the
-    aggregate behind PCA whitening / drift detection on an embedding
-    corpus (PCA itself = one driver-side eigh over this d x d output).
-
-    Two streaming passes of mergeable partials, no row ever shuffled:
-    pass 1 (n, sum-vector) -> broadcast means; pass 2 centered outer
-    products summed per batch (np.einsum), partials are fixed d x d
-    float64 blocks. Centering before accumulation keeps the combine
-    exact to well past 6 dp (same rationale as a16's shift)."""
+def _embed_mean_cov(sf_dir: str):
+    """Streaming (mean, sample covariance, n) of the embedding corpus —
+    two passes of mergeable partials, no row ever shuffled: pass 1
+    (n, sum-vector) -> broadcast means; pass 2 centered outer products
+    summed per batch (np.einsum), partials are fixed d x d float64
+    blocks. Centering before accumulation keeps the combine exact to
+    well past 6 dp (same rationale as a16's shift). Shared by
+    embed_covariance (a19) and embed_pca (a19b)."""
     ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["embedding"])
 
@@ -751,12 +749,57 @@ def embed_covariance(sf_dir: str):
     d = mean.size
     cov = np.sum([np.asarray(x) for x in p2["outer"].to_pylist()],
                  axis=0).reshape(d, d) / (n - 1)
-    iu, ju = np.triu_indices(d)
+    return mean, cov, n
+
+
+def embed_covariance(sf_dir: str):
+    """A19: the d x d sample covariance of the embedding columns as
+    (dim_i, dim_j, cov) upper-triangle rows — see _embed_mean_cov for
+    the distributed shape."""
+    mean, cov, _ = _embed_mean_cov(sf_dir)
+    iu, ju = np.triu_indices(mean.size)
     return pa.table({
         "dim_i": pa.array(iu.astype(np.int64)),
         "dim_j": pa.array(ju.astype(np.int64)),
         "cov": pa.array(np.round(cov[iu, ju], 6), pa.float64()),
     })
+
+
+def embed_pca(sf_dir: str, k: int = 4):
+    """A19b (rows-only): distributed PCA projection — eigh over the
+    streaming covariance (driver-side: d x d is tiny), top-k components
+    broadcast, every embedding batch projected (x - mean) @ W^T in one
+    vectorized pass. Component signs are fixed (largest-|coordinate|
+    positive) so output is deterministic; components are returned
+    ordered by explained variance."""
+    mean, cov, _ = _embed_mean_cov(sf_dir)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T                   # (k, d)
+    flip = np.sign(comp[np.arange(k), np.argmax(np.abs(comp), axis=1)])
+    comp = comp * flip[:, None]
+    state_ref = ray.put((mean, comp))
+
+    def _project(batch: pa.Table, *, state_ref) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "pc": pa.array([], pa.list_(pa.float64()))})
+        if batch.num_rows == 0:
+            return empty
+        from ..functions.vectors import list_matrix
+        from ..stages.runs import fetch
+
+        mean, comp = fetch(state_ref)
+        proj = (list_matrix(batch["embedding"]) - mean) @ comp.T
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "pc": pa.array(np.round(proj, 6).tolist(),
+                           pa.list_(pa.float64())),
+        })
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    return ds.map_batches(_project, fn_kwargs={"state_ref": state_ref},
+                          batch_format="pyarrow", batch_size=4096)
 
 
 SQL["a19_embed_cov"] = """

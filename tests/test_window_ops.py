@@ -423,3 +423,38 @@ def test_range_join_cross_block_halo(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.astype({"n_clicks": "int64"}), exp)
     assert (exp["n_clicks"] > 0).mean() > 0.5  # bands really are dense
+
+
+def test_embed_pca_matches_numpy(ray_session, tmp_path):
+    """Distributed PCA == numpy PCA on the materialized matrix: same
+    components (up to the deterministic sign rule), projections match,
+    explained variance ordered descending."""
+    from meilisearch_thai_ray.pipelines.window_ops import embed_pca
+
+    rng = np.random.default_rng(31)
+    n, d, k = 400, 8, 3
+    # anisotropic data so components are well separated
+    scales = np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.3, 0.2, 0.1])
+    mat = (rng.normal(size=(n, d)) * scales).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }), os.path.join(tmp_path, "embeddings.parquet"))
+    out = embed_pca(str(tmp_path), k=k).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = np.array(out["pc"].tolist())
+
+    x = mat.astype(np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T
+    flip = np.sign(comp[np.arange(k), np.argmax(np.abs(comp), axis=1)])
+    comp = comp * flip[:, None]
+    exp = (x - mean) @ comp.T
+    assert np.allclose(got, np.round(exp, 6), atol=2e-6)
+    # top components capture the planted anisotropy: variance descending
+    var = got.var(axis=0)
+    assert var[0] > var[1] > var[2]
