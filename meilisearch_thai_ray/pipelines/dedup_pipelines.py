@@ -996,3 +996,69 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM s JOIN c USING (gram) WHERE c.cnt >= 2
 GROUP BY s.doc_id
 """
+
+
+def absorb_minhash_index(index_dir: str, new_ds: ray.data.Dataset,
+                         accept_ids: "np.ndarray | None" = None) -> None:
+    """Fold an accepted crawl INTO the persisted band index: sketch the
+    new docs (optionally restricted to the accepted survivor ids) and
+    append their band rows as new parquet files — the next crawl then
+    dedups against corpus + accepted without ever re-sketching either.
+    Ray's writer generates unique filenames, so the append is safe and
+    atomic per file; the index needs no rewrite."""
+    bands = new_ds.map_batches(MinHasher, batch_format="pyarrow",
+                               batch_size=1024, concurrency=(1, 8))
+    if accept_ids is not None:
+        ids_ref = ray.put(np.sort(np.asarray(accept_ids, dtype=np.int64)))
+
+        def _keep(batch: pa.Table, *, ids_ref) -> pa.Table:
+            from ..stages.runs import fetch
+
+            ids = fetch(ids_ref)
+            v = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, v)
+            pos[pos == ids.size] = 0
+            return batch.filter(pa.array(ids[pos] == v))
+
+        bands = bands.map_batches(_keep, fn_kwargs={"ids_ref": ids_ref},
+                                  batch_format="pyarrow")
+    bands.write_parquet(index_dir)
+
+
+@ray.remote
+def _prune_index_file(path: str, drop_sorted: np.ndarray) -> int:
+    """Rewrite one index file without the dropped doc_ids (atomic tmp +
+    rename); files with no hits are left byte-untouched. Returns rows
+    removed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(path)
+    v = tab["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(drop_sorted, v)
+    pos[pos == drop_sorted.size] = 0
+    hit = drop_sorted[pos] == v
+    n = int(hit.sum())
+    if n == 0:
+        return 0
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(tab.filter(pa.array(~hit)), tmp)
+    os.replace(tmp, path)
+    return n
+
+
+def prune_minhash_index(index_dir: str, drop_ids) -> int:
+    """Tombstone compaction for the band index: distribute one task per
+    index file, each rewriting only if it holds dropped ids (deleted or
+    superseded docs must stop generating candidates). Returns total band
+    rows removed."""
+    import os
+
+    files = sorted(os.path.join(index_dir, f)
+                   for f in os.listdir(index_dir) if f.endswith(".parquet"))
+    drop = np.sort(np.asarray(list(drop_ids), dtype=np.int64))
+    if drop.size == 0 or not files:
+        return 0
+    return int(sum(ray.get([_prune_index_file.remote(f, drop)
+                            for f in files])))

@@ -403,3 +403,63 @@ def test_export_sorted_manifest_pruning_and_reuse(ray_session, tmp_path):
     man3 = export_sorted(ds, out, key="n_chars",
                          order_cols=["n_chars", "doc_id"])
     assert man3["rows"] == 600
+
+
+def test_minhash_index_absorb_and_prune(ray_session, tmp_path):
+    """Incremental index lifecycle: absorb an accepted crawl (next crawl
+    dedups against corpus+accepted with pair-set identity to a
+    from-scratch sketch), then prune tombstoned docs (their band rows
+    stop generating candidates; untouched files are not rewritten)."""
+    import os
+
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        _band_candidates, absorb_minhash_index, prune_minhash_index,
+        write_minhash_index)
+    from meilisearch_thai_ray.stages.dedup import MinHasher
+
+    def docs_tab(ids, texts):
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    base_texts = [f"corpus doc {i} " + "shared words " * 8 + f"tail{i}"
+                  for i in range(40)]
+    corpus = docs_tab(list(range(40)), base_texts)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(ray.data.from_arrow(corpus), idx)
+
+    # crawl: 10 accepted new docs (ids >= 1000), 5 rejected (not absorbed)
+    new_ids = [1000 + i for i in range(15)]
+    new_texts = [base_texts[i % 40] + " edited" if i < 5
+                 else f"fresh page {i} " + "novel content " * 6
+                 for i in range(15)]
+    crawl = docs_tab(new_ids, new_texts)
+    accepted = np.array(new_ids[:10], dtype=np.int64)
+    absorb_minhash_index(idx, ray.data.from_arrow(crawl),
+                         accept_ids=accepted)
+
+    got = _band_candidates(ray.data.read_parquet(idx)).to_pandas()
+    combined = pa.concat_tables([corpus, crawl.slice(0, 10)])
+    exp = _band_candidates(
+        ray.data.from_arrow(combined).map_batches(
+            MinHasher, batch_format="pyarrow", batch_size=1024,
+            concurrency=(1, 2))).to_pandas()
+    assert set(zip(got["a"], got["b"])) == set(zip(exp["a"], exp["b"]))
+    # rejected docs never entered the index
+    assert not ((got["a"] >= 1010) | (got["b"] >= 1010)).any()
+
+    # prune two corpus docs: their rows vanish, candidates stop
+    files_before = {f: os.path.getmtime(os.path.join(idx, f))
+                    for f in os.listdir(idx) if f.endswith(".parquet")}
+    removed = prune_minhash_index(idx, [0, 1])
+    assert removed > 0
+    left = ray.data.read_parquet(idx).to_pandas()
+    assert not left["doc_id"].isin([0, 1]).any()
+    after = _band_candidates(ray.data.read_parquet(idx)).to_pandas()
+    assert not ((after["a"].isin([0, 1])) | (after["b"].isin([0, 1]))).any()
+    # files without dropped ids were left byte-untouched
+    untouched = [f for f in files_before
+                 if os.path.getmtime(os.path.join(idx, f))
+                 == files_before[f]]
+    assert untouched  # at least the absorbed-crawl files
