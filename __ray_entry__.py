@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m8_quality_score": st.doc_quality,
         "m17_filter_dsl": st.filter_docs,
         "k11_facet_counts": st.facet_counts,
+        "k16_facet_search": st.facet_search,
         "k1_topk_docs": st.topk_docs,
         "a1_lang_stats": st.lang_stats,
         "a4_events_hourly": st.events_hourly,

@@ -100,8 +100,14 @@ class SearchOptions:
     # ...] over the sortable doc-metadata fields; relevancy rank breaks
     # ties, docs missing the field go last (Meilisearch sort semantics)
     sort: list[str] | None = None
+    # Meilisearch distinct attribute: at most ONE hit per distinct value
+    # of this doc-metadata field; the best-ranked survives
+    distinct: str | None = None
 
     def __post_init__(self):
+        if self.distinct is not None and self.distinct not in SORTABLE_FIELDS:
+            raise ValueError(
+                f"distinct must be one of {sorted(SORTABLE_FIELDS)}")
         if self.sort is not None:
             for c in self.sort:
                 field, _, direction = c.partition(":")
@@ -518,6 +524,15 @@ class SearchProxy:
         if sort_crit and any(not c.startswith("doc_id:") for c in sort_crit) \
                 and not self.docs_path:
             raise ValueError("sort over metadata fields requires docs_path")
+        distinct = options.distinct if options else None
+        if distinct and distinct != "doc_id" and not self.docs_path:
+            raise ValueError("distinct over metadata fields requires "
+                             "docs_path")
+        dvals: dict = {}
+        seen_dvals: set = set()
+        if distinct and distinct != "doc_id":
+            dvals = self._doc_fields(
+                [c[0]["doc_id"] for c in ranked], [distinct])
         # with sort, pagination applies AFTER the criteria ordering: keep
         # every passing hit (bounded by the per-variant candidate caps)
         target = (1 << 62) if sort_crit else offset + k
@@ -542,6 +557,11 @@ class SearchProxy:
                 continue
             if allowed is not None and hit["doc_id"] not in allowed:
                 continue
+            if distinct and distinct != "doc_id":
+                dv = dvals.get(hit["doc_id"], {}).get(distinct)
+                if dv in seen_dvals:
+                    continue
+                seen_dvals.add(dv)
             if cluster:
                 # D3 within-result-set clustering (result_ranker.py:635-712):
                 # a hit near-identical (SequenceMatcher >= 0.85) to an

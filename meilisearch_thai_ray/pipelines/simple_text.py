@@ -2339,3 +2339,52 @@ def mm_audio_chunks(sf_dir: str):
                           batch_size=512).map_batches(
         AudioChunker, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4))
+
+
+# --------------------------------------- k16 facet SEARCH (value lookup)
+
+FACET_SEARCH_FIELD = "source"
+FACET_SEARCH_PREFIX = "src1"
+
+
+def facet_search(sf_dir: str, facet: str = FACET_SEARCH_FIELD,
+                 prefix: str = FACET_SEARCH_PREFIX):
+    """K16: Meilisearch /facet-search semantics — find the facet VALUES
+    matching a query prefix, each with its document count, ordered by
+    count desc then value (how a UI fills a facet-filter autocomplete).
+    Prefix match pushes down to the read (>= prefix AND < prefix+1 on the
+    string column prunes row groups); per-batch (value, cnt) combiner
+    bounded by facet cardinality, one tiny groupby."""
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    ds = read_parquet_clean(
+        _doc_path(sf_dir), columns=[facet],
+        filter=(pc.field(facet) >= prefix) & (pc.field(facet) < hi))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch[facet].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"value": pa.array([str(x) for x in u], pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    merged = pa.concat_tables(ray.get(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+        .to_arrow_refs()))
+    if merged.num_rows == 0:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    v = np.asarray(merged["value"].to_pylist(), dtype=object)
+    c = merged["cnt"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(v, return_inverse=True)
+    tot = np.bincount(inv, weights=c).astype(np.int64)
+    order = np.lexsort((uniq, -tot))
+    return pa.table({"value": pa.array(uniq[order].tolist(), pa.string()),
+                     "cnt": pa.array(tot[order], pa.int64())})
+
+
+SQL["k16_facet_search"] = f"""
+SELECT {FACET_SEARCH_FIELD} AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM documents
+WHERE {FACET_SEARCH_FIELD} LIKE '{FACET_SEARCH_PREFIX}%'
+GROUP BY {FACET_SEARCH_FIELD}
+ORDER BY cnt DESC, value
+"""

@@ -429,3 +429,37 @@ def test_search_with_info_tokenization_block(proxy):
     assert info["token_count"] == len(info["tokens"]) > 0
     assert 0.0 <= info["tokenization_confidence"] <= 1.0
     assert info["average_token_length"] > 0
+
+
+def test_distinct_attribute_one_hit_per_value(proxy):
+    """Meilisearch distinct attribute: at most one hit per field value,
+    the best-ranked survives; validation rejects non-sortable fields and
+    metadata distinct without docs_path."""
+    import os
+
+    from meilisearch_thai_ray.pipelines.search_proxy import (
+        SearchOptions, SearchProxy)
+
+    docs_path = os.path.join(proxy.engine.index_dir, "docs")
+    p = SearchProxy(proxy.engine, docs_path=docs_path)
+    q = "สาหร่ายวากาเมะ"
+    plain = p.search(q, k=20)
+    langs = p._doc_fields([h["doc_id"] for h in plain], ["lang"])
+    out = p.search(q, options=SearchOptions(limit=20, distinct="lang"))
+    got_langs = [langs.get(h["doc_id"], {}).get("lang") for h in out]
+    assert len(got_langs) == len(set(got_langs))  # one per value
+    # the survivor per lang is the best-ranked one from the plain run
+    first_per_lang = {}
+    for h in plain:
+        lv = langs.get(h["doc_id"], {}).get("lang")
+        first_per_lang.setdefault(lv, h["doc_id"])
+    assert [h["doc_id"] for h in out] == \
+        [first_per_lang[lv] for lv in got_langs]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SearchOptions(distinct="text")
+    bare = SearchProxy(proxy.engine)
+    with _pytest.raises(ValueError):
+        bare.search(q, options=SearchOptions(distinct="lang"))
