@@ -619,3 +619,63 @@ def test_maxscore_prunes_skewed_synthetic():
     a = eng._score_exhaustive(loaded, 10)
     m = eng._score_maxscore(loaded, 10)
     assert a == m and len(a) == 10
+
+
+def _warc_bytes(records):
+    out = []
+    for rtype, url, body in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body) if rtype == "response" else body
+        head = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"Content-Length: {len(http)}\r\n").encode()
+        out.append(head + b"\r\n" + http + b"\r\n\r\n")
+    return b"".join(out)
+
+
+def test_warc_source_parses_and_builds(ray_session, tmp_path):
+    """WARC records (plain + gzip members, response + non-response) parse
+    to page rows and feed build_index end-to-end: the Thai doc is
+    searchable in the resulting index."""
+    import gzip
+
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.search import SearchEngine
+    from meilisearch_thai_ray.sources.warc import (
+        iter_warc_records, read_warc_pages)
+
+    thai = "<html><body><p>สาหร่ายวากาเมะ อร่อยมาก</p></body></html>"
+    recs = [
+        ("warcinfo", "", b"software: test"),
+        ("response", "http://a.example/1", thai.encode()),
+        ("request", "http://a.example/1", b"GET / HTTP/1.1"),
+        ("response", "http://a.example/2",
+         b"<html><body><p>plain english page about nothing</p></body></html>"),
+    ]
+    raw = _warc_bytes(recs)
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "crawl-00000.warc").write_bytes(raw)
+    # second file: two gzip members concatenated (the CC on-disk layout)
+    (d / "crawl-00001.warc.gz").write_bytes(
+        gzip.compress(_warc_bytes([recs[1]]))
+        + gzip.compress(_warc_bytes([recs[3]])))
+
+    # record framing round-trips
+    parsed = list(iter_warc_records(raw))
+    assert [h["warc-type"] for h, _ in parsed] == \
+        ["warcinfo", "response", "request", "response"]
+
+    pages = read_warc_pages(str(d)).to_pandas()
+    assert len(pages) == 4  # responses only: 2 + 2
+    assert set(pages["url"]) == {"http://a.example/1", "http://a.example/2"}
+    assert all(b"HTTP/1.1" not in h for h in pages["html"])  # headers cut
+
+    pages_dir = tmp_path / "pages"
+    read_warc_pages(str(d)).write_parquet(str(pages_dir))
+    out = tmp_path / "index"
+    build_index(str(pages_dir), str(out), EngineConfig(num_shards=4),
+                num_salts=1, batch_size=16)
+    hits = SearchEngine(str(out)).search("สาหร่ายวากาเมะ")
+    assert len(hits) >= 1
