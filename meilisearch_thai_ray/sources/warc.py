@@ -8,10 +8,17 @@ unchanged — asserted end-to-end in tests.
 
 Scale shape: Common Crawl distributes ~64k WARC files per snapshot;
 file-level parallelism (one read_binary_files block = one file = one
-parse task) is exactly how production CC pipelines fan out. A single
-task holds one decompressed file; for pathological single-file archives
-a production reader adds a record-offset index and splits by byte range
-— documented, not needed for the CC layout.
+parse task) is exactly how production CC pipelines fan out. Within a
+task the archive is parsed as a STREAM: gzip members decompress through
+a buffered GzipFile (never the whole ~4-5 GB decompressed archive at
+once) and pages leave the task in bounded chunks (the parse fn is a
+generator), so peak task memory is O(record + chunk), not O(file).
+
+Corruption contract (mirrors stages/extract_tokenize.py): a malformed
+record becomes a dead-letter STATUS row, never a task failure — one bad
+record must not retry-storm a whole 1 GB archive. The parser resyncs by
+scanning forward to the next 'WARC/' magic after a framing error, so
+one corrupt record costs one dead-letter row, not the file tail.
 
 Reference analog: the reference ingests pre-extracted JSON documents
 (document_processor.py); this source sits one step earlier in the same
@@ -20,18 +27,28 @@ pipeline, at the crawl-archive boundary.
 
 from __future__ import annotations
 
+import io
+
 import pyarrow as pa
 
 import ray.data
 
 _CRLF2 = b"\r\n\r\n"
+_MAGIC = b"WARC/"
+# bytes scanned forward for the next record magic after a framing error
+# before the rest of the stream is declared unparseable (one dead letter)
+_RESYNC_BUDGET = 4 * 1024 * 1024
+_PAGE_CHUNK = 512  # page rows per yielded output table
+
+STATUS_OK = "completed"
+STATUS_FAILED = "failed"  # same vocabulary as stages/extract_tokenize.py
 
 
 def iter_warc_records(buf: bytes):
     """Yield (headers: dict[str, str] lower-cased, payload: bytes) for
-    every record of a WARC/1.0 byte buffer. Framing per the public spec:
-    header block to CRLFCRLF, Content-Length payload bytes, record
-    separator CRLFCRLF."""
+    every record of an in-memory WARC/1.0 byte buffer. Strict form (raises
+    on a malformed header) — kept as the framing oracle for the streaming
+    parser below; use iter_warc_stream for file-scale input."""
     i, n = 0, len(buf)
     while i < n:
         while i < n and buf[i:i + 2] == b"\r\n":
@@ -55,6 +72,75 @@ def iter_warc_records(buf: bytes):
         i = start + clen
 
 
+def _resync(f) -> tuple[bytes | None, int]:
+    """Scan forward (bounded) for the next line starting with the WARC
+    magic; return (that line, bytes skipped) or (None, skipped) when the
+    budget runs out / EOF. Line-at-a-time keeps memory O(line)."""
+    skipped = 0
+    while skipped < _RESYNC_BUDGET:
+        line = f.readline()
+        if not line:
+            return None, skipped
+        if line.startswith(_MAGIC):
+            return line, skipped
+        skipped += len(line)
+    return None, skipped
+
+
+def iter_warc_stream(f):
+    """Streaming WARC record iterator over a (possibly gzip-wrapped)
+    file-like: yields ('ok', headers, payload) for well-formed records and
+    ('failed', reason, b'') dead-letter markers for malformed ones —
+    NEVER raises on record-level corruption (a decompression error ends
+    the stream with one final dead letter). Memory is O(record)."""
+    try:
+        line = f.readline()
+    except (EOFError, OSError) as e:  # corrupt from the first byte
+        yield ("failed", f"decompression error: {e}", b"")
+        return
+    while line:
+        try:
+            if line in (b"\r\n", b"\n"):  # inter-record separator
+                line = f.readline()
+                continue
+            if not line.startswith(_MAGIC):
+                nxt, skipped = _resync(f)
+                yield ("failed",
+                       f"bad record header (resync skipped {skipped}B)", b"")
+                if nxt is None:
+                    return
+                line = nxt
+                continue
+            headers: dict[str, str] = {}
+            while True:
+                hl = f.readline()
+                if hl in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = hl.decode("utf-8", "replace").partition(":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers.get("content-length", ""))
+            except ValueError:
+                nxt, skipped = _resync(f)
+                yield ("failed",
+                       f"missing/invalid Content-Length "
+                       f"(resync skipped {skipped}B)", b"")
+                if nxt is None:
+                    return
+                line = nxt
+                continue
+            payload = f.read(clen)
+            if len(payload) < clen:
+                yield ("failed",
+                       f"truncated payload ({len(payload)}/{clen}B)", b"")
+                return
+            yield ("ok", headers, payload)
+            line = f.readline()
+        except (EOFError, OSError) as e:  # gzip/zlib corruption mid-stream
+            yield ("failed", f"decompression error: {e}", b"")
+            return
+
+
 def _http_body(payload: bytes) -> bytes:
     """Response records carry a full HTTP response; the document is the
     entity body after the HTTP header block."""
@@ -65,35 +151,143 @@ def _http_body(payload: bytes) -> bytes:
     return payload
 
 
-def _maybe_gunzip(buf: bytes) -> bytes:
+def _open_stream(buf: bytes, path: str):
+    """Raw or gzipped archive bytes -> buffered binary stream. GzipFile
+    walks concatenated members lazily — decompressed bytes only ever exist
+    in its internal read buffer, not as one whole-archive allocation."""
     if buf[:2] == b"\x1f\x8b":
         import gzip
 
-        return gzip.decompress(buf)  # multi-member streams concatenate
-    return buf
+        # no outer BufferedReader: its read-ahead would cross a truncation
+        # point and lose the good prefix to the EOFError (GzipFile's own
+        # readline buffers internally and yields every recoverable line)
+        return gzip.GzipFile(fileobj=io.BytesIO(buf))
+    return io.BufferedReader(io.BytesIO(buf))
 
 
-def warc_to_pages(batch: pa.Table) -> pa.Table:
-    """One binary WARC file -> (url, html, lang) page rows: response
-    records only, HTTP headers stripped; lang empty (the extract stage's
-    language detection owns it)."""
-    urls, htmls = [], []
-    for buf in batch["bytes"].to_pylist():
-        for headers, payload in iter_warc_records(_maybe_gunzip(buf)):
-            if headers.get("warc-type") != "response":
-                continue
-            url = headers.get("warc-target-uri", "")
-            urls.append(url)
-            htmls.append(_http_body(payload))
+_PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("html", pa.binary()),
+    ("lang", pa.string()),
+    ("status", pa.string()),
+    ("error", pa.string()),
+])
+
+
+def _pages_table(urls, htmls, statuses, errors) -> pa.Table:
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "html": pa.array(htmls, pa.binary()),
         "lang": pa.array([""] * len(urls), pa.string()),
+        "status": pa.array(statuses, pa.string()),
+        "error": pa.array(errors, pa.string()),
     })
 
 
-def read_warc_pages(path: str) -> ray.data.Dataset:
-    """WARC file(s)/directory -> pages Dataset (url, html, lang), one
-    parse task per file — drop-in input for index.build_index."""
-    return ray.data.read_binary_files(path).map_batches(
-        warc_to_pages, batch_format="pyarrow", batch_size=1)
+def _pages_from_stream(f, path: str):
+    """Streaming record iterator -> chunks of page tables (shared by the
+    bytes and file entrypoints). Response records only, HTTP headers
+    stripped; lang empty (the extract stage's language detection owns it).
+    Malformed records surface as status='failed' rows with url
+    'warc-error://<path>#<n>' — the extract dead-letter contract, one row
+    per corrupt record."""
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    statuses: list[str] = []
+    errors: list[str] = []
+    n_bad = 0
+    for kind, head, payload in iter_warc_stream(f):
+        if kind == "failed":
+            urls.append(f"warc-error://{path}#{n_bad}")
+            htmls.append(b"")
+            statuses.append(STATUS_FAILED)
+            errors.append(str(head))
+            n_bad += 1
+        else:
+            if head.get("warc-type") != "response":
+                continue
+            urls.append(head.get("warc-target-uri", ""))
+            htmls.append(_http_body(payload))
+            statuses.append(STATUS_OK)
+            errors.append("")
+        if len(urls) >= _PAGE_CHUNK:
+            yield _pages_table(urls, htmls, statuses, errors)
+            urls, htmls, statuses, errors = [], [], [], []
+    if urls:
+        yield _pages_table(urls, htmls, statuses, errors)
+
+
+def warc_to_pages(batch: pa.Table):
+    """GENERATOR map_batches body over in-memory archives: one binary WARC
+    buffer -> chunks of (url, html, lang, status, error) page rows."""
+    paths = (batch["path"].to_pylist() if "path" in batch.column_names
+             else [""] * batch.num_rows)
+    for buf, path in zip(batch["bytes"].to_pylist(), paths):
+        yield from _pages_from_stream(_open_stream(buf, path), path)
+
+
+def _open_path(path: str):
+    """Archive FILE -> buffered binary stream, gzip unwrapped lazily by
+    magic-byte sniff (never by extension — a truncated or mislabeled .gz
+    must reach the tolerant parser, not abort an open). Both the
+    compressed and decompressed sides stream: task memory is O(chunk)."""
+    raw = io.BufferedReader(open(path, "rb"), buffer_size=1 << 20)
+    if raw.peek(2)[:2] == b"\x1f\x8b":
+        import gzip
+
+        # buffer the COMPRESSED side only (the 1 MB reader above): an
+        # outer BufferedReader's read-ahead would cross a truncation point
+        # and lose the good prefix to the EOFError
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def warc_files_to_pages(batch: pa.Table):
+    """GENERATOR map_batches body: one (path) row per WARC FILE -> chunks
+    of page rows, streamed straight from storage. An unreadable file is
+    one dead-letter row, not a task failure (the retry-storm rule: one
+    bad archive must not re-run its whole read task chain)."""
+    for path in batch["path"].to_pylist():
+        try:
+            f = _open_path(path)
+        except OSError as e:
+            yield _pages_table([f"warc-error://{path}#open"], [b""],
+                               [STATUS_FAILED], [f"open failed: {e}"])
+            continue
+        with f:
+            yield from _pages_from_stream(f, path)
+
+
+def _drop_status(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ok = pc.equal(batch["status"], STATUS_OK)
+    return batch.filter(ok).select(["url", "html", "lang"])
+
+
+def read_warc_pages(path: str,
+                    include_failed: bool = False) -> ray.data.Dataset:
+    """WARC file(s)/directory -> pages Dataset, one streaming parse task
+    per file. Default output is (url, html, lang) well-formed pages — a
+    drop-in input for index.build_index; include_failed=True keeps the
+    dead-letter rows and the (status, error) columns for auditing."""
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(path) for f in names)
+    else:
+        files = [path]
+    # one PATH row per archive (a driver-side metadata listing — CC ships
+    # ~64k files/snapshot, trivially small); the parse task streams the
+    # file itself, so neither the ~1 GB compressed nor the ~4-5 GB
+    # decompressed archive is ever a single allocation. read_binary_files
+    # is wrong here twice over: it readall()s the whole file AND
+    # auto-decompresses .gz by extension, so a truncated archive aborts
+    # the read task before the tolerant parser ever sees a byte.
+    ds = ray.data.from_items([{"path": p} for p in files]).map_batches(
+        warc_files_to_pages, batch_format="pyarrow", batch_size=1)
+    if include_failed:
+        return ds
+    return ds.map_batches(_drop_status, batch_format="pyarrow")

@@ -679,3 +679,77 @@ def test_warc_source_parses_and_builds(ray_session, tmp_path):
                 num_salts=1, batch_size=16)
     hits = SearchEngine(str(out)).search("สาหร่ายวากาเมะ")
     assert len(hits) >= 1
+
+
+def test_warc_stream_matches_strict_oracle():
+    """The streaming parser yields record-for-record what the in-memory
+    framing oracle yields on a well-formed archive."""
+    import io
+
+    from meilisearch_thai_ray.sources.warc import (
+        iter_warc_records, iter_warc_stream)
+
+    raw = _warc_bytes([
+        ("warcinfo", "", b"software: test"),
+        ("response", "http://a.example/1", b"<html>one</html>"),
+        ("request", "http://a.example/1", b"GET / HTTP/1.1"),
+        ("response", "http://a.example/2", b"<html>two\r\n\r\nbody</html>"),
+    ])
+    strict = list(iter_warc_records(raw))
+    streamed = list(iter_warc_stream(io.BufferedReader(io.BytesIO(raw))))
+    assert all(kind == "ok" for kind, _, _ in streamed)
+    assert [(h, p) for _, h, p in streamed] == strict
+
+
+def test_warc_corrupt_records_dead_letter_not_task_failure(
+        ray_session, tmp_path):
+    """Corrupt records become STATUS rows (the extract dead-letter
+    contract), never task failures: garbage between records resyncs to the
+    next record, a truncated gzip tail ends the file with one dead letter,
+    and the default (ok-only) pages still build and search end-to-end."""
+    import gzip
+
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.search import SearchEngine
+    from meilisearch_thai_ray.sources.warc import read_warc_pages
+
+    thai = "<html><body><p>สาหร่ายวากาเมะ อร่อยมาก</p></body></html>"
+    good1 = _warc_bytes([("response", "http://x.example/1", thai.encode())])
+    good2 = _warc_bytes([("response", "http://x.example/2",
+                          b"<html>fine page</html>")])
+    d = tmp_path / "warc"
+    d.mkdir()
+    # file A: good record, garbage bytes, good record (resync case)
+    (d / "a.warc").write_bytes(
+        good1 + b"GARBAGE NOT A RECORD\r\nmore noise\r\n" + good2)
+    # file B: two gzip members, the second truncated mid-member
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(good2) + gzip.compress(good1 * 20)[:40])
+    # file C: a record with an unparseable Content-Length
+    (d / "c.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/3\r\n"
+        b"Content-Length: banana\r\n\r\nbody\r\n\r\n" + good1)
+
+    full = read_warc_pages(str(d), include_failed=True).to_pandas()
+    failed = full[full["status"] == "failed"]
+    ok = full[full["status"] == "completed"]
+    assert len(failed) >= 3  # one per corruption site, none fatal
+    assert all(u.startswith("warc-error://") for u in failed["url"])
+    assert all(e for e in failed["error"])
+    # every well-formed record still parsed (2 in A, 1 in B, 1 in C)
+    assert sorted(ok["url"]) == [
+        "http://x.example/1", "http://x.example/1",
+        "http://x.example/2", "http://x.example/2"]
+
+    # default view drops dead letters and keeps the build schema
+    pages = read_warc_pages(str(d)).to_pandas()
+    assert list(pages.columns) == ["url", "html", "lang"]
+    assert len(pages) == 4
+    pages_dir = tmp_path / "pages"
+    read_warc_pages(str(d)).write_parquet(str(pages_dir))
+    out = tmp_path / "index"
+    build_index(str(pages_dir), str(out), EngineConfig(num_shards=2),
+                num_salts=1, batch_size=16)
+    assert len(SearchEngine(str(out)).search("สาหร่ายวากาเมะ")) >= 1
