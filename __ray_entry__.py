@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministically; numpy-parity asserted in pytest)
         "a19b_embed_pca": wo.embed_pca,
         "d2_minhash_pairs": dp.minhash_pairs,
+        # rows-only: same pipeline at the 'near' LSH operating point
+        # (4 rows/band — recalls J~0.85 near-dups; measured recall curve
+        # asserted in pytest). Output is a superset-ish candidate pool
+        # verified by the same exact-Jaccard stage, so pairs remain exact.
+        "d2_minhash_near": functools.partial(dp.minhash_pairs,
+                                             preset="near"),
         # plant=True: the driver's synthetic embeddings hold no natural
         # near-dups, so the entry opts into the deterministic planted fixture
         # (library default is plant=False — no fabricated pairs)

@@ -19,8 +19,10 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.resources import block_count, pool_cap
 from ..sources.documents import read_parquet_clean
 from ..stages.dedup import (
+    BAND_PRESETS,
     JaccardVerify,
     MinHasher,
     SimHasher,
@@ -55,18 +57,18 @@ def _consecutive_dedup(batch: pa.Table) -> pa.Table:
 
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.6,
-                  max_verify: int = 100_000):
+                  max_verify: int = 100_000, preset: str = "strict"):
     """-> (a, b, jaccard) verified near-dup pairs over the documents table
     (see minhash_pairs_ds for the pipeline shape)."""
     import os
 
     return minhash_pairs_ds(
         _documents(sf_dir), os.path.join(sf_dir, "documents.parquet"),
-        threshold=threshold, max_verify=max_verify)
+        threshold=threshold, max_verify=max_verify, preset=preset)
 
 
 def minhash_pairs_ds(ds, docs_path: str, threshold: float = 0.6,
-                     max_verify: int = 100_000):
+                     max_verify: int = 100_000, preset: str = "strict"):
     """-> (a, b, jaccard) verified near-dup pairs, sorted by (a, b), over
     any (doc_id, text) Dataset; docs_path must serve the same doc_ids for
     the verify stage's filtered text reads (curate.py stages its survivor
@@ -102,9 +104,17 @@ def minhash_pairs_ds(ds, docs_path: str, threshold: float = 0.6,
     max_verify bounds the exact-verification stage; when the candidate rows
     exceed it the drop is REPORTED (never silent) and the first max_verify
     candidate rows in (a, b) order are verified — a corpus that floods LSH
-    at 8 rows/band is mostly duplicates and wants a higher band threshold."""
+    at 8 rows/band is mostly duplicates and wants a higher band threshold.
+
+    `preset` picks the LSH operating point (stages/dedup.BAND_PRESETS):
+    'strict' (8 rows/band, S-curve midpoint ~0.77) recalls J>=0.9 dups with
+    few false candidates; 'near' (4 rows/band, midpoint ~0.5) recalls the
+    J~0.85 near-dups LLM curation targets (recall curve pytest-measured)."""
+    num_perm, bands = BAND_PRESETS[preset]
     band_rows = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+        MinHasher, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        concurrency=(1, pool_cap(8)),
     )
     cand = _band_candidates(band_rows)
     return _verify_pairs(cand, docs_path, threshold, max_verify)
@@ -133,6 +143,45 @@ def _band_candidates(band_rows) -> "ray.data.Dataset":
         .map_batches(_consecutive_dedup, batch_format="pyarrow")
         .materialize()
     )
+
+
+_VERIFY_BATCH = 2048
+
+
+def _cluster_for_verify(cand, n_cand: int):
+    """Sort candidate pairs so each verify batch covers a NARROW doc_id
+    window on BOTH sides: a-axis super-cells of width span/C (C chosen so
+    one batch spans ~one cell), b sorted within a cell. Each
+    JaccardVerify batch's filtered parquet read then prunes to ~2/C of the
+    docs table's row groups (via the min/max range conjunction in
+    JaccardVerify._shingle_arrays) instead of stats-scanning all of it.
+    Pure ordering — the pair SET is unchanged (output is re-sorted by the
+    driver), and tiny candidate sets skip the extra exchange."""
+    if n_cand <= _VERIFY_BATCH * 2:
+        return cand
+    import math
+
+    lo = hi = None
+    for t in ray.get(cand.to_arrow_refs()):  # cand is materialized + small
+        if t.num_rows == 0:
+            continue
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        tlo, thi = int(a.min()), int(b.max())
+        lo = tlo if lo is None else min(lo, tlo)
+        hi = thi if hi is None else max(hi, thi)
+    if lo is None or hi <= lo:
+        return cand
+    n_cells = max(2, math.isqrt(n_cand // _VERIFY_BATCH))
+    width = max(1, (hi - lo + 1) // n_cells)
+
+    def _add_cell(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cell", pa.array(((a - lo) // width).astype(np.int64)))
+
+    return cand.map_batches(_add_cell, batch_format="pyarrow") \
+        .sort(["cell", "b", "a"])
 
 
 def _verify_pairs(cand, docs_path, threshold: float,
@@ -165,12 +214,13 @@ def _verify_pairs(cand, docs_path, threshold: float,
         # "first max_verify by (a, b)" contract needs a re-sort — paid only
         # in this degenerate over-cap path
         cand = cand.sort(["a", "b"]).limit(max_verify)
+    cand = _cluster_for_verify(cand, n_cand)
     verified = cand.map_batches(
         JaccardVerify,
         fn_constructor_kwargs={"docs_path": docs_path, "threshold": threshold},
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=(1, pool_cap(8)),
     )
     rows = verified.take_all()  # verified near-dups only: tiny
     if not rows:
@@ -415,11 +465,12 @@ def _collect_pairs(pairs_ds, empty_cols: dict, spill_dir: str) -> pa.Table:
 
 def _auto_blocks(path: str, target_rows: int = 750) -> int:
     """Block count from parquet metadata (no data read): a bounded block
-    size bounds each task's memory and the pair-matrix allocation."""
+    size bounds each task's memory and the pair-matrix allocation; the
+    ceiling follows the cluster size (functions/resources.block_count)."""
     import pyarrow.parquet as pq
 
     n = pq.ParquetFile(path).metadata.num_rows
-    return int(max(4, min(32, -(-n // target_rows))))
+    return block_count(n, target_rows)
 
 
 def jaccard_pairs_ds(ds, threshold: float = 0.5, n: int = 3,
@@ -448,8 +499,8 @@ def jaccard_pairs_ds(ds, threshold: float = 0.5, n: int = 3,
         fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
         batch_format="pyarrow", batch_size=1,
         # autoscaling pool: grows to the task count without reserving CPUs
-        # a small test session doesn't have
-        concurrency=(1, min(12, len(items))),
+        # a small test session doesn't have; cap follows the cluster
+        concurrency=(1, min(pool_cap(12), len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -578,7 +629,7 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
         BlockPairCosine,
         fn_constructor_kwargs={"blocks_dir": tmp, "threshold": threshold},
         batch_format="pyarrow", batch_size=1,
-        concurrency=(1, min(12, len(items))),
+        concurrency=(1, min(pool_cap(12), len(items))),
     )
     return _collect_pairs(pairs, {
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -748,20 +799,29 @@ SELECT n.doc_id, o.dup_of FROM new n JOIN o USING (h)
 
 # ---------------------- incremental NEAR-dup vs a persisted MinHash index
 
-def write_minhash_index(ds: ray.data.Dataset, out_dir: str) -> None:
+def write_minhash_index(ds: ray.data.Dataset, out_dir: str,
+                        preset: str = "strict") -> None:
     """Persist the corpus's MinHash-LSH band rows (band, band_hash, doc_id)
     as parquet — the sketch index an incremental crawl dedups against. At
     100 TB this is built ONCE (it is a by-product of the corpus's own
     near-dup pass) and only the new crawl is ever sketched again; the index
-    is ~bands x 20 bytes per doc, ~0.1% of the text it summarizes."""
+    is ~bands x 20 bytes per doc, ~0.1% of the text it summarizes.
+
+    The band `preset` is part of the index's IDENTITY (band hashes from
+    different presets never match) — key out_dir by it, and sketch every
+    later crawl against the index with the SAME preset."""
+    num_perm, bands = BAND_PRESETS[preset]
     ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=1024,
-                   concurrency=(1, 8)).write_parquet(out_dir)
+                   fn_constructor_kwargs={"num_perm": num_perm,
+                                          "bands": bands},
+                   concurrency=(1, pool_cap(8))).write_parquet(out_dir)
 
 
 def incremental_minhash_pairs(new_ds: ray.data.Dataset, index_dir: str,
                               docs_paths, new_id_min: int,
                               threshold: float = 0.6,
-                              max_verify: int = 100_000) -> pa.Table:
+                              max_verify: int = 100_000,
+                              preset: str = "strict") -> pa.Table:
     """Near-dup pairs (a, b, jaccard) of a NEW crawl against an existing
     corpus via its persisted sketch index: only the new side is sketched,
     the corpus contributes pre-computed band rows read straight from
@@ -771,10 +831,12 @@ def incremental_minhash_pairs(new_ds: ray.data.Dataset, index_dir: str,
     corpus doc_id — the d10 re-crawl convention), so surviving pairs are
     exactly (corpus, new) and (new, new). Verification reads texts from
     docs_paths (list: [corpus_parquet, new_crawl_parquet])."""
+    num_perm, bands = BAND_PRESETS[preset]  # must match the index's preset
     corpus_bands = ray.data.read_parquet(index_dir)
     new_bands = new_ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 8))
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        concurrency=(1, pool_cap(8)))
     cand = _band_candidates(corpus_bands.union(new_bands))
 
     def _touching_new(batch: pa.Table) -> pa.Table:
@@ -999,15 +1061,21 @@ GROUP BY s.doc_id
 
 
 def absorb_minhash_index(index_dir: str, new_ds: ray.data.Dataset,
-                         accept_ids: "np.ndarray | None" = None) -> None:
+                         accept_ids: "np.ndarray | None" = None,
+                         preset: str = "strict") -> None:
     """Fold an accepted crawl INTO the persisted band index: sketch the
     new docs (optionally restricted to the accepted survivor ids) and
     append their band rows as new parquet files — the next crawl then
     dedups against corpus + accepted without ever re-sketching either.
     Ray's writer generates unique filenames, so the append is safe and
-    atomic per file; the index needs no rewrite."""
+    atomic per file; the index needs no rewrite. `preset` must match the
+    index's (band hashes from different presets never match)."""
+    num_perm, n_bands = BAND_PRESETS[preset]
     bands = new_ds.map_batches(MinHasher, batch_format="pyarrow",
-                               batch_size=1024, concurrency=(1, 8))
+                               batch_size=1024,
+                               fn_constructor_kwargs={"num_perm": num_perm,
+                                                      "bands": n_bands},
+                               concurrency=(1, pool_cap(8)))
     if accept_ids is not None:
         ids_ref = ray.put(np.sort(np.asarray(accept_ids, dtype=np.int64)))
 

@@ -48,6 +48,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.resources import pool_cap
+
 from ..sources.documents import read_parquet_clean
 from ..stages.similarity_join import WS_REGEX
 from .corpus_stats import _WORD_RE
@@ -133,7 +135,7 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     snips_ref = ray.put(eval_snippets(sf_dir))
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _DeconScan, fn_constructor_args=(snips_ref,),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, pool_cap(8)),
     )
 
 
@@ -247,7 +249,7 @@ def lm_score(sf_dir: str, min_count: int = LM_MIN_COUNT) -> ray.data.Dataset:
     model_ref = ray.put(_lm_vocab(sf_dir, min_count))
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _LmScore, fn_constructor_args=(model_ref,),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, pool_cap(8)),
     )
 
 
@@ -748,7 +750,7 @@ def line_dedup_ds(ds: ray.data.Dataset,
     boiler_ref = ray.put(boiler)
     return ds.map_batches(
         _StripBoiler, fn_constructor_args=(boiler_ref,),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, pool_cap(8)),
     )
 
 

@@ -41,6 +41,7 @@ import pyarrow as pa
 
 import ray
 
+from ..functions.resources import pool_cap
 from ..sources.documents import read_parquet_clean
 
 SQL: dict[str, str] = {}
@@ -174,7 +175,7 @@ def running_total(sf_dir: str):
     carries_ref = ray.put(_carries_from_boundaries(btab))
     return ds.map_batches(
         _CarryScan, fn_constructor_kwargs={"carries_ref": carries_ref},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=None, concurrency=(1, pool_cap(8)))
 
 
 SQL["a15_running_total"] = """
@@ -267,7 +268,7 @@ def event_gaps(sf_dir: str):
     prev_ref = ray.put(prev)
     return ds.map_batches(
         _LagScan, fn_constructor_kwargs={"prev_ref": prev_ref},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=None, concurrency=(1, pool_cap(8)))
 
 
 SQL["a17_event_gaps"] = """
@@ -532,7 +533,7 @@ def ntile_doc_buckets(sf_dir: str, tiles: int = NTILE_TILES):
             _NtilePartial,
             fn_constructor_kwargs={"offsets_ref": offsets_ref,
                                    "total": total, "tiles": tiles},
-            batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
+            batch_format="pyarrow", batch_size=None, concurrency=(1, pool_cap(8)),
         ).to_arrow_refs()))
     pdf = partials.to_pandas()
     out = pdf.groupby("quartile", as_index=False).agg(

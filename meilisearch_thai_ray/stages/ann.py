@@ -97,6 +97,70 @@ def kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
     return centroids
 
 
+# splitmix64 finalizer (public domain; same constants as stages/dedup.py)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    z = z ^ (z >> np.uint64(30))
+    z = z * _MIX1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+def _row_keys(mat: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit key per vector from its float64 bits — a
+    column-vectorized splitmix fold (no id column needed, independent of
+    block layout/order). Drives the corpus-wide hash sample below."""
+    bits = np.ascontiguousarray(mat, dtype=np.float64).view(np.uint64)
+    # per-column salts as an ARRAY op (numpy scalar uint64 overflow warns;
+    # array arithmetic wraps silently, which is the intended mod-2^64)
+    salts = np.arange(1, bits.shape[1] + 1, dtype=np.uint64) * _GAMMA
+    acc = np.zeros(bits.shape[0], dtype=np.uint64)
+    for j in range(bits.shape[1]):
+        acc ^= _mix64(bits[:, j] + salts[j])
+    return _mix64(acc)
+
+
+def hash_sample_matrix(ds, n: int, vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic corpus-WIDE sample of n vectors: the n rows with the
+    smallest hash keys. One streaming pass — each batch emits its <= n
+    smallest-key rows, the driver merges the tiny partials. Unlike
+    `ds.limit(n)` (head blocks only), the sample is uniform over the whole
+    corpus regardless of input order/partitioning: a lang- or time-sorted
+    100-TB corpus yields head blocks from ONE slice, which degenerates
+    k-means init (asserted in tests)."""
+    import ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        keys = _row_keys(mat)
+        m = min(n, keys.size)
+        sel = (np.argpartition(keys, m - 1)[:m]
+               if m < keys.size else np.arange(keys.size))
+        return pa.table({
+            "key": pa.array(keys[sel].astype(np.uint64)),
+            "v": pa.array([mat[i].tolist() for i in sel],
+                          pa.list_(pa.float64())),
+        })
+
+    parts = [t for t in ray.get(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=4096).to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return np.empty((0, 0), dtype=np.float64)
+    t = pa.concat_tables(parts)
+    keys = t["key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")[:n]
+    col = t["v"].combine_chunks()
+    dim = len(col[0]) if len(col) else 0
+    flat = np.asarray(col.values, dtype=np.float64).reshape(-1, dim)
+    return flat[order]
+
+
 def kmeans_fit_distributed(ds, k: int, iters: int = 10,
                            vec_col: str = "embedding",
                            init: np.ndarray | None = None,
@@ -112,10 +176,10 @@ def kmeans_fit_distributed(ds, k: int, iters: int = 10,
     the two agree to float-summation order on identical input+init
     (asserted in tests)."""
     if init is None:
-        # deterministic init from a driver-side head sample (same role as
-        # kmeans_fit's seeded choice: initial centroids are a tiny sample)
-        head = ds.limit(max(k * 8, 256)).take_all()
-        sample = np.asarray([r[vec_col] for r in head], dtype=np.float64)
+        # deterministic CORPUS-WIDE hash sample (not head blocks: the first
+        # blocks of a sorted/partitioned corpus are a biased slice and make
+        # init degenerate — see hash_sample_matrix)
+        sample = hash_sample_matrix(ds, max(k * 8, 256), vec_col)
         rng = np.random.default_rng(seed)
         k = min(k, len(sample))
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]

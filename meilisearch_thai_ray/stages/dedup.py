@@ -28,6 +28,23 @@ import pyarrow as pa
 # caches (a stale mh_index would silently pair against incompatible bands)
 MINHASH_VERSION = 3
 
+# (num_perm, bands) presets — the LSH S-curve midpoint is ~(1/bands)^(1/r)
+# with r = num_perm // bands rows per band:
+#   strict: r=8 -> midpoint ~0.77, near-vertical at J~0.9. Low false-candidate
+#           rate even on small-vocab corpora (background J~0.5 collides <3%);
+#           misses J~0.85 near-dups (measured recall curve in test_dedup).
+#   near:   r=4 -> midpoint ~0.50. Recalls the J>=0.8 near-dups LLM curation
+#           targets (>=0.9 recall at J=0.85, pytest-measured) at the cost of
+#           more candidates on self-similar corpora — pair it with a higher
+#           verify threshold / max_verify budget there.
+# Band configs are part of a persisted sketch index's identity: band hashes
+# from different presets never match, so an index dir must be keyed by the
+# preset (see dedup_pipelines.write_minhash_index).
+BAND_PRESETS: dict[str, tuple[int, int]] = {
+    "strict": (64, 8),
+    "near": (64, 16),
+}
+
 
 _SHINGLE_MOD = np.uint64(2147483647)  # 2^31-1: keeps 257*acc+255 < 2^64
 
@@ -352,9 +369,16 @@ class JaccardVerify:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
+            # range conjunction: parquet row groups prune on doc_id min/max
+            # stats, so a batch whose ids span a narrow window (the verify
+            # stage sorts candidates into id-space cells for exactly this —
+            # dedup_pipelines._cluster_for_verify) reads only that window's
+            # row groups instead of stats-scanning the whole docs table
             t = pads.dataset(self.docs_path).to_table(
                 columns=["doc_id", "text"],
-                filter=pc.field("doc_id").isin(missing),
+                filter=(pc.field("doc_id") >= min(missing))
+                & (pc.field("doc_id") <= max(missing))
+                & pc.field("doc_id").isin(missing),
             )
             for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
                 self._shingles[d] = _shingle_hashes(txt, self.k)

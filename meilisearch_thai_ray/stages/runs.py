@@ -226,6 +226,72 @@ def anti_id_filter(ds, loser_ds, id_col: str = "doc_id",
                           batch_size=8192)
 
 
+def semi_id_filter(ds, keep_ds, id_col: str = "doc_id",
+                   max_broadcast: int = 5_000_000,
+                   tmp_dir: str | None = None):
+    """KEEP only the rows of `ds` whose `id_col` appears in `keep_ds` — the
+    semi-join twin of anti_id_filter, with the same two physical forms
+    (broadcast sorted-array probe <= max_broadcast keys; sorted side-parquet
+    with per-block [min, max] range reads above). The sideways-information-
+    passing pushdown for joins: pre-filtering the big probe side by the
+    filtered dim side's keys means the co-partition exchange that follows
+    only moves QUALIFYING rows."""
+    import os
+    import tempfile
+
+    keep_ds = keep_ds.materialize()  # consumed twice: count + collect
+    n = keep_ds.count()
+    if n == 0:  # nothing qualifies: typed-empty blocks, schema preserved
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow")
+
+    if n <= max_broadcast:
+        ids = np.sort(np.concatenate([
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in ray.get(keep_ds.to_arrow_refs()) if t.num_rows
+        ]))
+        ref = ray.put(ids)
+
+        def _keep(batch: pa.Table, *, ref) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = fetch(ref)
+            v = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, v)
+            pos[pos == keys.size] = 0
+            return batch.filter(pa.array(keys[pos] == v))
+
+        return ds.map_batches(_keep, fn_kwargs={"ref": ref},
+                              batch_format="pyarrow", batch_size=8192)
+
+    path = tmp_dir or tempfile.mkdtemp(prefix="semi_ids_", dir="/tmp")
+    (keep_ds.sort(id_col)
+     .write_parquet(path, row_group_size=64 * 1024))
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+
+    def _keep_file(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.dataset as pads
+
+        v = batch[id_col].to_numpy(zero_copy_only=False)
+        lo, hi = int(v.min()), int(v.max())
+        tab = pads.dataset(files).to_table(
+            columns=[id_col],
+            filter=(pads.field(id_col) >= lo) & (pads.field(id_col) <= hi))
+        keys = np.sort(
+            tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        if keys.size == 0:
+            return batch.slice(0, 0)
+        pos = np.searchsorted(keys, v)
+        pos[pos == keys.size] = 0
+        return batch.filter(pa.array(keys[pos] == v))
+
+    return ds.map_batches(_keep_file, batch_format="pyarrow",
+                          batch_size=8192)
+
+
 _NO_KEY = object()
 
 

@@ -963,3 +963,157 @@ def test_mm_audio_pipeline_rows(ray_session):
     chunks = mm_audio_chunks(SF).to_pandas()
     assert len(chunks) >= 500
     assert (chunks.groupby("doc_id")["chunk"].min() == 0).all()
+
+
+def _banded_pair(p_frac, rng):
+    """Two ~200-word docs sharing the first p_frac of their words — the
+    byte-shingle Jaccard is a deterministic function of p_frac (see
+    test_band_preset_recall_curve's measured bins)."""
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    words = ["".join(rng.choice(letters, size=7)) for _ in range(200)]
+    keep = int(200 * p_frac)
+    fresh = ["".join(rng.choice(letters, size=7)) for _ in range(200 - keep)]
+    return " ".join(words), " ".join(words[:keep] + fresh)
+
+
+def test_band_preset_recall_curve():
+    """Measured LSH recall over planted pairs at J~{0.80, 0.85, 0.90}:
+    the 'near' preset (4 rows/band, S-curve midpoint ~0.5) recalls >= 0.9
+    at every bin — the J>=0.8 near-dups LLM curation targets — while the
+    default 'strict' preset (8 rows/band, midpoint ~0.77) trades recall at
+    J~0.8 for a far lower false-candidate rate. Deterministic (fixed
+    seeds); measured values: strict 0.825/0.925/0.9625, near 1.0/1.0/1.0."""
+    from meilisearch_thai_ray.stages.dedup import (
+        BAND_PRESETS, MinHasher, jaccard)
+
+    hashers = {name: MinHasher(num_perm=n, bands=b)
+               for name, (n, b) in BAND_PRESETS.items()}
+    recalls = {}
+    for p_frac, j_bin in [(0.89, 0.80), (0.92, 0.85), (0.945, 0.90)]:
+        rng = np.random.default_rng(1234)
+        pairs = [_banded_pair(p_frac, rng) for _ in range(80)]
+        j_mean = np.mean([jaccard(a, b) for a, b in pairs])
+        assert abs(j_mean - j_bin) < 0.02  # the plant hit its bin
+        for name, h in hashers.items():
+            hits = sum(
+                int((h.band_hashes(h.signature(a))
+                     == h.band_hashes(h.signature(b))).any())
+                for a, b in pairs)
+            recalls[(name, j_bin)] = hits / len(pairs)
+    # the preset's contract: recall >= 0.9 at J = 0.85 (and the whole bin
+    # range) for 'near'
+    for j_bin in (0.80, 0.85, 0.90):
+        assert recalls[("near", j_bin)] >= 0.9, recalls
+    # strict stays a high-precision J>~0.9 dedup: high recall there, and
+    # measurably below 'near' at J~0.8 (the S-curve gap the preset exists
+    # to close)
+    assert recalls[("strict", 0.90)] >= 0.9, recalls
+    assert recalls[("strict", 0.80)] < recalls[("near", 0.80)], recalls
+
+
+def test_minhash_near_preset_pipeline(ray_session, tmp_path):
+    """The preset plumbs through the distributed pipeline: a planted
+    J~0.85 pair is found by preset='near' over a small corpus."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        minhash_pairs_ds)
+
+    rng = np.random.default_rng(7)
+    a, b = _banded_pair(0.92, rng)
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    fillers = [" ".join("".join(rng.choice(letters, size=7))
+                        for _ in range(60)) for _ in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(42)), pa.int64()),
+        "text": pa.array([a, b] + fillers, pa.string()),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, path)
+    import ray.data
+
+    got = minhash_pairs_ds(ray.data.from_arrow(t), path, threshold=0.8,
+                           preset="near")
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert (0, 1) in pairs
+
+
+def test_pool_caps_follow_cluster_resources(monkeypatch):
+    """pool_cap/block_count keep the tuned single-node floor on small
+    sessions and scale with ray.cluster_resources() on larger clusters
+    (VM-tuned constants must not starve a multi-node deployment)."""
+    import ray
+
+    from meilisearch_thai_ray.functions import resources
+
+    # small session (the pytest fixture runs 4 CPUs): floor wins
+    assert resources.pool_cap(8) == 8
+    assert resources.pool_cap(12) == 12
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 512.0})
+    assert resources.pool_cap(8) == 256  # fraction 0.5 of 512
+    assert resources.pool_cap(8, ceiling=64) == 64
+    assert resources.block_count(1_000_000, 750) == 128  # cluster ceiling
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 32.0})
+    assert resources.pool_cap(8) == 16
+    assert resources.block_count(100_000, 750) == 32  # single-node ceiling
+    assert resources.block_count(1000, 750) == 4  # floor
+
+
+def test_kmeans_hash_init_beats_head_init_on_sorted_input(ray_session):
+    """hash_sample_matrix draws uniformly over the WHOLE corpus regardless
+    of input order: on a cluster-sorted input (head blocks = one tight
+    cluster) the old limit()-head init seeds every centroid inside one
+    cluster; the hash-sample init covers all of them. Also asserts the
+    sample is invariant to repartitioning (block layout independence)."""
+    import ray.data
+
+    from meilisearch_thai_ray.stages.ann import (
+        hash_sample_matrix, kmeans_fit_distributed)
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    # SORTED by cluster: the first 512 rows all belong to cluster 0
+    vecs = np.concatenate([
+        centers[i] + rng.normal(0, 0.05, size=(512, 2)) for i in range(4)])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+
+    sample = hash_sample_matrix(ds, 256)
+    # corpus-wide: every true cluster contributes to the sample
+    for c in centers:
+        assert (np.linalg.norm(sample - c, axis=1) < 1.0).any()
+    # block-layout invariance
+    sample2 = hash_sample_matrix(ds.repartition(8), 256)
+    assert np.array_equal(np.sort(sample, axis=0), np.sort(sample2, axis=0))
+
+    cents = kmeans_fit_distributed(ds, k=4, iters=6)
+    # every true center has a fitted centroid nearby — impossible from a
+    # head-block sample (all four seeds would sit in cluster 0)
+    for c in centers:
+        assert (np.linalg.norm(cents - c, axis=1) < 1.0).any()
+
+
+def test_cluster_for_verify_preserves_pair_set(ray_session):
+    """_cluster_for_verify only reorders candidate pairs (narrow id windows
+    per verify batch); the pair SET is untouched."""
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import (
+        _cluster_for_verify)
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1_000_000, size=9000).astype(np.int64)
+    b = a + rng.integers(1, 1_000, size=9000).astype(np.int64)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    cand = ray.data.from_arrow(t).materialize()
+    out = _cluster_for_verify(cand, 9000)
+    got = pa.concat_tables([bt for bt in out.iter_batches(
+        batch_format="pyarrow")])
+    assert set(zip(got["a"].to_pylist(), got["b"].to_pylist())) == \
+        set(zip(a.tolist(), b.tolist()))
