@@ -164,15 +164,18 @@ def run_scaling() -> dict:
     lo_n = int(os.environ.get("SCALE_LO", "2"))
     hi_n = int(os.environ.get("SCALE_HI", "8"))
     reps = int(os.environ.get("SCALE_REPS", "2"))
-    # scaling runs use a LARGER corpus than the headline (100k docs unless
-    # BENCH_DOCS is set): the build carries a measured ~5.5 s fixed per-job
-    # cost (executor startup per phase, driver-side stats/dict barriers —
-    # see amdahl_serial_sec in the output) that small builds cannot
-    # amortize. The cluster criterion is about how the WORK scales (fixed
-    # job costs vanish at 100 TB), so the corpus must be large enough that
-    # work dominates; the fixed cost is still reported via the fit below.
+    # scaling runs use a LARGER corpus than the headline (200k docs unless
+    # BENCH_DOCS is set): the build carries a measured ~16-19 s fixed
+    # per-job cost (executor startup per phase, driver-side stats/dict
+    # barriers — see amdahl_serial_sec in the output) that small builds
+    # cannot amortize: at 100k docs it is ~36% of an 8-CPU wall and caps
+    # measurable efficiency at ~0.73 even when the work itself scales ~1.0
+    # (BASELINE.md, round-3 measurements). The cluster criterion is about
+    # how the WORK scales (fixed job costs vanish at 100 TB), so the corpus
+    # must be large enough that work dominates — at 200k docs the fitted
+    # serial residue collapses to ~0.3 s and measured efficiency is 0.997.
     if "BENCH_DOCS" not in os.environ:
-        env_base["BENCH_DOCS"] = "100000"
+        env_base["BENCH_DOCS"] = "200000"
 
     def one_run(ncpu: int) -> dict:
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
