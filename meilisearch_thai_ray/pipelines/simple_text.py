@@ -1370,6 +1370,8 @@ def q3_shipping(sf_dir: str):
 
     import ray
 
+    from ..stages.runs import semi_id_filter
+
     cutoff = datetime.datetime.fromisoformat(Q3_DATE)
     cust = read_parquet_clean(
         _doc_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
@@ -1411,12 +1413,21 @@ def q3_shipping(sf_dir: str):
         _doc_path(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pc.field("o_orderdate") < cutoff,
-    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    ).map_batches(orders_side, batch_format="pyarrow",
+                  batch_size=8192).materialize()
     lines = read_parquet_clean(
         _doc_path(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pc.field("l_shipdate") > cutoff,
     ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    # sideways information passing: the segment+date filters leave FEW
+    # qualifying orders (888 of 150k at sf0.1), so semi-filter lineitem by
+    # their orderkeys BEFORE the co-partition sort — the exchange then
+    # moves rows proportional to the MATCH count, not to lineitem (583k ->
+    # ~5k rows at sf0.1). semi_id_filter swaps broadcast for sorted
+    # side-parquet range reads beyond 5M keys, so the pushdown stays valid
+    # when the dim side is large.
+    lines = semi_id_filter(lines, orders, id_col="orderkey")
     seg = (orders.union(lines).sort("orderkey")
            .map_batches(_q3_segments, batch_format="pyarrow",
                         batch_size=None)  # batch == sorted block
