@@ -162,6 +162,7 @@ class SearchProxy:
             for w in group:
                 self.synonyms.setdefault(w, set()).update(group - {w})
         self._tok = None
+        self._watcher = None  # ST6 hot reload, opt-in via enable_hot_reload()
         self._text_cache: dict[int, str] = {}
 
     def _doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
@@ -200,11 +201,33 @@ class SearchProxy:
 
     @property
     def tokenizer(self):
+        if self._watcher is not None:
+            # ST6: revalidate the dictionary content hash at every request
+            # boundary; a change drops the cached tokenizer so the next line
+            # rebuilds (or re-shares) one keyed by the NEW content.
+            self._watcher.poll()
         if self._tok is None:
-            from ..kernel.tokenize import DocumentTokenizer
+            from ..state.hot_reload import cached_tokenizer
 
-            self._tok = DocumentTokenizer(self.config)
+            self._tok = cached_tokenizer(self.config)
         return self._tok
+
+    def enable_hot_reload(self, poll_interval: float | None = None):
+        """ST6 (hot_reload.py:24-211 analog): watch the dictionary files and
+        swap the tokenizer when their CONTENT changes. Synchronous form —
+        every search revalidates a content hash (a few KB) — plus an optional
+        daemon poll thread for long-lived serving actors. Returns the
+        DictionaryWatcher so callers can register callbacks / stop it. The
+        on-disk index keeps its build-time dictionary hash;
+        `index.maintenance.needs_reindex()` reports the staleness."""
+        from ..state.hot_reload import DictionaryWatcher
+
+        if self._watcher is None:
+            self._watcher = DictionaryWatcher(self.config)
+            self._watcher.register(lambda _v: setattr(self, "_tok", None))
+            if poll_interval is not None:
+                self._watcher.start(poll_interval)
+        return self._watcher
 
     # ---------------- M13: query analysis ----------------
 
