@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a19_embed_cov": wo.embed_covariance,
         "j13_big_orders": olap.big_orders,
         "a13_distinct_suppliers": olap.distinct_suppliers,
+        "q6_forecast_revenue": olap.forecast_revenue,
+        "q14_promo_revenue": olap.promo_revenue,
+        "j14_order_priority": olap.order_priority_check,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
         "a17_event_gaps": wo.event_gaps,
@@ -96,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a12_rollup_counts": cs.rollup_counts,
         "k14_pivot_daily": cs.pivot_daily_events,
         "m8b_repetition": cs.repetition_stats,
+        "m26_gopher_rules": cs.gopher_rules,
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,
         "k12_weighted_sample": st.weighted_sample,
@@ -150,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_embed_neardup": functools.partial(dp.embedding_neardup_pairs,
                                               plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
+        # rows-only: SemDeDup (k-means + within-cluster cosine — clustering
+        # is not SQL-expressible; planted-dup drop identity + cluster-cap
+        # behavior are pytest-asserted)
+        "d14_semdedup": functools.partial(dp.semdedup, plant=True),
         "mm2_embed_topk": st.mm_embed_topk,
         "mm3_audio_features": st.mm_audio_features,
         "mm4_audio_chunks": st.mm_audio_chunks,

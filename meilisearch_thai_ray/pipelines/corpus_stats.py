@@ -1294,3 +1294,129 @@ SELECT lang,
        round(quantile_cont(n_chars, 0.99), 6) AS p99
 FROM documents GROUP BY lang
 """
+
+
+# ------------------------------------------- Gopher quality rules (m26)
+
+# Rae et al. 2021 (Gopher, §A1.1) document-quality heuristics, adapted to
+# the columns this corpus has. All rules are INTEGER comparisons (ratios
+# expressed multiplicatively), so the distributed result is bit-identical
+# to the SQL oracle with no float rounding anywhere.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # 3 <= nonws/words <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^[-*•]"
+_ELLIPSIS_RE = r"\.\.\.$"
+_ALPHA_RE = r"[A-Za-z]"
+
+
+def gopher_rules(sf_dir: str):
+    """M26: Gopher-style quality gate per document — the repetition family's
+    (m8b) sibling for FILTERING rather than scoring. Pure per-batch
+    vectorized map (polars list kernels), zero shuffle; the verdict column
+    is what `curate`-style pipelines consume as their quality stage.
+
+    Rules (all integer arithmetic): word count in [50, 100k]; mean word
+    length in [3, 10] chars; fewer than 10% symbol words (# / ...); under
+    90% bullet lines and under 30% ellipsis lines; over 80% of words
+    containing an ASCII letter; at least 2 English stop-word hits."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        stops = list(GOPHER_STOP_WORDS)
+        df = pl.from_arrow(batch).with_columns(
+            ws=pl.col("text").str.extract_all(_WORD_RE),
+            lines=pl.col("text").str.split("\n"),
+            nonws=(pl.col("text").str.len_chars()
+                   - pl.col("text").str.count_matches(
+                       f"[{WS_REGEX[1:-2]}]")).cast(pl.Int64),
+            symbol_cnt=(pl.col("text").str.count_matches("#", literal=True)
+                        + pl.col("text").str.count_matches(r"\.\.\."))
+            .cast(pl.Int64),
+        ).with_columns(
+            word_count=pl.col("ws").list.len().cast(pl.Int64),
+            n_lines=pl.col("lines").list.len().cast(pl.Int64),
+            bullet_lines=pl.col("lines").list.eval(
+                pl.element().str.contains(_BULLET_RE)).list.sum()
+            .cast(pl.Int64),
+            ellipsis_lines=pl.col("lines").list.eval(
+                pl.element().str.contains(_ELLIPSIS_RE)).list.sum()
+            .cast(pl.Int64),
+            alpha_words=pl.col("ws").list.eval(
+                pl.element().str.contains(_ALPHA_RE)).list.sum()
+            .cast(pl.Int64),
+            stop_hits=pl.col("ws").list.eval(
+                pl.element().str.to_lowercase().is_in(stops)).list.sum()
+            .cast(pl.Int64),
+        ).with_columns(
+            passes_gopher=(
+                (pl.col("word_count") >= GOPHER_MIN_WORDS)
+                & (pl.col("word_count") <= GOPHER_MAX_WORDS)
+                & (pl.col("nonws")
+                   >= GOPHER_MIN_MEAN_WORD_LEN * pl.col("word_count"))
+                & (pl.col("nonws")
+                   <= GOPHER_MAX_MEAN_WORD_LEN * pl.col("word_count"))
+                & (pl.col("symbol_cnt") * 10 < pl.col("word_count"))
+                & (pl.col("bullet_lines") * 10 < 9 * pl.col("n_lines"))
+                & (pl.col("ellipsis_lines") * 10 < 3 * pl.col("n_lines"))
+                & (pl.col("alpha_words") * 5 > 4 * pl.col("word_count"))
+                & (pl.col("stop_hits") >= 2)
+            ),
+        )
+        return df.select([
+            "doc_id", "word_count", "symbol_cnt", "n_lines", "bullet_lines",
+            "ellipsis_lines", "alpha_words", "stop_hits", "passes_gopher",
+        ]).to_arrow()
+
+    return ds.map_batches(_rules, batch_format="pyarrow", batch_size=8192)
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+
+SQL["m26_gopher_rules"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines,
+         length(regexp_replace(text, '{WS_REGEX}', '', 'g')) AS nonws,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbol_cnt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS word_count,
+         CAST(symbol_cnt AS BIGINT) AS symbol_cnt,
+         nonws,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '{_BULLET_RE}'))) AS BIGINT)
+             AS bullet_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '{_ELLIPSIS_RE}'))) AS BIGINT)
+             AS ellipsis_lines,
+         CAST(len(list_filter(ws,
+              x -> regexp_matches(x, '{_ALPHA_RE}'))) AS BIGINT)
+             AS alpha_words,
+         CAST(len(list_filter(ws,
+              x -> list_contains([{_GOPHER_STOPS_SQL}], lower(x))))
+              AS BIGINT) AS stop_hits
+  FROM w
+)
+SELECT doc_id, word_count, symbol_cnt, n_lines, bullet_lines,
+       ellipsis_lines, alpha_words, stop_hits,
+       (word_count >= {GOPHER_MIN_WORDS}
+        AND word_count <= {GOPHER_MAX_WORDS}
+        AND nonws >= {GOPHER_MIN_MEAN_WORD_LEN} * word_count
+        AND nonws <= {GOPHER_MAX_MEAN_WORD_LEN} * word_count
+        AND symbol_cnt * 10 < word_count
+        AND bullet_lines * 10 < 9 * n_lines
+        AND ellipsis_lines * 10 < 3 * n_lines
+        AND alpha_words * 5 > 4 * word_count
+        AND stop_hits >= 2) AS passes_gopher
+FROM c
+"""

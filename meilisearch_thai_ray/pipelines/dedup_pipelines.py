@@ -1130,3 +1130,73 @@ def prune_minhash_index(index_dir: str, drop_ids) -> int:
         return 0
     return int(sum(ray.get([_prune_index_file.remote(f, drop)
                             for f in files])))
+
+
+# ------------------------------------------------ SemDeDup (d14)
+
+def semdedup(sf_dir: str, k: int = 16, threshold: float = 0.95,
+             iters: int = 4, max_cluster: int = 4096, plant: bool = False):
+    """D14 — semantic dedup (Abbas et al. 2023, "SemDeDup", arXiv:2303.09540):
+    k-means-cluster the embedding space, then drop near-duplicates WITHIN
+    each cluster by exact cosine, keeping the lowest vec_id of every
+    qualifying pair (the same loser rule as the d7 near-dup stage). Returns
+    the KEPT rows as (vec_id, cluster).
+
+    Scale shape: clustering is the distributed Lloyd trainer (one streaming
+    pass per iteration, O(k*dim*blocks) driver traffic); assignment is a
+    per-batch matmul against broadcast centroids; the within-cluster
+    pairwise verification reuses the LSH near-dup machinery — ONE
+    sort(bucket, vec_id) exchange, vectorized interior-run scans, <= 2
+    boundary runs per block merged on the driver. k is the knob that bounds
+    per-cluster O(m^2 d) work: choose k ~ n/target_cluster_size (the paper
+    uses ~1 cluster per 10-50k points); clusters over `max_cluster` are
+    capped LOUDLY by the shared kernel. Verdicts are applied by
+    anti_id_filter, so embeddings never ride a second shuffle."""
+    import os
+
+    from ..stages.ann import _batch_matrix, kmeans_fit_distributed
+    from ..stages.runs import anti_id_filter
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+    if plant:
+        ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow",
+                            batch_size=4096)
+    centroids = kmeans_fit_distributed(ds, k=k, iters=iters)
+    cref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        mat = _batch_matrix(batch, "embedding")
+        d2 = ((mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cents.T)
+              + (cents ** 2).sum(axis=1)[None, :])
+        return batch.append_column(
+            "bucket", pa.array(d2.argmin(axis=1).astype(np.int64)))
+
+    clustered = (ds.map_batches(_assign, batch_format="pyarrow",
+                                batch_size=4096)
+                 .sort(["bucket", "vec_id"]).materialize())
+    interior = clustered.map_batches(
+        _block_cosine_pairs,
+        fn_kwargs={"threshold": threshold, "max_bucket": max_cluster},
+        batch_format="pyarrow", batch_size=None)
+    boundary_members = pa.concat_tables(ray.get(
+        clustered.map_batches(_block_boundary_vecs, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs()))
+    boundary = _boundary_cosine_pairs(boundary_members, threshold)
+    tables = [x for x in ray.get(interior.to_arrow_refs()) if x.num_rows]
+    if boundary.num_rows:
+        tables.append(boundary)
+    if not tables:
+        return clustered.select_columns(["vec_id", "bucket"]).rename_columns(
+            {"bucket": "cluster"})
+    pairs = pa.concat_tables(tables)
+    # loser rule: any vector cosine-similar to a LOWER vec_id is dropped
+    # (pairs are emitted a < b, so the losers are exactly the b side)
+    losers = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.unique(pairs["b"].to_numpy(
+            zero_copy_only=False)), pa.int64())}))
+    kept = anti_id_filter(
+        clustered.select_columns(["vec_id", "bucket"]), losers,
+        id_col="vec_id")
+    return kept.rename_columns({"bucket": "cluster"})

@@ -208,3 +208,201 @@ WHERE p_size <= {Q16_MAX_SIZE}
 GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand, p_type
 """
+
+
+# --------------------------------------------- Q6: forecast revenue change
+
+Q6_YEAR = "1996"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """Q6 — TPC-H Q6 shape: one global SUM over a triple-predicate scan.
+
+    The pattern this demonstrates: EVERY predicate is pushed into the
+    parquet read (row-group pruning on shipdate statistics + row filters),
+    the per-batch kernel is one vectorized multiply, and the only thing
+    that ever leaves a task is a single float64 partial — a scan-dominated
+    aggregate whose network cost is O(blocks), the shape the 100-TB scan
+    family must have."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(f"{Q6_YEAR}-01-01")
+    hi = datetime.datetime.fromisoformat(f"{int(Q6_YEAR) + 1}-01-01")
+    li = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_shipdate",
+                 "l_quantity"],
+        filter=(
+            (pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)
+            & (pc.field("l_discount") >= Q6_DISC_LO)
+            & (pc.field("l_discount") <= Q6_DISC_HI)
+            & (pc.field("l_quantity") < Q6_MAX_QTY)
+        ),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array([float(np.dot(p, d))],
+                                          pa.float64())})
+
+    total = (li.map_batches(rev_partial, batch_format="pyarrow",
+                            batch_size=None)  # batch == block
+             .aggregate(Sum("part", alias_name="s"))["s"]) or 0.0
+    return pa.table({"revenue": pa.array([round(total, 6)], pa.float64())})
+
+
+SQL["q6_forecast_revenue"] = f"""
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{int(Q6_YEAR) + 1}-01-01'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_MAX_QTY}
+"""
+
+
+# --------------------------------------------- Q14: promo revenue share
+
+Q14_MONTH_LO, Q14_MONTH_HI = "1996-04-01", "1996-05-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def promo_revenue(sf_dir: str) -> pa.Table:
+    """Q14 — TPC-H Q14 shape: conditional share of revenue attributable to
+    one dimension attribute, for one month of the fact table.
+
+    Pattern: the part dimension collapses to the MINIMUM broadcast state —
+    a sorted int64 array of only the PROMO partkeys (membership, not
+    payload; ~1/6 of an already-small dim). Each lineitem batch computes
+    (promo_part, total_part) with one searchsorted + one dot product, so
+    the exchange is two floats per block and the driver does one
+    division."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(Q14_MONTH_LO)
+    hi = datetime.datetime.fromisoformat(Q14_MONTH_HI)
+    promo = read_parquet_clean(
+        _doc_path(sf_dir, "part"), columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == Q14_PROMO_TYPE)
+    pk = np.sort(np.concatenate(
+        [b["p_partkey"].to_numpy(zero_copy_only=False)
+         for b in promo.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536)]
+        or [np.empty(0, np.int64)]).astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        pos = np.searchsorted(keys, part)
+        pos[pos == keys.size] = 0
+        is_promo = (keys[pos] == part) if keys.size else np.zeros(
+            len(part), bool)
+        return pa.table({
+            "promo_part": pa.array([float(rev[is_promo].sum())],
+                                   pa.float64()),
+            "total_part": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    agg = (read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi))
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("promo_part", alias_name="p"),
+                   Sum("total_part", alias_name="t")))
+    p, t = agg["p"] or 0.0, agg["t"] or 0.0
+    share = 100.0 * p / t if t else None
+    return pa.table({"promo_revenue": pa.array(
+        [round(share, 6) if share is not None else None], pa.float64())})
+
+
+SQL["q14_promo_revenue"] = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = '{Q14_PROMO_TYPE}'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_LO}'
+  AND l_shipdate < TIMESTAMP '{Q14_MONTH_HI}'
+"""
+
+
+# ------------------------------------ Q4: order-priority EXISTS semi-join
+
+Q4_QTR_LO, Q4_QTR_HI = "1996-07-01", "1996-10-01"
+Q4_MIN_DISCOUNT = 0.09
+
+
+def order_priority_check(sf_dir: str) -> pa.Table:
+    """J14 — TPC-H Q4 shape (adapted to this schema: the EXISTS predicate is
+    a deep-discount lineitem instead of commit<receipt, which the synthetic
+    lineitem lacks): count a quarter's orders BY PRIORITY where at least one
+    such lineitem exists.
+
+    Pattern: distributed EXISTS. The inner side never joins — lineitem
+    collapses to per-batch-unique qualifying orderkeys (a keys-only
+    Dataset), `semi_id_filter` applies it to the orders scan (broadcast
+    sorted-array probe <= 5M keys, sorted side-parquet range reads above),
+    and the survivor count folds into O(priorities) rows per block. No
+    all-to-all exchange anywhere."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(Q4_QTR_LO)
+    hi = datetime.datetime.fromisoformat(Q4_QTR_HI)
+
+    def line_keys(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(k, pa.int64())})
+
+    keys = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_discount"],
+        filter=pc.field("l_discount") > Q4_MIN_DISCOUNT,
+    ).map_batches(line_keys, batch_format="pyarrow", batch_size=65536)
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi))
+    from ..stages.runs import semi_id_filter
+
+    qualified = semi_id_filter(orders, keys, id_col="o_orderkey")
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"o_orderpriority": pa.array(vals, pa.string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    out = (qualified.map_batches(prio_partial, batch_format="pyarrow",
+                                 batch_size=65536)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("cnt", alias_name="order_count")))
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                         promote_options="default")
+    t = t.set_column(t.schema.get_field_index("order_count"),
+                     "order_count", t["order_count"].cast(pa.int64()))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("o_orderpriority", "ascending")]))
+
+
+SQL["j14_order_priority"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_QTR_LO}'
+  AND o_orderdate < TIMESTAMP '{Q4_QTR_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_discount > {Q4_MIN_DISCOUNT})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

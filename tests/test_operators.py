@@ -1117,3 +1117,56 @@ def test_cluster_for_verify_preserves_pair_set(ray_session):
         batch_format="pyarrow")])
     assert set(zip(got["a"].to_pylist(), got["b"].to_pylist())) == \
         set(zip(a.tolist(), b.tolist()))
+
+
+def test_semdedup_planted(ray_session, tmp_path):
+    """SemDeDup drops planted near-identical vectors (keeping the lowest
+    vec_id) and keeps everything else, at any cluster count — the planted
+    pair always lands in ONE cluster because the clones are near-identical
+    points in embedding space."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    dups = base[:6] + rng.standard_normal((6, 16)).astype(np.float32) * 0.005
+    mat = np.vstack([base, dups])
+    ids = list(range(60)) + [200 + i for i in range(6)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"),
+    )
+    for k in (2, 8):
+        kept = semdedup(str(d), k=k, threshold=0.95).to_pandas()
+        assert sorted(kept["vec_id"]) == list(range(60)), k
+        # cluster assignment of kept rows is a valid centroid index
+        assert kept["cluster"].between(0, k - 1).all()
+
+
+def test_semdedup_loser_rule_chain(ray_session, tmp_path):
+    """The documented loser rule: any vector similar to a LOWER id drops.
+    For a chain a~b, b~c (a !~ c is impossible with cosine>=0.95 identical
+    vectors, so use exact copies): copies all drop, original stays."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    mat = np.vstack([base, base[3:4], base[3:4]])  # two exact copies of id 3
+    ids = list(range(20)) + [50, 51]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"),
+    )
+    kept = semdedup(str(d), k=2, threshold=0.99).to_pandas()
+    assert sorted(kept["vec_id"]) == list(range(20))
