@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_embed_neardup": functools.partial(dp.embedding_neardup_pairs,
                                               plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
+        # rows-only: PQ/ADC top-k (approximate by design — codes, not
+        # vectors, ride the scan; recall@10 vs the brute-force oracle is
+        # pytest-asserted)
+        "ann_pq_topk": st.ann_pq_topk,
         # rows-only: SemDeDup (k-means + within-cluster cosine — clustering
         # is not SQL-expressible; planted-dup drop identity + cluster-cap
         # behavior are pytest-asserted)

@@ -126,7 +126,9 @@ def run_bench() -> dict:
                  "j11_anti_join", "k11_facet_counts",
                  "a9_distinct_users", "d7_curate",
                  "p1_pack_sequences", "p2_pack_tokens", "d9_decontaminate",
-                 "m23_lm_score", "k8_global_shuffle", "k9_budget_select"]:
+                 "m23_lm_score", "k8_global_shuffle", "k9_budget_select",
+                 "q6_forecast_revenue", "q14_promo_revenue",
+                 "j14_order_priority", "m26_gopher_rules", "d14_semdedup"]:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -2399,3 +2399,41 @@ WHERE {FACET_SEARCH_FIELD} LIKE '{FACET_SEARCH_PREFIX}%'
 GROUP BY {FACET_SEARCH_FIELD}
 ORDER BY cnt DESC, value
 """
+
+
+def ann_pq_topk(sf_dir: str, k: int = 10, m: int = 8):
+    """ANN with product quantization (rows-only: approximate by design;
+    recall vs the brute-force oracle is pytest-asserted). The 100-TB memory
+    path: vectors compress to m bytes each (32x at dim=64), the ADC scan
+    reads ONLY the code column, and the query's (m x 256) distance table
+    broadcasts once per actor. Codebooks train on a corpus-wide hash
+    sample, so driver cost is corpus-size-independent."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann import PqAdcTopK, PqEncode, merge_topk, pq_train
+
+    from ..functions.resources import pool_cap
+
+    path = _doc_path(sf_dir, "embeddings")
+    qv = pads.dataset(path).to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0
+    )["embedding"][0].as_py()
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=m)
+    # autoscaling (1, cap) pools: two fixed-size pools would pin every CPU
+    # of a small session (pool min 1 leaves room for the read tasks), and
+    # the cap follows the cluster
+    cap = pool_cap(2, fraction=0.25)
+    partials = ds.map_batches(
+        PqEncode, fn_constructor_kwargs={"codebooks": books},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, cap),
+    ).map_batches(
+        PqAdcTopK, fn_constructor_kwargs={"codebooks": books,
+                                          "query_vec": qv, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, cap),
+    )
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return merge_topk(pa.Table.from_pylist(rows), k)

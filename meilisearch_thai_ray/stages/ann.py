@@ -328,3 +328,97 @@ class LshBucketAssign:
         bits = (mat @ self.planes) > 0
         buckets = (bits.astype(np.uint64) << np.arange(self.nbits, dtype=np.uint64)).sum(axis=1)
         return batch.append_column("bucket", pa.array(buckets.astype(np.int32)))
+
+
+# ----------------------------------------------- product quantization (PQ)
+
+def pq_train(ds, m: int = 8, codes: int = 256, iters: int = 10,
+             sample_n: int = 4096, vec_col: str = "embedding",
+             seed: int = 13) -> list[np.ndarray]:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split the (L2-normalized) embedding space
+    into m subspaces and k-means each one to `codes` centroids. Trains on
+    the corpus-WIDE hash sample (same rationale as IVF init: head blocks of
+    a sorted corpus degenerate), so driver cost is O(sample_n * dim) —
+    independent of corpus size. Returns one (codes, sub_dim) array per
+    subspace (sub_dims may differ by 1 when m doesn't divide dim)."""
+    sample = hash_sample_matrix(ds, sample_n, vec_col)
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    sample = sample / norms[:, None]
+    return [kmeans_fit(sub, codes, iters=iters, seed=seed + i)
+            for i, sub in enumerate(np.array_split(sample, m, axis=1))]
+
+
+class PqEncode:
+    """Encode vectors to m uint8 codes (m bytes/vector: a 100-TB float32
+    corpus compresses ~dim*4/m-fold; at dim=64, m=8 that is 32x). Vectors
+    are L2-normalized first so ADC's L2 distances are monotone in cosine
+    (||a-b||^2 = 2 - 2cos on the unit sphere). Stateful stage: codebooks
+    ship once per actor/worker via constructor args."""
+
+    def __init__(self, codebooks: list[np.ndarray],
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.codebooks = [np.asarray(c, dtype=np.float64) for c in codebooks]
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.splits = np.cumsum([c.shape[1] for c in self.codebooks])[:-1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        out = np.empty((mat.shape[0], len(self.codebooks)), dtype=np.uint8)
+        for i, (sub, cb) in enumerate(
+                zip(np.split(mat, self.splits, axis=1), self.codebooks)):
+            d2 = ((sub ** 2).sum(axis=1)[:, None] - 2.0 * (sub @ cb.T)
+                  + (cb ** 2).sum(axis=1)[None, :])
+            out[:, i] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": batch[self.id_col].cast(pa.int64()),
+            "pq_code": pa.array(list(out.tobytes()[i * out.shape[1]:
+                                                   (i + 1) * out.shape[1]]
+                                     for i in range(out.shape[0])),
+                                pa.binary()),
+        })
+
+
+class PqAdcTopK:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    (m x codes) distance table ONCE; each batch's approximate distance is m
+    table lookups + a sum — no float vectors are ever read back. Emits <= k
+    partial rows per batch; merge with merge_topk on (approximate) sim =
+    1 - d2/2 (exact cosine identity on the unit sphere, approximate through
+    the codebook)."""
+
+    def __init__(self, codebooks: list[np.ndarray], query_vec,
+                 k: int = 10, round_to: int = 6):
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        splits = np.cumsum([c.shape[1] for c in codebooks])[:-1]
+        self.tables = np.stack([
+            ((sub[None, :] - np.asarray(cb)) ** 2).sum(axis=1)
+            for sub, cb in zip(np.split(q, splits), codebooks)
+        ])  # (m, codes)
+        self.k = k
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        codes = np.frombuffer(
+            b"".join(batch["pq_code"].to_pylist()), dtype=np.uint8
+        ).reshape(batch.num_rows, -1)
+        d2 = self.tables[np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+        sims = np.round(1.0 - d2 / 2.0, self.round_to)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        k = min(self.k, sims.size)
+        kth = (np.partition(sims, sims.size - k)[sims.size - k]
+               if k < sims.size else -np.inf)
+        sel = np.flatnonzero(sims >= kth)
+        return pa.table({
+            "vec_id": pa.array(ids[sel].astype(np.int64)),
+            "sim": pa.array(sims[sel].astype(np.float64)),
+        })

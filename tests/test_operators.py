@@ -1170,3 +1170,33 @@ def test_semdedup_loser_rule_chain(ray_session, tmp_path):
     )
     kept = semdedup(str(d), k=2, threshold=0.99).to_pandas()
     assert sorted(kept["vec_id"]) == list(range(20))
+
+
+def test_pq_adc_recall_vs_bruteforce(ray_session, tmp_path):
+    """PQ/ADC top-k recalls most of the brute-force top-k, and the encoded
+    corpus is m bytes/vector. sub_dim=2 codebooks on 16-dim vectors with
+    256 codes are near-lossless on 400 points, so recall@10 should be
+    high — assert a conservative floor plus determinism."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        ann_cosine_topk, ann_pq_topk)
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in mat],
+                                        pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"),
+    )
+    exact = set(ann_cosine_topk(str(d), k=10)["vec_id"].to_pylist())
+    approx1 = ann_pq_topk(str(d), k=10, m=8)
+    approx2 = ann_pq_topk(str(d), k=10, m=8)
+    assert approx1.equals(approx2)  # deterministic end to end
+    got = set(approx1["vec_id"].to_pylist())
+    assert len(exact & got) >= 7, (exact, got)
+    # the query vector itself (vec_id 0) must rank first
+    assert approx1["vec_id"][0].as_py() == 0
