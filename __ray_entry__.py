@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": olap.forecast_revenue,
         "q14_promo_revenue": olap.promo_revenue,
         "j14_order_priority": olap.order_priority_check,
+        "q7_nation_volume": olap.nation_volume,
+        "q15_top_supplier": olap.top_supplier,
+        "q17_small_qty_revenue": olap.small_qty_revenue,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
         "a17_event_gaps": wo.event_gaps,

@@ -1200,3 +1200,168 @@ def test_pq_adc_recall_vs_bruteforce(ray_session, tmp_path):
     assert len(exact & got) >= 7, (exact, got)
     # the query vector itself (vec_id 0) must rank first
     assert approx1["vec_id"][0].as_py() == 0
+
+
+def _write_q7_fixture(d, n_orders=400, lines_per_order=5):
+    """Synthetic 5-table fixture where EVERY order belongs to a pair-nation
+    customer and most lineitems ship from pair-nation suppliers — so under
+    tiny blocks nearly every orderkey run spans a block boundary."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["NATION_0", "NATION_1", "NATION_2"]),
+        "n_regionkey": pa.array([0, 0, 0], pa.int32())}),
+        str(d / "nation.parquet"))
+    n_supp = 10
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+        "s_name": pa.array([f"S{i}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(
+            (rng.integers(0, 3, n_supp)).astype("int32"), pa.int32()),
+        "s_acctbal": pa.array([0.0] * n_supp)}),
+        str(d / "supplier.parquet"))
+    n_cust = 40
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+        "c_name": pa.array([f"C{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(
+            (rng.integers(1, 3, n_cust)).astype("int32"), pa.int32()),
+        "c_acctbal": pa.array([0.0] * n_cust),
+        "c_mktsegment": pa.array(["SEG"] * n_cust)}),
+        str(d / "customer.parquet"))
+    okeys = np.arange(1, n_orders + 1, dtype=np.int64)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys),
+        "o_custkey": pa.array(rng.integers(1, n_cust + 1, n_orders),
+                              pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_orders),
+        "o_totalprice": pa.array(np.zeros(n_orders)),
+        "o_orderdate": pa.array([pd.Timestamp("1996-06-01")] * n_orders,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n_orders)}),
+        str(d / "orders.parquet"))
+    lk = np.repeat(okeys, lines_per_order)
+    n_li = lk.size
+    ship = pd.to_datetime(rng.choice(
+        ["1995-03-01", "1996-07-01", "1997-11-30"], n_li))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lk),
+        "l_partkey": pa.array(np.ones(n_li, np.int64)),
+        "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
+        "l_linenumber": pa.array(np.ones(n_li, np.int32)),
+        "l_quantity": pa.array(np.ones(n_li)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(100, 2000, n_li), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_tax": pa.array(np.zeros(n_li)),
+        "l_returnflag": pa.array(["N"] * n_li),
+        "l_linestatus": pa.array(["O"] * n_li),
+        "l_shipdate": pa.array(ship, pa.timestamp("us"))}),
+        str(d / "lineitem.parquet"))
+
+
+def test_q7_boundary_merge_under_tiny_blocks(ray_session, tmp_path):
+    """Q7 bilateral volume: with ~hundred-row sort blocks, most orderkey
+    runs split across blocks, so the answer flows through the raw-edge
+    driver merge — it must still match DuckDB's 6-way join cell for cell."""
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.olap import SQL, nation_volume
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write_q7_fixture(d)
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = nation_volume(str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = saved
+    con2 = duckdb.connect()
+    for t in ["nation", "supplier", "customer", "orders", "lineitem"]:
+        con2.execute(f"CREATE VIEW {t} AS SELECT * "
+                     f"FROM read_parquet('{d}/{t}.parquet')")
+    exp = con2.execute(SQL["q7_nation_volume"]).fetchdf()
+    assert len(got) > 0  # the fixture guarantees bilateral volume
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_q15_reports_all_tied_winners(ray_session, tmp_path):
+    """Two suppliers engineered to the same rounded quarterly revenue: the
+    argmax must return BOTH rows (Q15's scalar-subquery tie semantics),
+    matching DuckDB."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.olap import SQL, top_supplier
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["SA", "SB", "SC"]),
+        "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0, 0.0])}),
+        str(d / "supplier.parquet"))
+    # suppliers 1 and 2 tie at 3000.00 (two lineitems each), 3 trails
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([1000.0, 2000.0, 1500.0, 1500.0, 10.0]),
+        "l_discount": pa.array([0.0] * 5),
+        "l_shipdate": pa.array([pd.Timestamp("1996-02-01")] * 5,
+                               pa.timestamp("us"))}),
+        str(d / "lineitem.parquet"))
+    got = top_supplier(str(d)).to_pandas()
+    con2 = duckdb.connect()
+    for t in ["supplier", "lineitem"]:
+        con2.execute(f"CREATE VIEW {t} AS SELECT * "
+                     f"FROM read_parquet('{d}/{t}.parquet')")
+    exp = con2.execute(SQL["q15_top_supplier"]).fetchdf()
+    assert list(got["s_suppkey"]) == [1, 2]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_q17_threshold_is_strict_and_exact(ray_session, tmp_path):
+    """Quantities sit EXACTLY at 0.2*avg for one part (excluded — strict <)
+    and just under for another (included). Integral sums make the threshold
+    bit-exact on both sides, so the comparison cannot drift from DuckDB."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.olap import SQL, small_qty_revenue
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["pa", "pb"]),
+        "p_brand": pa.array(["Brand#3", "Brand#3"]),
+        "p_type": pa.array(["T", "T"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([0.0, 0.0])}),
+        str(d / "part.parquet"))
+    # part 1: qtys [10,10,10,10,10] -> avg 10, 0.2*avg = 2; qty 2 row is AT
+    # the threshold (excluded), qty 1 row under it (included, price 111.0)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(8), pa.int64()),
+        "l_partkey": pa.array([1] * 5 + [1, 1, 2], pa.int64()),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 10.0, 10.0,
+                                2.0, 1.0, 5.0]),
+        "l_extendedprice": pa.array([9e9] * 5 + [5e8, 111.0, 222.0])}),
+        str(d / "lineitem.parquet"))
+    got = small_qty_revenue(str(d)).to_pandas()
+    con2 = duckdb.connect()
+    for t in ["part", "lineitem"]:
+        con2.execute(f"CREATE VIEW {t} AS SELECT * "
+                     f"FROM read_parquet('{d}/{t}.parquet')")
+    exp = con2.execute(SQL["q17_small_qty_revenue"]).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+    assert got["avg_yearly"][0] == round(111.0 / 7.0, 2)
