@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k9_budget_select": td.budget_select,
         "k10_source_balance": td.source_balance,
         "k15_sorted_export": td.sorted_export_range,
+        "k17_dsir_weights": td.dsir_weights,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

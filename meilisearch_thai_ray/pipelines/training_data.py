@@ -44,6 +44,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -917,4 +918,134 @@ SQL["k15_sorted_export"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE n_chars BETWEEN {K15_RANGE[0]} AND {K15_RANGE[1]}
 ORDER BY n_chars, doc_id
+"""
+
+
+# --------------------------- DSIR importance weights (Xie et al. 2023)
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_explode(batch: pa.Table):
+    """(doc_id, lang, text) batch -> per-token (doc_index, bucket) arrays.
+    Tokenization is text.split(' ') — bit-compatible with DuckDB
+    string_split — and the bucket is the oracle-shared md5-prefix hash,
+    computed once per DISTINCT token in the batch."""
+    from ..functions.hashing import md5_prefix_int_of_strings
+
+    texts = batch["text"].to_pylist()
+    toks: list[str] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        toks.extend(ws)
+        doc_idx.extend([i] * len(ws))
+    di = np.asarray(doc_idx, np.int64)
+    u, inv = np.unique(np.asarray(toks, object), return_inverse=True)
+    buckets = (md5_prefix_int_of_strings(list(u)) % DSIR_BUCKETS)[inv]
+    return di, buckets
+
+
+def _dsir_counts(sf_dir: str, target_lang: str):
+    """ONE distributed pass -> per-bucket (target, raw) token counts. Each
+    block's partial is at most DSIR_BUCKETS rows regardless of block size
+    (the fixed-width combiner), so the exchange is O(blocks x 4096)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        di, buckets = _dsir_explode(batch)
+        is_t = np.asarray(
+            pc.equal(batch["lang"], target_lang).to_numpy(
+                zero_copy_only=False))[di]
+        ct = np.bincount(buckets[is_t], minlength=DSIR_BUCKETS)
+        cr = np.bincount(buckets[~is_t], minlength=DSIR_BUCKETS)
+        nz = np.flatnonzero(ct | cr)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "ct": pa.array(ct[nz], pa.int64()),
+                         "cr": pa.array(cr[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    rows = (_docs(sf_dir, ["doc_id", "lang", "text"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+            .groupby("bucket")
+            .aggregate(Sum("ct", alias_name="ct"), Sum("cr", alias_name="cr"))
+            .take_all())  # <= DSIR_BUCKETS rows
+    ct = np.zeros(DSIR_BUCKETS, np.int64)
+    cr = np.zeros(DSIR_BUCKETS, np.int64)
+    for r in rows:
+        ct[int(r["bucket"])] = int(r["ct"])
+        cr[int(r["bucket"])] = int(r["cr"])
+    return ct, cr
+
+
+class _DsirScore:
+    """Stateful scorer: the 32 KiB log-ratio table ships once per actor;
+    each batch is one explode + one np.add.at scatter."""
+
+    def __init__(self, lam_ref):
+        self.lam = ray.get(lam_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "dsir_logw": pa.array([], pa.float64())})
+        di, buckets = _dsir_explode(batch)
+        w = np.zeros(batch.num_rows, np.float64)
+        np.add.at(w, di, self.lam[buckets])
+        n = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_tokens": pa.array(n),
+                         "dsir_logw": pa.array(np.round(w, 6))})
+
+
+def dsir_weights(sf_dir: str,
+                 target_lang: str = DSIR_TARGET_LANG) -> ray.data.Dataset:
+    """K17 — DSIR (Data Selection with Importance Resampling, Xie et al.
+    2023, arXiv:2302.03169): per-document log importance weight under
+    hashed-unigram bag-of-words LMs of a TARGET distribution (here: the
+    corpus's `target_lang` slice) vs the RAW distribution (the rest).
+    Downstream, `k9_budget_select`-style selection or Gumbel-top-k over
+    `dsir_logw` resamples a target-like training subset.
+
+    Scale shape: the feature space is FIXED at DSIR_BUCKETS hashed
+    unigrams, so pass 1's exchange is a fixed-width combiner (<= 4096 rows
+    per block) into one tiny groupby, the smoothed log-ratio table is a
+    32 KiB ray.put broadcast, and pass 2 streams with a per-actor scatter —
+    driver state and network cost are corpus-size-independent. Laplace
+    (+1) smoothing keeps unseen buckets finite on both sides of the
+    ratio."""
+    ct, cr = _dsir_counts(sf_dir, target_lang)
+    t, r = int(ct.sum()), int(cr.sum())
+    lam = (np.log((ct + 1.0) / (t + float(DSIR_BUCKETS)))
+           - np.log((cr + 1.0) / (r + float(DSIR_BUCKETS))))
+    lam_ref = ray.put(lam)
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        _DsirScore, fn_constructor_args=(lam_ref,),
+        batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, pool_cap(8)))
+
+
+SQL["k17_dsir_weights"] = f"""
+WITH bk AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents)),
+cnts AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct,
+         count(*) FILTER (WHERE lang <> '{DSIR_TARGET_LANG}') AS cr
+  FROM bk GROUP BY bucket),
+tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM cnts),
+lam AS (SELECT bucket,
+               ln((ct + 1.0) / (t + {DSIR_BUCKETS}.0))
+             - ln((cr + 1.0) / (r + {DSIR_BUCKETS}.0)) AS l
+        FROM cnts, tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(l.l), 6) AS dsir_logw
+FROM bk b JOIN lam l USING (bucket)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
 """

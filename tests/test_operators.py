@@ -1365,3 +1365,45 @@ def test_q17_threshold_is_strict_and_exact(ray_session, tmp_path):
                                   exp.reset_index(drop=True),
                                   check_dtype=False)
     assert got["avg_yearly"][0] == round(111.0 / 7.0, 2)
+
+
+def test_dsir_weights_separate_target_from_raw(ray_session, tmp_path):
+    """DSIR log-weights (Xie et al. 2023): documents drawn from the target
+    vocabulary must score higher than raw-vocabulary documents, a held-out
+    doc mixing both lands between, and the pipeline is deterministic."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.training_data import dsir_weights
+
+    rng = np.random.default_rng(7)
+    t_vocab = [f"tw{i}" for i in range(50)]
+    r_vocab = [f"rw{i}" for i in range(50)]
+
+    def doc(vocab, n=40):
+        return " ".join(rng.choice(vocab, n))
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", doc(t_vocab)))            # target slice
+    for i in range(30, 60):
+        rows.append((i, "de", doc(r_vocab)))            # raw slice
+    rows.append((60, "de", doc(t_vocab, 20) + " " + doc(r_vocab, 20)))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows]),
+        "lang": pa.array([r[1] for r in rows]),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64())}),
+        str(d / "documents.parquet"))
+    w1 = dsir_weights(str(d)).to_pandas().set_index("doc_id")["dsir_logw"]
+    w2 = dsir_weights(str(d)).to_pandas().set_index("doc_id")["dsir_logw"]
+    assert w1.equals(w2)
+    per_tok = w1 / dsir_weights(str(d)).to_pandas().set_index(
+        "doc_id")["n_tokens"]
+    t_min = per_tok.loc[:29].min()
+    r_max = per_tok.loc[30:59].max()
+    mixed = per_tok.loc[60]
+    assert t_min > 0 > r_max          # signs separate the distributions
+    assert r_max < mixed < t_min      # the mixture lands strictly between
