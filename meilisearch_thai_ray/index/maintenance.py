@@ -192,3 +192,90 @@ def failed_docs(index_dir: str) -> pa.Table:
         columns=["doc_id", "url", "error"],
         filter=pc.field("status") == "failed",
     )
+
+
+# ------------------------------------------------ snapshots (S4 adjunct)
+
+def snapshot(index_dir: str, dest_dir: str) -> dict:
+    """Meilisearch-snapshot analog: a consistent, integrity-manifested copy
+    of the whole index directory. The copy lands in a temp dir and renames
+    into place, so a half-written snapshot is never mistaken for a real
+    one; `snapshot_manifest.json` records every file's (size, md5) for
+    restore-time verification. Returns the manifest dict.
+
+    Reference analog: Meilisearch's POST /snapshots full-index dump (the
+    reference delegates persistence to Meilisearch entirely); here the
+    index is already immutable parquet/binary shards, so a snapshot is a
+    verified copy."""
+    import hashlib
+    import json
+    import shutil
+
+    if os.path.exists(dest_dir):
+        raise FileExistsError(f"snapshot destination exists: {dest_dir}")
+    tmp = dest_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    files = {}
+    for root, _dirs, fnames in os.walk(index_dir):
+        for fn in sorted(fnames):
+            src = os.path.join(root, fn)
+            rel = os.path.relpath(src, index_dir)
+            dst = os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            h = hashlib.md5()
+            with open(dst, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files[rel] = {"size": os.path.getsize(dst),
+                          "md5": h.hexdigest()}
+    manifest = {"source": os.path.abspath(index_dir), "files": files}
+    with open(os.path.join(tmp, "snapshot_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, dest_dir)
+    return manifest
+
+
+def verify_snapshot(snap_dir: str) -> dict:
+    """Re-hash every file against snapshot_manifest.json; raises ValueError
+    naming the first corrupt/missing file. Returns the manifest."""
+    import hashlib
+    import json
+
+    with open(os.path.join(snap_dir, "snapshot_manifest.json")) as f:
+        manifest = json.load(f)
+    for rel, want in sorted(manifest["files"].items()):
+        path = os.path.join(snap_dir, rel)
+        if not os.path.exists(path):
+            raise ValueError(f"snapshot missing file: {rel}")
+        if os.path.getsize(path) != want["size"]:
+            raise ValueError(f"snapshot size mismatch: {rel}")
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want["md5"]:
+            raise ValueError(f"snapshot checksum mismatch: {rel}")
+    return manifest
+
+
+def restore_snapshot(snap_dir: str, out_dir: str) -> None:
+    """Verified restore: checksums first (a corrupt snapshot never
+    half-restores), then copy into a temp dir renamed into place. The
+    restored index is byte-identical to the snapshotted one, so a
+    SearchEngine over it returns bit-identical results."""
+    import shutil
+
+    manifest = verify_snapshot(snap_dir)
+    if os.path.exists(out_dir):
+        raise FileExistsError(f"restore destination exists: {out_dir}")
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    for rel in sorted(manifest["files"]):
+        src = os.path.join(snap_dir, rel)
+        dst = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+    os.rename(tmp, out_dir)

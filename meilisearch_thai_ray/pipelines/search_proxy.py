@@ -900,3 +900,74 @@ class SearchProxy:
             -hit.get("content_length", 0),  # prefer comprehensive docs (:543)
             hit["doc_id"],  # final deterministic break
         )
+
+
+class FederatedSearch:
+    """Multi-index federation — the Ray-side analog of Meilisearch's
+    `POST /multi-search` with a `federation` object, which the reference's
+    per-request `index_name` routing (search_proxy_service.py:174,306)
+    delegates to Meilisearch for.
+
+    A registry of named `SearchProxy` indexes answers one query (or
+    per-index queries) across several indexes at once; hits merge into one
+    globally-ranked list. Following Meilisearch's federated semantics, each
+    index's raw BM25 scores are normalized to a [0, 1] ranking score
+    (score / the index's top score for this query — BM25 magnitudes are
+    corpus-dependent, so raw scores are not comparable across indexes),
+    multiplied by the per-index federation `weight`, and interleaved by
+    descending weightedRankingScore with deterministic tie-breaks
+    (weighted score desc, index uid asc, doc_id asc). `facetsByIndex`-style
+    attribution survives in `_federation.indexUid` on every hit.
+
+    Scale shape: each member index is itself a sharded/doc-partitioned
+    engine (index/serving.py); federation only merges the k-bounded heads,
+    so its cost is O(n_indexes x k) regardless of corpus size."""
+
+    def __init__(self, indexes: dict[str, "SearchProxy"]):
+        if not indexes:
+            raise ValueError("federation needs at least one index")
+        self.indexes = dict(indexes)
+
+    def multi_search(self, queries: list[dict], limit: int = 20,
+                     offset: int = 0) -> list[dict]:
+        """`queries`: one entry per (index, query) pair, Meilisearch shape:
+        {"indexUid": str, "q": str, "weight": float = 1.0,
+         "options": SearchOptions | None}. Returns the federated hit list:
+        each hit carries `_federation = {"indexUid", "weightedRankingScore"}`
+        plus the member proxy's own hit fields."""
+        merged: list[tuple] = []
+        for pos, q in enumerate(queries):
+            uid = q["indexUid"]
+            if uid not in self.indexes:
+                raise KeyError(f"unknown index {uid!r}; registered: "
+                               f"{sorted(self.indexes)}")
+            weight = float(q.get("weight", 1.0))
+            if weight == 0.0:
+                continue  # weight 0 excludes the index, Meilisearch-style
+            hits = self.indexes[uid].search(
+                q["q"], k=limit + offset, options=q.get("options"))
+            if not hits:
+                continue
+            top = max(h["score"] for h in hits)
+            for h in hits:
+                norm = (h["score"] / top) if top > 0 else 0.0
+                wscore = round(norm * weight, 9)  # stable across fp noise
+                merged.append((-wscore, uid, h["doc_id"], pos, h, wscore))
+        merged.sort(key=lambda t: t[:4])
+        out = []
+        for _neg, uid, _doc, _pos, h, wscore in merged[offset:offset + limit]:
+            hit = dict(h)
+            hit["_federation"] = {"indexUid": uid,
+                                  "weightedRankingScore": wscore}
+            out.append(hit)
+        return out
+
+    def search(self, query: str, limit: int = 20, offset: int = 0,
+               weights: dict[str, float] | None = None) -> list[dict]:
+        """One query fanned out to EVERY registered index (the common
+        federated case), with optional per-index weights."""
+        weights = weights or {}
+        qs = [{"indexUid": uid, "q": query,
+               "weight": weights.get(uid, 1.0)}
+              for uid in sorted(self.indexes)]
+        return self.multi_search(qs, limit=limit, offset=offset)

@@ -100,3 +100,43 @@ def test_tombstone_files_content_named(built):
     # re-deleting already-tombstoned ids is a no-op (no new file)
     assert delete_docs(out, [987654321]) == 0
     assert set(os.listdir(d)) == after
+
+
+def test_snapshot_restore_bit_identical_search(built, tmp_path):
+    """snapshot -> restore -> a SearchEngine over the restored dir returns
+    bit-identical results; tampering with a snapshot file makes verify and
+    restore fail loudly (no half-restore)."""
+    from meilisearch_thai_ray.index.maintenance import (
+        restore_snapshot, snapshot, verify_snapshot)
+
+    _, out = built
+    snap = str(tmp_path / "snap")
+    manifest = snapshot(out, snap)
+    assert len(manifest["files"]) > 3
+    verify_snapshot(snap)
+
+    restored = str(tmp_path / "restored")
+    restore_snapshot(snap, restored)
+    q = ["สาหร่าย"]
+    orig = SearchEngine(out).score_topk(q, k=10)
+    got = SearchEngine(restored).score_topk(q, k=10)
+    assert got == orig  # bit-identical scores and ranks
+
+    # duplicate snapshots refuse to overwrite
+    with pytest.raises(FileExistsError):
+        snapshot(out, snap)
+
+    # corrupt one data file: verify + restore must fail, nothing written
+    victim = next(os.path.join(snap, rel) for rel in manifest["files"]
+                  if rel != "snapshot_manifest.json")
+    with open(victim, "r+b") as f:
+        f.seek(0)
+        b = f.read(1)
+        f.seek(0)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError):
+        verify_snapshot(snap)
+    broken = str(tmp_path / "broken")
+    with pytest.raises(ValueError):
+        restore_snapshot(snap, broken)
+    assert not os.path.exists(broken)

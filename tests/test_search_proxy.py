@@ -463,3 +463,70 @@ def test_distinct_attribute_one_hit_per_value(proxy):
     bare = SearchProxy(proxy.engine)
     with _pytest.raises(ValueError):
         bare.search(q, options=SearchOptions(distinct="lang"))
+
+
+# ------------------------------------------------ federated multi-search
+
+@pytest.fixture(scope="module")
+def federation(ray_session, tmp_path_factory):
+    """Two disjoint corpora (different seeds -> different doc sets) behind
+    one FederatedSearch registry."""
+    from meilisearch_thai_ray.pipelines.search_proxy import FederatedSearch
+
+    root = tmp_path_factory.mktemp("fed")
+    proxies = {}
+    for uid, seed in [("idx_a", 1), ("idx_b", 2)]:
+        pages = str(root / f"pages_{uid}")
+        out = str(root / f"index_{uid}")
+        write_pages_parquet(pages, 120, seed=seed, rows_per_file=60)
+        build_index(pages, out, EngineConfig(num_shards=2), num_salts=1,
+                    batch_size=64)
+        proxies[uid] = SearchProxy(SearchEngine(out))
+    return FederatedSearch(proxies), proxies
+
+
+def _fed_query(proxies):
+    """A term present in both member indexes (the fixture corpora share the
+    Thai vocabulary), picked deterministically."""
+    return "สาหร่าย"
+
+
+def test_federated_merges_both_indexes(federation):
+    fed, proxies = federation
+    q = _fed_query(proxies)
+    hits = fed.search(q, limit=20)
+    uids = {h["_federation"]["indexUid"] for h in hits}
+    assert uids == {"idx_a", "idx_b"}
+    # globally ordered by weightedRankingScore desc
+    ws = [h["_federation"]["weightedRankingScore"] for h in hits]
+    assert ws == sorted(ws, reverse=True)
+    # each index's top hit normalizes to ranking score 1.0 at weight 1
+    per_uid_best = {}
+    for h in hits:
+        u = h["_federation"]["indexUid"]
+        per_uid_best.setdefault(u, h["_federation"]["weightedRankingScore"])
+    assert all(v == 1.0 for v in per_uid_best.values())
+
+
+def test_federated_weight_zero_excludes_and_weight_scales(federation):
+    fed, proxies = federation
+    q = _fed_query(proxies)
+    only_b = fed.search(q, limit=20, weights={"idx_a": 0.0})
+    assert {h["_federation"]["indexUid"] for h in only_b} == {"idx_b"}
+    # down-weighting idx_b pushes every idx_b hit below every idx_a hit
+    # whose normalized score exceeds the weight
+    skew = fed.search(q, limit=40, weights={"idx_b": 1e-6})
+    first_b = next(i for i, h in enumerate(skew)
+                   if h["_federation"]["indexUid"] == "idx_b")
+    assert all(h["_federation"]["indexUid"] == "idx_a"
+               for h in skew[:first_b])
+
+
+def test_federated_single_index_matches_plain_search(federation):
+    fed, proxies = federation
+    q = _fed_query(proxies)
+    plain = proxies["idx_a"].search(q, k=10)
+    via_fed = fed.multi_search([{"indexUid": "idx_a", "q": q}], limit=10)
+    assert [h["doc_id"] for h in via_fed] == [h["doc_id"] for h in plain]
+    with pytest.raises(KeyError):
+        fed.multi_search([{"indexUid": "nope", "q": q}])
