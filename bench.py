@@ -128,7 +128,8 @@ def run_bench() -> dict:
                  "p1_pack_sequences", "p2_pack_tokens", "d9_decontaminate",
                  "m23_lm_score", "k8_global_shuffle", "k9_budget_select",
                  "q6_forecast_revenue", "q14_promo_revenue",
-                 "j14_order_priority", "m26_gopher_rules", "d14_semdedup"]:
+                 "j14_order_priority", "m26_gopher_rules", "d14_semdedup",
+                 "q7_nation_volume", "k17_dsir_weights", "ann_pq_topk"]:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
