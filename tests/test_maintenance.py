@@ -140,3 +140,80 @@ def test_snapshot_restore_bit_identical_search(built, tmp_path):
     with pytest.raises(ValueError):
         restore_snapshot(snap, broken)
     assert not os.path.exists(broken)
+
+
+def test_merge_indexes_bit_identical_to_rebuild(ray_session, tmp_path):
+    """Posting-level merge of two half-corpus indexes == a from-scratch
+    build of the whole corpus: shard files BYTE-identical, meta stats
+    equal, search bit-identical. Overlapping doc_ids must raise."""
+    import shutil
+
+    from meilisearch_thai_ray.index.merge import merge_indexes
+
+    cfg = EngineConfig(num_shards=4)
+    root = tmp_path
+    pages_all = str(root / "pages_all")
+    files = write_pages_parquet(pages_all, 200, rows_per_file=50)
+    # halves = disjoint doc_id ranges (files are row-range shards)
+    for name, part in [("pages_a", files[:2]), ("pages_b", files[2:])]:
+        os.makedirs(str(root / name))
+        for f in part:
+            shutil.copy2(f, str(root / name / os.path.basename(f)))
+    full, ia, ib = (str(root / d) for d in ("i_full", "i_a", "i_b"))
+    build_index(pages_all, full, cfg, num_salts=2, batch_size=64)
+    build_index(str(root / "pages_a"), ia, cfg, num_salts=2, batch_size=64)
+    build_index(str(root / "pages_b"), ib, cfg, num_salts=2, batch_size=64)
+
+    merged = str(root / "i_merged")
+    meta = merge_indexes([ia, ib], merged)
+    import json
+
+    with open(os.path.join(full, "meta.json")) as f:
+        full_meta = json.load(f)
+    assert (meta["n_docs"], meta["sum_dl"], meta["avgdl"]) == (
+        full_meta["n_docs"], full_meta["sum_dl"], full_meta["avgdl"])
+
+    # shard files byte-identical to the rebuild
+    for dirpath, _dn, fnames in os.walk(os.path.join(full, "shards")):
+        for fn in fnames:
+            rel = os.path.relpath(os.path.join(dirpath, fn), full)
+            a = open(os.path.join(full, rel), "rb").read()
+            b = open(os.path.join(merged, rel), "rb").read()
+            assert a == b, f"shard bytes differ: {rel}"
+
+    eng_full, eng_merged = SearchEngine(full), SearchEngine(merged)
+    for terms in (["สาหร่าย"], ["ปัญญา", "ประดิษฐ์"], ["วากาเมะ"]):
+        assert eng_merged.score_topk(terms, k=10) == \
+            eng_full.score_topk(terms, k=10)
+
+    # overlapping doc ids: merging an index with itself must raise
+    with pytest.raises(ValueError, match="more than one source|overlap"):
+        merge_indexes([ia, ia], str(root / "i_bad"))
+
+
+def test_merge_indexes_with_positions_phrase_identical(ray_session, tmp_path):
+    """store_positions=True: merged pos_bin streams must reproduce the
+    rebuild byte-for-byte (phrase search depends on them)."""
+    import shutil
+
+    from meilisearch_thai_ray.index.merge import merge_indexes
+
+    cfg = EngineConfig(num_shards=2, store_positions=True)
+    root = tmp_path
+    pages_all = str(root / "pages_all")
+    files = write_pages_parquet(pages_all, 120, rows_per_file=60)
+    for name, part in [("pa", files[:1]), ("pb", files[1:])]:
+        os.makedirs(str(root / name))
+        for f in part:
+            shutil.copy2(f, str(root / name / os.path.basename(f)))
+    full, ia, ib = (str(root / d) for d in ("f", "a", "b"))
+    build_index(pages_all, full, cfg, num_salts=1, batch_size=64)
+    build_index(str(root / "pa"), ia, cfg, num_salts=1, batch_size=64)
+    build_index(str(root / "pb"), ib, cfg, num_salts=1, batch_size=64)
+    merged = str(root / "m")
+    merge_indexes([ia, ib], merged)
+    for dirpath, _dn, fnames in os.walk(os.path.join(full, "shards")):
+        for fn in fnames:
+            rel = os.path.relpath(os.path.join(dirpath, fn), full)
+            assert open(os.path.join(full, rel), "rb").read() == \
+                open(os.path.join(merged, rel), "rb").read(), rel
