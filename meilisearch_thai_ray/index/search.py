@@ -601,6 +601,73 @@ class SearchEngine:
         )
         return hits[:k]
 
+    def proximity_topk(self, terms: list[str], k: int = 10,
+                       pool: int | None = None
+                       ) -> list[tuple[int, int, float]]:
+        """Meilisearch 'proximity' ranking rule over the positional index:
+        AND-matching docs bucketed by the MINIMAL token window covering one
+        occurrence of every query term, BM25-ranked within buckets. Returns
+        [(doc_id, proximity_cost, bm25)] where cost = min_window - n_terms
+        (0 = some occurrence of every term packs into adjacent tokens);
+        ties break by BM25 desc, doc_id asc.
+
+        Cost: one posting intersection (score_topk pool) + a per-candidate
+        sorted-merge sliding window over position lists — document text is
+        never read. Needs store_positions=True (ranking_rules 'proximity'
+        in Meilisearch is index-default; the reference delegates it to
+        Meilisearch wholesale)."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; proximity "
+                "ranking needs positional postings")
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return []
+        cand = self.score_topk(uniq, k=pool or max(10 * k, 100),
+                               match="all")
+        if len(uniq) == 1:
+            return [(d, 0, s) for d, s in cand[:k]]
+        nt = len(uniq)
+        out: list[tuple[int, int, float]] = []
+        for d, score in cand:
+            plists = []
+            ok = True
+            for ti, t in enumerate(uniq):
+                pos = self._doc_positions(t, d)
+                if pos is None or pos.size == 0:
+                    ok = False
+                    break
+                plists.append((pos.astype(np.int64), ti))
+            if not ok:
+                continue
+            # sorted merge of (position, term_id), then the classic
+            # minimal-covering-window two-pointer scan
+            allpos = np.concatenate([p for p, _ in plists])
+            tids = np.concatenate(
+                [np.full(p.size, ti, np.int64) for p, ti in plists])
+            order = np.argsort(allpos, kind="stable")
+            allpos, tids = allpos[order], tids[order]
+            need = nt
+            count = np.zeros(nt, np.int64)
+            best = np.iinfo(np.int64).max
+            lo = 0
+            for hi in range(allpos.size):
+                if count[tids[hi]] == 0:
+                    need -= 1
+                count[tids[hi]] += 1
+                while need == 0:
+                    span = allpos[hi] - allpos[lo] + 1
+                    if span < best:
+                        best = int(span)
+                    count[tids[lo]] -= 1
+                    if count[tids[lo]] == 0:
+                        need += 1
+                    lo += 1
+            cost = best - nt
+            out.append((d, cost, score))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[:k]
+
     # ------------- prefix expansion -------------
 
     def warm(self) -> int:

@@ -753,3 +753,48 @@ def test_warc_corrupt_records_dead_letter_not_task_failure(
     build_index(str(pages_dir), str(out), EngineConfig(num_shards=2),
                 num_salts=1, batch_size=16)
     assert len(SearchEngine(str(out)).search("สาหร่ายวากาเมะ")) >= 1
+
+
+def test_proximity_topk_min_window_ranking(pos_index):
+    """proximity_topk: cost == (minimal token window covering every query
+    term) - n_terms, validated against a brute-force scan of the raw texts;
+    scattered-term docs rank below adjacent ones regardless of tf."""
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+
+    out, texts, urls = pos_index
+    eng = SearchEngine(out)
+    terms = ["red", "fox"]
+    hits = eng.proximity_topk(terms, k=10)
+    assert hits, "red+fox co-occur in several fixture docs"
+
+    def brute_cost(text: str) -> int | None:
+        toks = text.split()
+        occ = [(i, t) for i, t in enumerate(toks) if t in terms]
+        if {t for _, t in occ} != set(terms):
+            return None
+        best = None
+        for i, (pi, ti) in enumerate(occ):
+            seen = {ti}
+            for pj, tj in occ[i + 1:]:
+                seen.add(tj)
+                if len(seen) == len(terms):
+                    span = pj - pi + 1
+                    best = span if best is None else min(best, span)
+                    break
+        return best - len(terms)
+
+    expected = {doc_id_from_url(u): brute_cost(t)
+                for u, t in zip(urls, texts)}
+    expected = {d: c for d, c in expected.items() if c is not None}
+    got = {d: c for d, c, _s in hits}
+    assert got == expected
+    costs = [c for _d, c, _s in hits]
+    assert costs == sorted(costs)  # primary sort: proximity cost
+    # 'red stop fox' (cost 1) must rank below every adjacent (cost 0) doc
+    scattered = doc_id_from_url("https://pos.ex/4")
+    assert got[scattered] == 1
+    assert hits[-1][0] == scattered or hits[-1][1] == 1
+    # single-term degenerates to BM25 order at cost 0
+    one = eng.proximity_topk(["fox"], k=10)
+    assert [d for d, c, _ in one] == [d for d, _ in eng.score_topk(["fox"], k=10, match="all")]
+    assert all(c == 0 for _, c, _ in one)
