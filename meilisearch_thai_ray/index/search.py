@@ -34,6 +34,35 @@ from ..kernel.tokenize import DocumentTokenizer
 from .codec import decode_segment, tfn_scores
 
 
+def _min_window_cost(plists: list[np.ndarray]) -> int:
+    """Minimal token window covering one position from EVERY list, minus
+    the list count (0 = an adjacent packing exists): sorted merge of
+    (position, list_id) + the classic two-pointer covering-window scan."""
+    nt = len(plists)
+    allpos = np.concatenate(plists)
+    tids = np.concatenate(
+        [np.full(p.size, ti, np.int64) for ti, p in enumerate(plists)])
+    order = np.argsort(allpos, kind="stable")
+    allpos, tids = allpos[order], tids[order]
+    need = nt
+    count = np.zeros(nt, np.int64)
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(allpos.size):
+        if count[tids[hi]] == 0:
+            need -= 1
+        count[tids[hi]] += 1
+        while need == 0:
+            span = allpos[hi] - allpos[lo] + 1
+            if span < best:
+                best = int(span)
+            count[tids[lo]] -= 1
+            if count[tids[lo]] == 0:
+                need += 1
+            lo += 1
+    return best - nt
+
+
 class _Segment:
     __slots__ = ("doc_ids", "tfn", "block_last", "block_max", "n",
                  "tfs", "pos_bin", "pos_flat", "pos_offsets")
@@ -627,46 +656,30 @@ class SearchEngine:
                                match="all")
         if len(uniq) == 1:
             return [(d, 0, s) for d, s in cand[:k]]
-        nt = len(uniq)
         out: list[tuple[int, int, float]] = []
         for d, score in cand:
-            plists = []
-            ok = True
-            for ti, t in enumerate(uniq):
-                pos = self._doc_positions(t, d)
-                if pos is None or pos.size == 0:
-                    ok = False
-                    break
-                plists.append((pos.astype(np.int64), ti))
-            if not ok:
-                continue
-            # sorted merge of (position, term_id), then the classic
-            # minimal-covering-window two-pointer scan
-            allpos = np.concatenate([p for p, _ in plists])
-            tids = np.concatenate(
-                [np.full(p.size, ti, np.int64) for p, ti in plists])
-            order = np.argsort(allpos, kind="stable")
-            allpos, tids = allpos[order], tids[order]
-            need = nt
-            count = np.zeros(nt, np.int64)
-            best = np.iinfo(np.int64).max
-            lo = 0
-            for hi in range(allpos.size):
-                if count[tids[hi]] == 0:
-                    need -= 1
-                count[tids[hi]] += 1
-                while need == 0:
-                    span = allpos[hi] - allpos[lo] + 1
-                    if span < best:
-                        best = int(span)
-                    count[tids[lo]] -= 1
-                    if count[tids[lo]] == 0:
-                        need += 1
-                    lo += 1
-            cost = best - nt
-            out.append((d, cost, score))
+            nm, cost = self.proximity_cost(d, uniq)
+            if nm == len(uniq):
+                out.append((d, cost, score))
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out[:k]
+
+    def proximity_cost(self, doc_id: int,
+                       terms: list[str]) -> tuple[int, int]:
+        """-> (n_matched_terms, proximity_cost) for one doc: the minimal
+        token window covering one occurrence of every MATCHED term, minus
+        the matched-term count (0 = adjacent packing). Docs matching fewer
+        terms are ranked by Meilisearch's 'words' rule first — callers
+        bucket by (-n_matched, cost). n_matched < 2 => cost 0."""
+        plists = []
+        for t in dict.fromkeys(terms):
+            pos = self._doc_positions(t, doc_id)
+            if pos is not None and pos.size:
+                plists.append(pos.astype(np.int64))
+        nm = len(plists)
+        if nm < 2:
+            return nm, 0
+        return nm, _min_window_cost(plists)
 
     # ------------- prefix expansion -------------
 

@@ -103,6 +103,14 @@ class SearchOptions:
     # Meilisearch distinct attribute: at most ONE hit per distinct value
     # of this doc-metadata field; the best-ranked survives
     distinct: str | None = None
+    # Meilisearch 'proximity' ranking rule (index rankingRules; the
+    # reference inherits it from Meilisearch): bucket hits by
+    # (words-matched desc, minimal-token-window cost asc) computed from the
+    # positional postings, proxy ranking breaking ties within a bucket.
+    # Needs an index built with store_positions=True; ignored when a
+    # per-request `sort` is set (explicit sort outranks proximity in the
+    # rules chain)
+    proximity_ranking: bool = False
 
     def __post_init__(self):
         if self.distinct is not None and self.distinct not in SORTABLE_FIELDS:
@@ -558,7 +566,10 @@ class SearchProxy:
                 [c[0]["doc_id"] for c in ranked], [distinct])
         # with sort, pagination applies AFTER the criteria ordering: keep
         # every passing hit (bounded by the per-variant candidate caps)
-        target = (1 << 62) if sort_crit else offset + k
+        prox_rank = bool(options and options.proximity_ranking
+                         and not sort_crit
+                         and getattr(self.engine, "has_positions", False))
+        target = (1 << 62) if (sort_crit or prox_rank) else offset + k
         allowed = None
         if options and options.filters:
             allowed = self._filter_allowed(
@@ -623,6 +634,16 @@ class SearchProxy:
                 break
         if sort_crit:
             out = self._apply_sort(out, sort_crit)[offset:offset + k]
+        elif prox_rank:
+            # Meilisearch rules chain: words (matched-term count) then
+            # proximity (min covering window), proxy ranking as tie-break
+            qterms = self.tokenizer.index_terms(self.tokenizer.tokenize(query))
+            key = {}
+            for i, h in enumerate(out):
+                nm, cost = self.engine.proximity_cost(h["doc_id"], qterms)
+                key[h["doc_id"]] = (-nm, cost, i)
+            out.sort(key=lambda h: key[h["doc_id"]])
+            out = out[offset:offset + k]
         else:
             out = out[offset:]
         if options and options.highlight and self.docs_path:

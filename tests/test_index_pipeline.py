@@ -798,3 +798,29 @@ def test_proximity_topk_min_window_ranking(pos_index):
     one = eng.proximity_topk(["fox"], k=10)
     assert [d for d, c, _ in one] == [d for d, _ in eng.score_topk(["fox"], k=10, match="all")]
     assert all(c == 0 for _, c, _ in one)
+
+
+def test_proxy_proximity_ranking_option(pos_index):
+    """SearchOptions.proximity_ranking: the scattered-terms doc drops below
+    every adjacent doc even when plain BM25 ranks it higher; option is a
+    no-op when the engine lacks positions or a sort is set."""
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+    from meilisearch_thai_ray.pipelines.search_proxy import (
+        SearchOptions, SearchProxy)
+
+    out, texts, urls = pos_index
+    proxy = SearchProxy(SearchEngine(out))
+    plain = proxy.search("red fox", k=10)
+    prox = proxy.search("red fox", k=10,
+                        options=SearchOptions(limit=10,
+                                              proximity_ranking=True))
+    assert {h["doc_id"] for h in plain} == {h["doc_id"] for h in prox}
+    scattered = doc_id_from_url("https://pos.ex/4")  # 'red stop fox'
+    r_prox = [h["doc_id"] for h in prox]
+    assert r_prox.index(scattered) == len(r_prox) - 1
+    # explicit sort outranks proximity (rules-chain order): same as sort-only
+    s_opts = SearchOptions(limit=10, proximity_ranking=True,
+                           sort=["doc_id:asc"])
+    s_only = SearchOptions(limit=10, sort=["doc_id:asc"])
+    assert [h["doc_id"] for h in proxy.search("red fox", options=s_opts)] == \
+        [h["doc_id"] for h in proxy.search("red fox", options=s_only)]
