@@ -1049,3 +1049,61 @@ FROM bk b JOIN lam l USING (bucket)
 GROUP BY b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# ---------------------- temperature-based source mixing (mC4 / XLM-R)
+
+MIX_ALPHA = 0.5  # sampling temperature: p_i^alpha, alpha<1 flattens the mix
+
+
+def temperature_mix(sf_dir: str, alpha: float = MIX_ALPHA
+                    ) -> ray.data.Dataset:
+    """K18 -> (doc_id, source): deterministic temperature-resampled corpus
+    mix (Conneau et al. 2020 / mC4): source i's target share is
+    q_i = c_i^alpha / sum_j c_j^alpha, so alpha < 1 down-samples dominant
+    sources and flattens toward the tail. Keep fraction per source is
+    min(1, N*q_i / c_i) — capped at 1 because a without-replacement filter
+    cannot upsample (tail sources keep everything; their extra weight is
+    applied at training time via k12-style weighted sampling).
+
+    Scale shape: one tiny per-source count aggregate, rates broadcast in
+    the task closure, then a pure per-batch md5-fraction filter — no
+    shuffle, no RNG state, idempotent on resume (k10's machinery with a
+    temperature-shaped target)."""
+    counts = {r["source"]: int(r["count()"])
+              for r in _docs(sf_dir, ["source"])
+              .groupby("source").count().take_all()}
+    if not counts:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string())}))
+    n = sum(counts.values())
+    z = sum(c ** alpha for c in sorted(counts.values()))
+    # operation order mirrors the SQL expression exactly
+    rates = {s: min(1.0, (n * (c ** alpha) / z) / c)
+             for s, c in counts.items()}
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hex_of_ints, md5_prefix_int
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        frac = md5_prefix_int(md5_hex_of_ints(ids)).astype(
+            np.float64) / 2**32
+        rate = np.fromiter((rates[s] for s in srcs), dtype=np.float64,
+                           count=ids.size)
+        return batch.filter(pa.array(frac < rate))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _keep, batch_format="pyarrow", batch_size=8192)
+
+
+SQL["k18_temperature_mix"] = f"""
+WITH sc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+tot AS (SELECT sum(c) AS n, sum(pow(c, {MIX_ALPHA})) AS z FROM sc)
+SELECT d.doc_id, d.source
+FROM documents d JOIN sc USING (source), tot
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < least(1.0, (tot.n * pow(sc.c, {MIX_ALPHA}) / tot.z) / sc.c)
+"""

@@ -1407,3 +1407,46 @@ def test_dsir_weights_separate_target_from_raw(ray_session, tmp_path):
     mixed = per_tok.loc[60]
     assert t_min > 0 > r_max          # signs separate the distributions
     assert r_max < mixed < t_min      # the mixture lands strictly between
+
+
+def test_temperature_mix_flattens_skewed_sources(ray_session, tmp_path):
+    """alpha=0.5 on a 1600-vs-100 skew: the dominant source downsamples
+    toward sqrt-proportional share, the tail keeps everything, and the
+    result matches the DuckDB oracle bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.training_data import (
+        SQL, temperature_mix)
+
+    n_big, n_small = 1600, 100
+    n = n_big + n_small
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["big"] * n_big + ["small"] * n_small),
+        "n_chars": pa.array([1] * n, pa.int64())}),
+        str(d / "documents.parquet"))
+    got = temperature_mix(str(d)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * "
+                 f"FROM read_parquet('{d}/documents.parquet')")
+    exp = con2.execute(SQL["k18_temperature_mix"]).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    kept = got.groupby("source").size()
+    assert kept["small"] == n_small  # tail capped at keep-all
+    # big's target share: N * sqrt(c_big) / (sqrt(c_big) + sqrt(c_small));
+    # md5 fractions are uniform, so the kept count lands near it
+    import math
+
+    z = math.sqrt(n_big) + math.sqrt(n_small)
+    target_big = n * math.sqrt(n_big) / z
+    assert abs(kept["big"] - target_big) < 0.05 * n_big
+    # deterministic: second run identical
+    again = temperature_mix(str(d)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
