@@ -2401,36 +2401,67 @@ ORDER BY cnt DESC, value
 """
 
 
-def ann_pq_topk(sf_dir: str, k: int = 10, m: int = 8):
-    """ANN with product quantization (rows-only: approximate by design;
-    recall vs the brute-force oracle is pytest-asserted). The 100-TB memory
-    path: vectors compress to m bytes each (32x at dim=64), the ADC scan
-    reads ONLY the code column, and the query's (m x 256) distance table
-    broadcasts once per actor. Codebooks train on a corpus-wide hash
-    sample, so driver cost is corpus-size-independent."""
-    import pyarrow.dataset as pads
+def _pq_code_store(sf_dir: str, m: int):
+    """Train-and-encode ONCE per (corpus, m): codebooks + the m-byte codes
+    land in an atomically renamed cache dir keyed by the input fingerprint
+    (stale inputs can never serve stale codes). This is the actual PQ
+    deployment shape — encode is an offline build; queries scan codes."""
+    import shutil
 
-    from ..stages.ann import PqAdcTopK, PqEncode, merge_topk, pq_train
-
+    from ..stages.ann import PqEncode, pq_train
     from ..functions.resources import pool_cap
 
     path = _doc_path(sf_dir, "embeddings")
-    qv = pads.dataset(path).to_table(
+    fp = input_fingerprint(path)
+    store = os.path.join(_CACHE_ROOT, f"pq_codes_{fp}_m{m}")
+    books_path = os.path.join(store, "codebooks.npz")
+    if not os.path.exists(books_path):
+        ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+        books = pq_train(ds, m=m)
+        tmp = store + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(os.path.join(tmp, "codes"), exist_ok=True)
+        ds.map_batches(
+            PqEncode, fn_constructor_kwargs={"codebooks": books},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=(1, pool_cap(2, fraction=0.25)),
+        ).write_parquet(os.path.join(tmp, "codes"))
+        np.savez(os.path.join(tmp, "codebooks.npz"),
+                 **{f"c{i}": b for i, b in enumerate(books)})
+        if os.path.exists(store):  # lost a concurrent race: theirs is equal
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, store)
+    with np.load(books_path) as z:
+        books = [z[f"c{i}"] for i in range(len(z.files))]
+    return os.path.join(store, "codes"), books
+
+
+def ann_pq_topk(sf_dir: str, k: int = 10, m: int = 8):
+    """ANN with product quantization (rows-only: approximate by design;
+    recall vs the brute-force oracle is pytest-asserted). The 100-TB memory
+    path: vectors compress to m bytes each (32x at dim=64) in a one-time
+    offline encode (cached per corpus fingerprint), and every query is ONE
+    scan over the code column with a per-actor (m x 256) distance table —
+    float vectors are never read at query time. Codebooks train on a
+    corpus-wide hash sample, so driver cost is corpus-size-independent."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann import PqAdcTopK, merge_topk
+    from ..functions.resources import pool_cap
+
+    qv = pads.dataset(_doc_path(sf_dir, "embeddings")).to_table(
         columns=["embedding"], filter=pc.field("vec_id") == 0
     )["embedding"][0].as_py()
-    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
-    books = pq_train(ds, m=m)
-    # autoscaling (1, cap) pools: two fixed-size pools would pin every CPU
-    # of a small session (pool min 1 leaves room for the read tasks), and
-    # the cap follows the cluster
-    cap = pool_cap(2, fraction=0.25)
-    partials = ds.map_batches(
-        PqEncode, fn_constructor_kwargs={"codebooks": books},
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, cap),
+    codes_dir, books = _pq_code_store(sf_dir, m)
+    partials = ray.data.read_parquet(
+        codes_dir, columns=["vec_id", "pq_code"]
     ).map_batches(
         PqAdcTopK, fn_constructor_kwargs={"codebooks": books,
                                           "query_vec": qv, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, cap),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, pool_cap(2, fraction=0.25)),
     )
     rows = partials.take_all()
     if not rows:
