@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equivalence with the exact mode is asserted in pytest
         "d7c_curate_minhash": functools.partial(cur.curated_docs,
                                                 near_dup="minhash"),
+        "d7d_curate_gopher": functools.partial(cur.curated_docs,
+                                               quality="gopher"),
         "j9_postings_export": st.postings_export,
         "m22_tfidf_embed": cs.tfidf_embed,
         "p1_pack_sequences": pk.pack_sequences,

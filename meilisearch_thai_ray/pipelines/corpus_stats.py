@@ -1327,52 +1327,62 @@ def gopher_rules(sf_dir: str):
     def _rules(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        stops = list(GOPHER_STOP_WORDS)
-        df = pl.from_arrow(batch).with_columns(
-            ws=pl.col("text").str.extract_all(_WORD_RE),
-            lines=pl.col("text").str.split("\n"),
-            nonws=(pl.col("text").str.len_chars()
-                   - pl.col("text").str.count_matches(
-                       f"[{WS_REGEX[1:-2]}]")).cast(pl.Int64),
-            symbol_cnt=(pl.col("text").str.count_matches("#", literal=True)
-                        + pl.col("text").str.count_matches(r"\.\.\."))
-            .cast(pl.Int64),
-        ).with_columns(
-            word_count=pl.col("ws").list.len().cast(pl.Int64),
-            n_lines=pl.col("lines").list.len().cast(pl.Int64),
-            bullet_lines=pl.col("lines").list.eval(
-                pl.element().str.contains(_BULLET_RE)).list.sum()
-            .cast(pl.Int64),
-            ellipsis_lines=pl.col("lines").list.eval(
-                pl.element().str.contains(_ELLIPSIS_RE)).list.sum()
-            .cast(pl.Int64),
-            alpha_words=pl.col("ws").list.eval(
-                pl.element().str.contains(_ALPHA_RE)).list.sum()
-            .cast(pl.Int64),
-            stop_hits=pl.col("ws").list.eval(
-                pl.element().str.to_lowercase().is_in(stops)).list.sum()
-            .cast(pl.Int64),
-        ).with_columns(
-            passes_gopher=(
-                (pl.col("word_count") >= GOPHER_MIN_WORDS)
-                & (pl.col("word_count") <= GOPHER_MAX_WORDS)
-                & (pl.col("nonws")
-                   >= GOPHER_MIN_MEAN_WORD_LEN * pl.col("word_count"))
-                & (pl.col("nonws")
-                   <= GOPHER_MAX_MEAN_WORD_LEN * pl.col("word_count"))
-                & (pl.col("symbol_cnt") * 10 < pl.col("word_count"))
-                & (pl.col("bullet_lines") * 10 < 9 * pl.col("n_lines"))
-                & (pl.col("ellipsis_lines") * 10 < 3 * pl.col("n_lines"))
-                & (pl.col("alpha_words") * 5 > 4 * pl.col("word_count"))
-                & (pl.col("stop_hits") >= 2)
-            ),
-        )
+        df = gopher_with_verdict(pl.from_arrow(batch))
         return df.select([
             "doc_id", "word_count", "symbol_cnt", "n_lines", "bullet_lines",
             "ellipsis_lines", "alpha_words", "stop_hits", "passes_gopher",
         ]).to_arrow()
 
     return ds.map_batches(_rules, batch_format="pyarrow", batch_size=8192)
+
+
+def gopher_with_verdict(df):
+    """Append the Gopher rule stats + `passes_gopher` verdict to any polars
+    frame with a `text` column — shared by m26 (scoring surface) and the
+    curate pipeline's quality="gopher" gate so both speak the ONE rule
+    set."""
+    import polars as pl
+
+    stops = list(GOPHER_STOP_WORDS)
+    return df.with_columns(
+        ws=pl.col("text").str.extract_all(_WORD_RE),
+        lines=pl.col("text").str.split("\n"),
+        nonws=(pl.col("text").str.len_chars()
+               - pl.col("text").str.count_matches(
+                   f"[{WS_REGEX[1:-2]}]")).cast(pl.Int64),
+        symbol_cnt=(pl.col("text").str.count_matches("#", literal=True)
+                    + pl.col("text").str.count_matches(r"\.\.\."))
+        .cast(pl.Int64),
+    ).with_columns(
+        word_count=pl.col("ws").list.len().cast(pl.Int64),
+        n_lines=pl.col("lines").list.len().cast(pl.Int64),
+        bullet_lines=pl.col("lines").list.eval(
+            pl.element().str.contains(_BULLET_RE)).list.sum()
+        .cast(pl.Int64),
+        ellipsis_lines=pl.col("lines").list.eval(
+            pl.element().str.contains(_ELLIPSIS_RE)).list.sum()
+        .cast(pl.Int64),
+        alpha_words=pl.col("ws").list.eval(
+            pl.element().str.contains(_ALPHA_RE)).list.sum()
+        .cast(pl.Int64),
+        stop_hits=pl.col("ws").list.eval(
+            pl.element().str.to_lowercase().is_in(stops)).list.sum()
+        .cast(pl.Int64),
+    ).with_columns(
+        passes_gopher=(
+            (pl.col("word_count") >= GOPHER_MIN_WORDS)
+            & (pl.col("word_count") <= GOPHER_MAX_WORDS)
+            & (pl.col("nonws")
+               >= GOPHER_MIN_MEAN_WORD_LEN * pl.col("word_count"))
+            & (pl.col("nonws")
+               <= GOPHER_MAX_MEAN_WORD_LEN * pl.col("word_count"))
+            & (pl.col("symbol_cnt") * 10 < pl.col("word_count"))
+            & (pl.col("bullet_lines") * 10 < 9 * pl.col("n_lines"))
+            & (pl.col("ellipsis_lines") * 10 < 3 * pl.col("n_lines"))
+            & (pl.col("alpha_words") * 5 > 4 * pl.col("word_count"))
+            & (pl.col("stop_hits") >= 2)
+        ),
+    )
 
 
 _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)

@@ -64,6 +64,20 @@ def _quality_filter(batch: pa.Table) -> pa.Table:
     return kept.select(["doc_id", "lang", "n_chars", "text"]).to_arrow()
 
 
+def _gopher_gate(batch: pa.Table) -> pa.Table:
+    """Stage-1 alternative: the m26 Gopher rule verdict as a FILTER — the
+    exact same polars expression tree as the scoring surface
+    (corpus_stats.gopher_with_verdict), so gate and report can never
+    drift."""
+    import polars as pl
+
+    from .corpus_stats import gopher_with_verdict
+
+    df = gopher_with_verdict(pl.from_arrow(batch))
+    return (df.filter(pl.col("passes_gopher"))
+            .select(["doc_id", "lang", "n_chars", "text"]).to_arrow())
+
+
 def _hash_keys(batch: pa.Table) -> pa.Table:
     """(doc_id, h) only — the dedup exchange carries 40 B/row, never
     text. The verdict comes back as loser ids (stages/runs.py:
@@ -77,7 +91,8 @@ def _hash_keys(batch: pa.Table) -> pa.Table:
 
 
 def curated_docs(sf_dir: str, n_blocks: int | None = None,
-                 mode: str = "pairwise_b", near_dup: str = "exact"):
+                 mode: str = "pairwise_b", near_dup: str = "exact",
+                 quality: str = "simple"):
     """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
     gate, exact dedup, and near-dup drop. See module docstring for the
     staging.
@@ -97,7 +112,13 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
                  verify stage's filtered text reads have a source. Gram
                  domain is char-5-gram Jaccard (the sketch family's),
                  so the pair set approximates-from-below the exact mode's;
-                 the planted-dup test asserts both modes drop the plants."""
+                 the planted-dup test asserts both modes drop the plants.
+
+    quality picks the stage-1 gate (also a live swap point):
+      "simple": the word-count + repetition-fraction gate (d7's oracle).
+      "gopher": the full m26 Gopher rule set (corpus_stats.
+                gopher_with_verdict — ONE shared implementation with the
+                scoring surface; what SQL["d7d_curate_gopher"] states)."""
     import os
 
     ds = read_parquet_clean(
@@ -106,7 +127,9 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
     )
     from ..stages.runs import anti_id_filter, keep_first_per_run
 
-    filtered = ds.map_batches(_quality_filter, batch_format="pyarrow",
+    gate = {"simple": _quality_filter,
+            "gopher": _gopher_gate}[quality]
+    filtered = ds.map_batches(gate, batch_format="pyarrow",
                               batch_size=4096).materialize()
     # exact dedup without moving text: ONE sort over (doc_id, h) rows,
     # losers = every non-first row of a hash run, payload filtered in
@@ -267,3 +290,79 @@ SELECT d.doc_id, d.lang, d.n_chars FROM d
 LEFT JOIN cc ON d.doc_id = cc.doc_id
 WHERE cc.doc_id IS NULL OR cc.component = cc.doc_id
 """
+
+
+def _d7d_sql() -> str:
+    """d7 with the stage-1 gate swapped for the m26 Gopher predicate —
+    constants imported from corpus_stats so the two oracles share ONE rule
+    set (deferred to call time to keep module imports acyclic)."""
+    from .corpus_stats import (
+        _ALPHA_RE,
+        _BULLET_RE,
+        _ELLIPSIS_RE,
+        _GOPHER_STOPS_SQL,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines,
+         length(regexp_replace(text, '{WS_REGEX}', '', 'g')) AS nonws,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbol_cnt
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars, text, ws, nonws, symbol_cnt,
+         CAST(len(ws) AS BIGINT) AS word_count,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '{_BULLET_RE}'))) AS BIGINT)
+             AS bullet_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '{_ELLIPSIS_RE}'))) AS BIGINT)
+             AS ellipsis_lines,
+         CAST(len(list_filter(ws,
+              x -> regexp_matches(x, '{_ALPHA_RE}'))) AS BIGINT)
+             AS alpha_words,
+         CAST(len(list_filter(ws,
+              x -> list_contains([{_GOPHER_STOPS_SQL}], lower(x))))
+              AS BIGINT) AS stop_hits
+  FROM w
+), f AS (
+  SELECT doc_id, lang, n_chars, text, ws FROM c
+  WHERE word_count >= {GOPHER_MIN_WORDS}
+    AND word_count <= {GOPHER_MAX_WORDS}
+    AND nonws >= {GOPHER_MIN_MEAN_WORD_LEN} * word_count
+    AND nonws <= {GOPHER_MAX_MEAN_WORD_LEN} * word_count
+    AND symbol_cnt * 10 < word_count
+    AND bullet_lines * 10 < 9 * n_lines
+    AND ellipsis_lines * 10 < 3 * n_lines
+    AND alpha_words * 5 > 4 * word_count
+    AND stop_hits >= 2
+), d AS (
+  SELECT f.* FROM f
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS mid FROM f GROUP BY md5(text))
+       m ON md5(f.text) = m.h AND f.doc_id = m.mid
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM d
+), p AS (
+  SELECT b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THR}
+)
+SELECT doc_id, lang, n_chars FROM d
+WHERE doc_id NOT IN (SELECT b FROM p)
+"""
+
+
+SQL["d7d_curate_gopher"] = _d7d_sql()

@@ -121,6 +121,12 @@ def keep_first_per_run(sorted_ds, key_cols: list[str],
     btab = pa.concat_tables(ray.get(
         sorted_ds.map_batches(_bounds, batch_format="pyarrow",
                               batch_size=None).to_arrow_refs()))
+    if "tag" not in btab.column_names:
+        # every block was a SCHEMALESS empty (an upstream filter dropped
+        # the whole corpus): there are no runs — pass the (empty) blocks
+        # through instead of crashing on the missing bounds columns
+        btab = pa.table({"tag": pa.array([], pa.string()),
+                         "last": pa.array([], pa.string())})
     import ast
 
     rows = [(ast.literal_eval(t), t, l) for t, l in

@@ -1450,3 +1450,65 @@ def test_temperature_mix_flattens_skewed_sources(ray_session, tmp_path):
     again = temperature_mix(str(d)).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_curate_gopher_gate_filters_differently(ray_session, tmp_path):
+    """quality="gopher" vs "simple": a 30-word stop-word-free doc passes
+    the simple repetition gate but fails Gopher (stop_hits < 2 and
+    word_count < 50); a long English doc passes both; both modes then share
+    the dedup stages. Output matches the d7d DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.curate import SQL, curated_docs
+
+    # good docs: >= 50 words, all-distinct (passes the repetition gate),
+    # 5 stop-word hits, ~6-char mean word length -> pass BOTH gates
+    good = ["the be to of and " + " ".join(f"tok{d}w{i:03d}"
+                                           for i in range(60))
+            for d in range(6)]
+    # 30 distinct words, zero stop hits: pass simple (dup fraction 0,
+    # wc >= 20) but FAIL gopher (wc < 50 and stop_hits < 2)
+    no_stops = [" ".join(f"x{d}y{i:02d}" for i in range(30))
+                for d in range(4)]
+    texts = good + no_stops
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(d / "documents.parquet"))
+    simple = set(curated_docs(str(d)).to_pandas()["doc_id"])
+    gopher = set(curated_docs(str(d), quality="gopher")
+                 .to_pandas()["doc_id"])
+    assert set(range(6)) <= simple and set(range(6, 10)) <= simple
+    assert gopher <= set(range(6))        # gopher drops the stop-free docs
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * "
+                 f"FROM read_parquet('{d}/documents.parquet')")
+    exp = set(con2.execute(SQL["d7d_curate_gopher"]).fetchdf()["doc_id"])
+    assert gopher == exp
+
+
+def test_curate_survives_all_docs_filtered(ray_session, tmp_path):
+    """A corpus the quality gate fully rejects must yield an EMPTY curated
+    set, not crash in the run-scan on schemaless empty blocks (regression:
+    keep_first_per_run KeyError 'tag')."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.curate import curated_docs
+
+    texts = ["tiny doc"] * 5  # < MIN_WORDS: stage 1 drops everything
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(d / "documents.parquet"))
+    out = curated_docs(str(d)).to_pandas()
+    assert len(out) == 0
