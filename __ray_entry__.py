@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k15_sorted_export": td.sorted_export_range,
         "k17_dsir_weights": td.dsir_weights,
         "k18_temperature_mix": td.temperature_mix,
+        "m27_text_chunks": td.text_chunks,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

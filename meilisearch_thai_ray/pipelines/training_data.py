@@ -1107,3 +1107,68 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0
       < least(1.0, (tot.n * pow(sc.c, {MIX_ALPHA}) / tot.z) / sc.c)
 """
+
+
+# ------------------------- overlapping text chunking (embedding prep)
+
+CHUNK_WORDS = 64   # window size in whitespace words
+CHUNK_STRIDE = 48  # overlap = CHUNK_WORDS - CHUNK_STRIDE
+
+
+def text_chunks(sf_dir: str, window: int = CHUNK_WORDS,
+                stride: int = CHUNK_STRIDE) -> ray.data.Dataset:
+    """M27 -> (doc_id, chunk_id, n_words, chunk): fixed-size overlapping
+    word windows per document — the chunking step ahead of embedding /
+    retrieval indexing (window tokens, window-stride overlap so no span is
+    split across a boundary unseen). Chunk k covers words
+    [k*stride, k*stride + window); k ranges over ceil(n_words / stride)
+    windows so every word appears in >= 1 chunk.
+
+    Scale shape: pure per-batch flat-map (polars int_ranges explode +
+    list.slice), zero shuffle, output streams block by block; chunk
+    identity is (doc_id, chunk_id) so a downstream embedding stage can
+    resume per chunk. Tokenization is text.split(' ') — bit-compatible
+    with the DuckDB oracle's string_split."""
+    def _chunks(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(batch)
+              .with_columns(ws=pl.col("text").str.split(" "))
+              .with_columns(n=pl.col("ws").list.len().cast(pl.Int64))
+              .with_columns(nk=(pl.col("n") + stride - 1) // stride)
+              .with_columns(chunk_id=pl.int_ranges(0, pl.col("nk")))
+              .explode("chunk_id")
+              .with_columns(
+                  sl=pl.col("ws").list.slice(
+                      pl.col("chunk_id") * stride, window))
+              .select(
+                  pl.col("doc_id"),
+                  pl.col("chunk_id").cast(pl.Int64),
+                  pl.col("sl").list.len().cast(pl.Int64).alias("n_words"),
+                  pl.col("sl").list.join(" ").alias("chunk")))
+        return df.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+            ("n_words", pa.int64()), ("chunk", pa.string())]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunks, batch_format="pyarrow", batch_size=2048)
+
+
+SQL["m27_text_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws, len(ws) AS n FROM t
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ws, k * {CHUNK_STRIDE} + 1,
+                           k * {CHUNK_STRIDE} + {CHUNK_WORDS}))
+            AS BIGINT) AS n_words,
+       array_to_string(list_slice(ws, k * {CHUNK_STRIDE} + 1,
+                                  k * {CHUNK_STRIDE} + {CHUNK_WORDS}),
+                       ' ') AS chunk
+FROM n, unnest(range(0, (n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}))
+     AS u(k)
+ORDER BY doc_id, chunk_id
+"""

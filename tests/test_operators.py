@@ -1512,3 +1512,42 @@ def test_curate_survives_all_docs_filtered(ray_session, tmp_path):
         str(d / "documents.parquet"))
     out = curated_docs(str(d)).to_pandas()
     assert len(out) == 0
+
+
+def test_text_chunks_cover_every_word_with_overlap(ray_session, tmp_path):
+    """Chunk windows: full coverage of every word index, stride-sized
+    overlap between consecutive chunks, exact reconstruction of each
+    window, and short docs yield exactly one whole-doc chunk."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.training_data import text_chunks
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(150)),   # 150 words: 4 chunks
+        1: " ".join(f"w{i}" for i in range(64)),    # == window: 2 chunks
+        2: "short doc only",                        # 3 words: 1 chunk
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                            pa.int64())}),
+        str(d / "documents.parquet"))
+    out = text_chunks(str(d), window=64, stride=48).to_pandas()
+    g = out.groupby("doc_id")
+    assert g.size().to_dict() == {0: -(-150 // 48), 1: 2, 2: 1}
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        rows = out[out.doc_id == doc_id].sort_values("chunk_id")
+        covered = set()
+        for _, r in rows.iterrows():
+            start = r.chunk_id * 48
+            expect = words[start:start + 64]
+            assert r.chunk == " ".join(expect)
+            assert r.n_words == len(expect)
+            covered.update(range(start, start + len(expect)))
+        assert covered == set(range(len(words)))
