@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_count_dist": st.q13_order_count_dist,
         "q10_top_returners": st.q10_top_returners,
         "a19_embed_cov": wo.embed_covariance,
+        "a21_funnel_stages": wo.funnel_stages,
         "j13_big_orders": olap.big_orders,
         "a13_distinct_suppliers": olap.distinct_suppliers,
         "q6_forecast_revenue": olap.forecast_revenue,

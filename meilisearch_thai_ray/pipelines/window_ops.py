@@ -814,3 +814,162 @@ SELECT a.dim AS dim_i, b.dim AS dim_j,
 FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim
 """
+
+
+# ------------------------------- funnel analysis (ordered subsequence)
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_transitions(codes: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                        n_steps: int) -> np.ndarray:
+    """For each fragment [lo[i], hi[i]) of the step-code array, the funnel
+    TRANSITION MAP t[i, s] = state reached by the end of the fragment when
+    entering at state s. Fully vectorized: for each (entry s, step k >= s)
+    one searchsorted over step k's occurrence positions advances every
+    fragment simultaneously — no per-fragment Python loop. Transition maps
+    compose associatively, so cross-block user fragments chain exactly."""
+    nf = lo.size
+    pos = [np.flatnonzero(codes == k) for k in range(n_steps)]
+    t = np.empty((nf, n_steps + 1), np.int8)
+    for s in range(n_steps + 1):
+        cur = lo.astype(np.int64)   # next index each fragment may consume
+        state = np.full(nf, s, np.int8)
+        for k in range(s, n_steps):
+            p = pos[k]
+            if p.size == 0:
+                break  # step k absent from this block: the ordered chain
+                # cannot advance past it for any fragment entering at s
+            j = np.searchsorted(p, cur)
+            hit = (j < p.size) & (np.where(j < p.size, p[np.minimum(
+                j, max(p.size - 1, 0))], np.iinfo(np.int64).max) < hi)
+            state = np.where(hit, k + 1, state).astype(np.int8)
+            # fragments that missed step k stop advancing (subsequence is
+            # ordered); freeze them by pushing cur past hi
+            cur = np.where(hit, p[np.minimum(j, max(p.size - 1, 0))] + 1,
+                           np.iinfo(np.int64).max)
+        t[:, s] = state
+    return t
+
+
+def funnel_stages(sf_dir: str,
+                  steps: tuple = FUNNEL_STEPS) -> pa.Table:
+    """A21 -> (stage, n_users): how far each user got through the ordered
+    funnel (events must appear as a TIME-ORDERED SUBSEQUENCE; unrelated
+    events in between are fine), histogrammed over users.
+
+    Distributed shape: ONE sort by (user_id, ts, event_id), then per-block
+    vectorized transition maps. A user fully inside a block contributes
+    its stage to that block's 5-int histogram partial; only the first/last
+    user run of each block ships its (n_steps+1)-byte map to the driver,
+    where maps compose associatively in block order (function composition
+    of monotone automaton maps — the same O(blocks) carry contract as a15/
+    a17)."""
+    step_of = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+
+    def block_maps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "ord_ts": pa.array([], pa.int64()),
+                "ord_ev": pa.array([], pa.int64()),
+                "tmap": pa.array([], pa.list_(pa.int8())),
+                "hist": pa.array([], pa.list_(pa.int64()))})
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        tsi = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        evid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ev = batch["event_type"].to_pylist()
+        codes = np.fromiter((step_of.get(e, -1) for e in ev), np.int8,
+                            count=len(ev))
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:], users.size]
+        t = _funnel_transitions(codes, starts, ends, n_steps)
+        edge = np.zeros(starts.size, bool)
+        edge[0] = True
+        edge[-1] = True
+        hist = np.bincount(t[~edge, 0], minlength=n_steps + 1)
+        rows_u = users[starts[edge]]
+        ne = int(edge.sum())  # edge-fragment rows, then ONE histogram row
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(ne, np.int8), [1]].astype(
+                np.int8)),
+            "user_id": pa.array(np.r_[rows_u, [0]].astype(np.int64)),
+            # fragment order within a user = its first row's GLOBAL sort
+            # key (ts, event_id) — correct even if blocks arrive out of
+            # order on the driver
+            "ord_ts": pa.array(np.r_[tsi[starts[edge]], [0]].astype(
+                np.int64)),
+            "ord_ev": pa.array(np.r_[evid[starts[edge]], [0]].astype(
+                np.int64)),
+            "tmap": pa.array([r.tolist() for r in t[edge]] + [[]],
+                             pa.list_(pa.int8())),
+            "hist": pa.array([[]] * ne + [hist.tolist()],
+                             pa.list_(pa.int64())),
+        })
+
+    parts = [b for b in ds.map_batches(
+        block_maps, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow")]
+    total = np.zeros(n_steps + 1, np.int64)
+    frags: list[tuple[int, int, int, np.ndarray]] = []
+    for b in parts:
+        kinds = b["kind"].to_numpy(zero_copy_only=False)
+        for i in range(b.num_rows):
+            if kinds[i] == 1:
+                h = np.asarray(b["hist"][i].as_py(), np.int64)
+                if h.size:
+                    total += h
+            else:
+                frags.append((int(b["user_id"][i].as_py()),
+                              int(b["ord_ts"][i].as_py()),
+                              int(b["ord_ev"][i].as_py()),
+                              np.asarray(b["tmap"][i].as_py(), np.int8)))
+    frags.sort(key=lambda x: x[:3])
+    i = 0
+    while i < len(frags):
+        j = i
+        state = 0
+        while j < len(frags) and frags[j][0] == frags[i][0]:
+            state = int(frags[j][3][state])
+            j += 1
+        total[state] += 1
+        i = j
+    return pa.table({
+        "stage": pa.array(np.arange(n_steps + 1, dtype=np.int64)),
+        "n_users": pa.array(total, pa.int64()),
+    })
+
+
+def _funnel_like(steps: tuple) -> str:
+    return "%" + "%".join(f"|{s}|" for s in steps) + "%"
+
+
+SQL["a21_funnel_stages"] = f"""
+WITH s AS (
+  SELECT user_id,
+         '|' || string_agg(event_type, '||' ORDER BY ts, event_id) || '|'
+           AS seq
+  FROM events GROUP BY user_id
+), st AS (
+  SELECT user_id,
+         CASE
+           WHEN seq LIKE '{_funnel_like(FUNNEL_STEPS)}' THEN 4
+           WHEN seq LIKE '{_funnel_like(FUNNEL_STEPS[:3])}' THEN 3
+           WHEN seq LIKE '{_funnel_like(FUNNEL_STEPS[:2])}' THEN 2
+           WHEN seq LIKE '{_funnel_like(FUNNEL_STEPS[:1])}' THEN 1
+           ELSE 0
+         END AS stage
+  FROM s
+)
+SELECT CAST(g.stage AS BIGINT) AS stage,
+       CAST(count(st.user_id) AS BIGINT) AS n_users
+FROM range(0, 5) g(stage) LEFT JOIN st ON st.stage = g.stage
+GROUP BY g.stage
+ORDER BY g.stage
+"""

@@ -1551,3 +1551,59 @@ def test_text_chunks_cover_every_word_with_overlap(ray_session, tmp_path):
             assert r.n_words == len(expect)
             covered.update(range(start, start + len(expect)))
         assert covered == set(range(len(words)))
+
+
+def test_funnel_stages_partial_and_cross_block(ray_session, tmp_path):
+    """One user per funnel depth (0..4), including an out-of-ORDER user
+    (purchase before signup completes only stage 1) and a heavy user whose
+    events straddle many tiny sort blocks — the transition-map composition
+    must agree with DuckDB's ordered-subsequence oracle."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.window_ops import (
+        SQL, funnel_stages)
+
+    rows = []  # (user, minute, event_type)
+    rows += [(0, 0, "error")]                                  # stage 0
+    rows += [(1, 0, "signup")]                                 # stage 1
+    rows += [(2, 0, "signup"), (2, 1, "view")]                 # stage 2
+    rows += [(3, 0, "signup"), (3, 1, "view"), (3, 2, "click")]  # stage 3
+    rows += [(4, i, e) for i, e in enumerate(
+        ["signup", "error", "view", "view", "click", "purchase"])]  # 4
+    # order matters: purchase/click BEFORE signup must not count
+    rows += [(5, 0, "purchase"), (5, 1, "click"), (5, 2, "signup")]  # 1
+    # heavy user: 600 noise events, the real funnel hidden at positions
+    # spread across the whole span (spans many 8 KiB blocks)
+    noise = [(6, i, "error") for i in range(600)]
+    noise[50] = (6, 50, "signup")
+    noise[250] = (6, 250, "view")
+    noise[450] = (6, 450, "click")
+    noise[599] = (6, 599, "purchase")                          # stage 4
+    rows += noise
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([pd.Timestamp("2025-01-01")
+                        + pd.Timedelta(minutes=m) for _u, m, _e in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _m, _e in rows], pa.int64()),
+        "event_type": pa.array([e for _u, _m, e in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}),
+        str(d / "events.parquet"))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = funnel_stages(str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = saved
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * "
+                 f"FROM read_parquet('{d}/events.parquet')")
+    exp = con2.execute(SQL["a21_funnel_stages"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert dict(zip(got["stage"], got["n_users"])) == {
+        0: 1, 1: 2, 2: 1, 3: 1, 4: 2}
