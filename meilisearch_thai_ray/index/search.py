@@ -320,20 +320,27 @@ class SearchEngine:
         return self._score_exhaustive(loaded, k, require_all_terms=require_all)
 
     def score_topk_given_idf(self, weighted_terms: list[tuple[str, float, float]],
-                             k: int = 10) -> list[tuple[int, float]]:
+                             k: int = 10, match: str = "any"
+                             ) -> list[tuple[int, float]]:
         """Exhaustive top-k with CALLER-SUPPLIED idf per term — the scoring
         primitive for doc-partitioned serving, where each actor holds only a
         doc partition and its local dfs are partial (the driver sums local
         dfs into global idfs first). weighted_terms must be sorted by term
-        (float-identity depends on sorted-term accumulation order)."""
+        (float-identity depends on sorted-term accumulation order).
+        match="all" keeps only docs containing EVERY queried term, like
+        score_topk's matchingStrategy (a term absent from this partition
+        entirely yields no "all" matches here)."""
         loaded = []
         for term, w, idf_t in weighted_terms:
             segs = self.segments(term)
             if segs:
                 loaded.append((term, float(w), float(idf_t), segs))
-        if not loaded:
+        if not loaded or (match == "all"
+                          and len(loaded) < len(weighted_terms)):
             return []
-        return self._score_exhaustive(loaded, k)
+        return self._score_exhaustive(
+            loaded, k,
+            require_all_terms=len(loaded) if match == "all" else None)
 
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term df within this engine's (possibly salt-restricted) data."""
@@ -580,18 +587,44 @@ class SearchEngine:
                 "index was built without store_positions=True; use the "
                 "proxy's substring-verify phrase path instead"
             )
+        seq = self.phrase_seq(phrase)
+        if not seq:
+            return []
+        if len(seq) == 1:
+            return self.score_topk(seq, k=k, match="all")
+        matched = self.phrase_match_docs(seq)
+        if not matched:
+            return []
+        # k covers every AND-matching doc (matched is a subset of them), so
+        # this returns the full match="all" score map — same set the
+        # original candidate-sized call produced
+        scores = dict(
+            self.score_topk(seq, k=1 << 62, match="all")
+        )
+        hits = sorted(
+            ((d, scores[d]) for d in matched if d in scores),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return hits[:k]
+
+    def phrase_seq(self, phrase: str) -> list[str]:
+        """The phrase's primary term per token position (compound sub-terms
+        share their token's position; the primary one defines adjacency)."""
         tok = self.tokenizer
         terms, tpos = tok.index_terms_with_positions(tok.tokenize(phrase))
         seq: list[str] = []
         seen_pos: set[int] = set()
         for t, p in zip(terms, tpos):
-            if p not in seen_pos:  # primary term per token position
+            if p not in seen_pos:
                 seen_pos.add(p)
                 seq.append(t)
-        if not seq:
-            return []
-        if len(seq) == 1:
-            return self.score_topk(seq, k=k, match="all")
+        return seq
+
+    def phrase_match_docs(self, seq: list[str]) -> list[int]:
+        """Docs (within this engine's possibly salt-restricted partition)
+        where `seq` occurs at consecutive token positions: posting-AND
+        intersection + position-list verification. No scoring — the
+        building block doc-partitioned serving fans out."""
         uniq_terms = sorted(set(seq))
         doc_sets = []
         for t in uniq_terms:
@@ -619,16 +652,27 @@ class SearchEngine:
                     break
             if base is not None and base.size:
                 matched.append(int(d))
-        if not matched:
-            return []
-        scores = dict(
-            self.score_topk(seq, k=int(cand.size), match="all")
-        )
-        hits = sorted(
-            ((d, scores[d]) for d in matched if d in scores),
-            key=lambda x: (-x[1], x[0]),
-        )
-        return hits[:k]
+        return matched
+
+    def score_docs_given_idf(self, weighted_terms: list[tuple[str, float, float]],
+                             doc_ids: list[int]) -> dict[int, float]:
+        """BM25 scores for SPECIFIC docs with caller-supplied idfs —
+        accumulation follows _score_exhaustive's exact chunk order
+        (sorted terms outer, salt segments inner, contribution
+        w * (idf * tfn)), so scores are bit-identical to the top-k paths."""
+        if not doc_ids:
+            return {}
+        ids = np.asarray(sorted(doc_ids), np.int64)
+        acc = np.zeros(ids.size, np.float64)
+        for term, w, idf_t in weighted_terms:
+            for seg in self.segments(term):
+                pos = np.searchsorted(seg.doc_ids, ids)
+                pos_c = np.minimum(pos, max(seg.n - 1, 0))
+                hit = (pos < seg.n) & (seg.doc_ids[pos_c] == ids)
+                if hit.any():
+                    acc[hit] += float(w) * (float(idf_t)
+                                            * seg.tfn[pos_c[hit]])
+        return {int(d): float(s) for d, s in zip(ids, acc)}
 
     def proximity_topk(self, terms: list[str], k: int = 10,
                        pool: int | None = None

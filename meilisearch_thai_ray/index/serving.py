@@ -100,6 +100,33 @@ class DocPartitionServer:
                        k: int) -> list[tuple[int, float]]:
         return self.engine.score_topk_given_idf(weighted_terms, k)
 
+    def phrase_local(self, phrase: str) -> tuple[list[str], list[int]]:
+        """(primary term sequence, position-verified LOCAL doc matches) —
+        tokenization happens server-side (every server shares the build's
+        dictionary config, so the sequences agree)."""
+        seq = self.engine.phrase_seq(phrase)
+        if len(seq) < 2:
+            return seq, []
+        return seq, self.engine.phrase_match_docs(seq)
+
+    def score_docs_given_idf(self, weighted_terms, doc_ids: list[int]
+                             ) -> dict[int, float]:
+        return self.engine.score_docs_given_idf(weighted_terms, doc_ids)
+
+    def proximity_local(self, weighted_terms, uniq_terms: list[str],
+                        k: int, pool: int) -> list[tuple[int, int, float]]:
+        """Local words+proximity candidates with GLOBAL idf scores: top
+        `pool` AND-matching local docs, each with its min-window cost."""
+        hits = self.engine.score_topk_given_idf(weighted_terms, k=pool,
+                                                match="all")
+        out = []
+        for d, s in hits:
+            nm, cost = self.engine.proximity_cost(d, uniq_terms)
+            if nm == len(uniq_terms):
+                out.append((d, cost, s))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[:max(k, 1)]
+
     def warm(self) -> int:
         return self.engine.warm()
 
@@ -143,7 +170,10 @@ class DocPartitionedSearchService:
     def warm(self) -> int:
         return sum(ray.get([s.warm.remote() for s in self.servers]))
 
-    def score_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def _weighted(self, terms: list[str]) -> list[tuple[str, float, float]]:
+        """(term, weight, GLOBAL idf) rows, sorted by term — local dfs fan
+        out once per uncached term and sum exactly (salt partitions are
+        doc-disjoint)."""
         weights = Counter(terms)
         ordered = sorted(weights)
         if not ordered:
@@ -153,13 +183,16 @@ class DocPartitionedSearchService:
             partials = ray.get(
                 [s.local_dfs.remote(missing) for s in self.servers]
             )
-            for t in missing:  # salt partitions are doc-disjoint: dfs sum
+            for t in missing:
                 self._df_cache[t] = sum(p.get(t, 0) for p in partials)
-        weighted = [
+        return [
             (t, float(weights[t]), _idf(self.n_docs, self._df_cache[t]))
             for t in ordered
             if self._df_cache[t] > 0
         ]
+
+    def score_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        weighted = self._weighted(terms)
         if not weighted:
             return []
         locals_ = ray.get(
@@ -169,6 +202,62 @@ class DocPartitionedSearchService:
             (d, s) for hits in locals_ for d, s in hits if d not in self._dead
         ]
         merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Distributed quoted-phrase search: each doc partition verifies
+        its own docs' token adjacency locally (positions never leave the
+        actor), the driver supplies global idfs and merges O(matches)
+        scored rows — bit-identical to the local engine's phrase_topk."""
+        infos = ray.get(
+            [s.phrase_local.remote(phrase) for s in self.servers]
+        )
+        seq = next((sq for sq, _m in infos if sq), [])
+        if not seq:
+            return []
+        if len(seq) == 1:
+            return self.score_topk(seq, k=k)
+        weighted = self._weighted(seq)
+        if not weighted:
+            return []
+        futs = []
+        for (sq, matched), srv in zip(infos, self.servers):
+            if matched:
+                futs.append(srv.score_docs_given_idf.remote(
+                    weighted, matched))
+        merged = [
+            (d, s)
+            for part in ray.get(futs) for d, s in part.items()
+            if d not in self._dead
+        ]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def proximity_topk(self, terms: list[str], k: int = 10,
+                       pool: int | None = None
+                       ) -> list[tuple[int, int, float]]:
+        """Distributed words-then-proximity ranking: each doc partition
+        pools its local AND matches (global idf scores), computes
+        min-window costs from its local positions, and returns its top-k;
+        the driver merges by (cost, -score, doc). With `pool` covering the
+        full AND set this equals the local engine's proximity_topk; at
+        smaller pools each PARTITION's pool is local, so recall is >= the
+        single-node heuristic's."""
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return []
+        weighted = self._weighted(uniq)
+        if len(weighted) < len(uniq):
+            return []  # some term absent corpus-wide: no "all" matches
+        per_pool = pool or max(10 * k, 100)
+        locals_ = ray.get([
+            s.proximity_local.remote(weighted, uniq, k, per_pool)
+            for s in self.servers
+        ])
+        merged = [
+            t for part in locals_ for t in part if t[0] not in self._dead
+        ]
+        merged.sort(key=lambda x: (x[1], -x[2], x[0]))
         return merged[:k]
 
     def shutdown(self) -> None:

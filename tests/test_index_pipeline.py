@@ -824,3 +824,27 @@ def test_proxy_proximity_ranking_option(pos_index):
     s_only = SearchOptions(limit=10, sort=["doc_id:asc"])
     assert [h["doc_id"] for h in proxy.search("red fox", options=s_opts)] == \
         [h["doc_id"] for h in proxy.search("red fox", options=s_only)]
+
+
+def test_doc_partitioned_phrase_and_proximity_equal_local(pos_index):
+    """Doc-partitioned serving of the positional features: phrase_topk is
+    bit-identical to the local engine (scores included); proximity_topk
+    with a covering pool reproduces the local ranking exactly."""
+    from meilisearch_thai_ray.index.serving import (
+        DocPartitionedSearchService)
+
+    out, _texts, _urls = pos_index
+    eng = SearchEngine(out)
+    svc = DocPartitionedSearchService(out, num_servers=2)
+    try:
+        assert len(svc.servers) == 2  # num_salts=2: genuinely partitioned
+        for phrase in ["red fox", "quick red fox", "fox red",
+                       "nonexistent words", "red"]:
+            assert svc.phrase_topk(phrase, k=10) == \
+                eng.phrase_topk(phrase, k=10), phrase
+        local = eng.proximity_topk(["red", "fox"], k=10, pool=10_000)
+        served = svc.proximity_topk(["red", "fox"], k=10, pool=10_000)
+        assert served == local
+        assert svc.proximity_topk(["red", "zzz_missing"], k=5) == []
+    finally:
+        svc.shutdown()
