@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import dedup_pipelines as dp
     from meilisearch_thai_ray.pipelines import flagship
     from meilisearch_thai_ray.pipelines import olap
+    from meilisearch_thai_ray.pipelines import olap2
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
     from meilisearch_thai_ray.pipelines import training_data as td
@@ -89,6 +90,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": olap.nation_volume,
         "q15_top_supplier": olap.top_supplier,
         "q17_small_qty_revenue": olap.small_qty_revenue,
+        "q8_market_share": olap2.market_share,
+        "q9_profit_by_nation": olap2.profit_by_nation,
+        "q12_priority_by_status": olap2.priority_by_status,
+        "q19_disjunctive_revenue": olap2.disjunctive_revenue,
+        "q21_last_shipper": olap2.last_shipper,
+        "a22_event_paths": olap2.event_paths,
+        "a23_cohort_retention": olap2.cohort_retention,
+        "j16_grouped_mode": olap2.grouped_mode,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
         "a17_event_gaps": wo.event_gaps,
@@ -188,10 +197,11 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.curate import SQL as CURATE_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.olap import SQL as OLAP_SQL
+    from meilisearch_thai_ray.pipelines.olap2 import SQL as OLAP2_SQL
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
     from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
     from meilisearch_thai_ray.pipelines.window_ops import SQL as WINDOW_SQL
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
-            **TRAIN_SQL, **OLAP_SQL, **WINDOW_SQL}
+            **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **WINDOW_SQL}

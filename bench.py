@@ -129,7 +129,9 @@ def run_bench() -> dict:
                  "m23_lm_score", "k8_global_shuffle", "k9_budget_select",
                  "q6_forecast_revenue", "q14_promo_revenue",
                  "j14_order_priority", "m26_gopher_rules", "d14_semdedup",
-                 "q7_nation_volume", "k17_dsir_weights", "ann_pq_topk"]:
+                 "q7_nation_volume", "k17_dsir_weights", "ann_pq_topk",
+                 "q8_market_share", "q21_last_shipper", "a22_event_paths",
+                 "a23_cohort_retention"]:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -52,6 +52,9 @@ SQL_CHECKED = [
     "k12_weighted_sample",
     "j8_latest_event", "a11_bigram_pmi", "d7_curate", "j9_postings_export",
     "ann_ivf_dtrain_topk", "m22_tfidf_embed",
+    "q8_market_share", "q9_profit_by_nation", "q12_priority_by_status",
+    "q19_disjunctive_revenue", "q21_last_shipper", "a22_event_paths",
+    "j16_grouped_mode", "a23_cohort_retention",
 ]
 
 
