@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_last_shipper": olap2.last_shipper,
         "a22_event_paths": olap2.event_paths,
         "a23_cohort_retention": olap2.cohort_retention,
+        "j17_full_outer_counts": olap2.full_outer_counts,
         "j16_grouped_mode": olap2.grouped_mode,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
@@ -152,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,
+        # rows-only: KMV k-minimum-values sketch (approximate pairwise
+        # distinct-user overlap; error bound + merge identity are
+        # pytest-asserted vs the exact self-join)
+        "a9c_kmv_overlap": cs.kmv_user_overlap,
         "a10b_quantiles_approx": cs.quantiles_approx,
         # rows-only: KLL sketch quantiles (approximate; rank-error bound
         # vs exact numpy quantiles is pytest-asserted)

@@ -915,6 +915,69 @@ def grouped_mode(sf_dir: str) -> pa.Table:
     return out.take(pa.array(order))
 
 
+# ----------------------------- J17: full outer join of two aggregates
+
+def full_outer_counts(sf_dir: str) -> pa.Table:
+    """J17 — FULL OUTER join shape: per-key order count vs event count
+    where the key domains only partially overlap, null-extending BOTH
+    sides (the one join variant the rest of the join family doesn't
+    exercise).
+
+    Scale shape: neither side ever ships raw rows — each folds to
+    per-batch (key, count) combiner partials carrying a zero column for
+    the other side's measure, so the full outer join IS the one
+    groupby(key) sum; presence is recoverable because a present side's
+    count is >= 1, so a zero sum means absent -> NULL."""
+
+    def count_side(col: str, mine: str, other: str):
+        def part(batch: pa.Table) -> pa.Table:
+            k = batch[col].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(k, return_inverse=True)
+            c = np.bincount(inv)
+            return pa.table({
+                "key_id": pa.array(u.astype(np.int64)),
+                mine: pa.array(c.astype(np.int64)),
+                other: pa.array(np.zeros(u.size, np.int64)),
+            }).select(["key_id", "n_orders_p", "n_events_p"])
+        return part
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_custkey"],
+    ).map_batches(count_side("o_custkey", "n_orders_p", "n_events_p"),
+                  batch_format="pyarrow", batch_size=65536)
+    events = read_parquet_clean(
+        _doc_path(sf_dir, "events"), columns=["user_id"],
+    ).map_batches(count_side("user_id", "n_events_p", "n_orders_p"),
+                  batch_format="pyarrow", batch_size=65536)
+
+    def finish(t: pa.Table) -> pa.Table:
+        no = t["sum(n_orders_p)"].to_numpy(zero_copy_only=False)
+        ne = t["sum(n_events_p)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key_id": t["key_id"].cast(pa.int64()),
+            "n_orders": pa.array(no.astype(np.int64), pa.int64(),
+                                 mask=no == 0),
+            "n_events": pa.array(ne.astype(np.int64), pa.int64(),
+                                 mask=ne == 0),
+        })
+
+    return (orders.union(events)
+            .groupby("key_id").sum(["n_orders_p", "n_events_p"])
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+SQL["j17_full_outer_counts"] = """
+SELECT COALESCE(o.k, e.k) AS key_id, o.n_orders, e.n_events
+FROM (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1) e
+ON o.k = e.k
+ORDER BY key_id
+"""
+
+
 # ---------------------------------------- A23: cohort retention matrix
 
 def cohort_retention(sf_dir: str) -> pa.Table:

@@ -407,3 +407,56 @@ class KLL:
                 np.frombuffer(buf[off:off + 8 * ln], np.float64).copy())
             off += 8 * int(ln)
         return sk
+
+
+class KMV:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; set-
+    operation estimates per Beyer et al., SIGMOD 2007): keep the k smallest
+    DISTINCT 64-bit hashes of the keys seen. Fixed <= 8k bytes, mergeable
+    (k smallest of the union — associative/commutative/idempotent), and —
+    unlike HLL — supports intersection-size estimation: within the union
+    sketch's k-sample, the fraction of hashes present in both sides is an
+    unbiased Jaccard estimate, scaled by the union's distinct estimate.
+
+    Relative error ~ 1/sqrt(k-2) for distinct counts; intersection error
+    additionally scales with 1/J (rare-overlap pairs need larger k)."""
+
+    def __init__(self, k: int = 1024, values: np.ndarray | None = None):
+        self.k = k
+        self.values = (np.empty(0, np.uint64) if values is None
+                       else values)  # sorted ascending, distinct
+
+    def update_ints(self, ids: np.ndarray) -> "KMV":
+        h = splitmix64(ids.astype(np.uint64, copy=False))
+        self.values = np.unique(np.concatenate([self.values, h]))[:self.k]
+        return self
+
+    def merge(self, other: "KMV") -> "KMV":
+        self.values = np.unique(
+            np.concatenate([self.values, other.values]))[:self.k]
+        return self
+
+    def estimate(self) -> float:
+        if self.values.size < self.k:
+            return float(self.values.size)  # exact below k distinct
+        kth = float(self.values[-1]) + 1.0
+        return (self.k - 1) * (2.0 ** 64) / kth
+
+    @staticmethod
+    def intersection(a: "KMV", b: "KMV") -> float:
+        """Estimated |A ∩ B| from two same-k sketches."""
+        u = KMV(a.k, a.values.copy()).merge(b)
+        samp = u.values  # the union's k-minimum sample
+        if samp.size == 0:
+            return 0.0
+        in_a = np.isin(samp, a.values, assume_unique=True)
+        in_b = np.isin(samp, b.values, assume_unique=True)
+        jacc = float((in_a & in_b).sum()) / samp.size
+        return jacc * u.estimate()
+
+    def serialize(self) -> bytes:
+        return self.values.tobytes()
+
+    @classmethod
+    def deserialize(cls, buf: bytes, k: int = 1024) -> "KMV":
+        return cls(k, np.frombuffer(buf, np.uint64).copy())

@@ -461,3 +461,62 @@ def test_quantile_cont_sparse_matches_numpy_and_duckdb():
             f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
             for q in qs]
         assert np.allclose(ours, duck), (ours, duck)
+
+
+def test_kmv_estimates_and_merge_identity():
+    """KMV distinct estimate within 5/sqrt(k) of truth; merge of split
+    streams == one-shot sketch (k-smallest-of-union is order-insensitive);
+    below-k cardinalities are exact; intersection estimate within 10% at
+    J=1/3 with k=4096."""
+    import numpy as np
+
+    from meilisearch_thai_ray.stages.sketches import KMV
+
+    k = 4096
+    a = KMV(k).update_ints(np.arange(0, 10000))
+    assert abs(a.estimate() - 10000) / 10000 < 5 / np.sqrt(k)
+
+    s1 = KMV(k).update_ints(np.arange(0, 6000))
+    s2 = KMV(k).update_ints(np.arange(4000, 10000))  # overlapping halves
+    merged = s1.merge(s2)
+    assert np.array_equal(merged.values, a.values)
+
+    small = KMV(k).update_ints(np.arange(137))
+    assert small.estimate() == 137.0
+
+    b = KMV(k).update_ints(np.arange(5000, 15000))
+    est = KMV.intersection(a, b)
+    assert abs(est - 5000) / 5000 < 0.10
+
+    far = KMV(k).update_ints(np.arange(10 ** 6, 10 ** 6 + 10000))
+    assert KMV.intersection(a, far) < 0.02 * 10000
+
+    rt = KMV.deserialize(a.serialize(), k)
+    assert np.array_equal(rt.values, a.values)
+
+
+def test_kmv_overlap_pipeline_within_bound_of_exact(ray_session):
+    """Pipeline estimates vs DuckDB's exact pairwise distinct-user
+    intersections at sf0.001: every pair within max(12%, a floor of 8
+    users) — the documented k=4096 operating band."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import kmv_user_overlap
+
+    out = kmv_user_overlap("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    exact = {}
+    for _, r in out.iterrows():
+        n = con.execute(
+            "SELECT count(*) FROM "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = ? "
+            " INTERSECT "
+            " SELECT DISTINCT user_id FROM events WHERE event_type = ?)",
+            [r["type_a"], r["type_b"]]).fetchone()[0]
+        exact[(r["type_a"], r["type_b"])] = n
+    assert len(out) == 10  # C(5,2) pairs
+    for _, r in out.iterrows():
+        truth = exact[(r["type_a"], r["type_b"])]
+        assert abs(r["approx_shared_users"] - truth) <= max(8, 0.12 * truth)
