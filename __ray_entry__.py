@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-user overlap; error bound + merge identity are
         # pytest-asserted vs the exact self-join)
         "a9c_kmv_overlap": cs.kmv_user_overlap,
+        # rows-only: 5-iteration PageRank over the customer<->supplier
+        # purchase graph (iterative sort+groupby exchange — not SQL-
+        # expressible; numpy power-iteration parity is pytest-asserted)
+        "g1_purchase_pagerank": olap2.purchase_pagerank,
         "a10b_quantiles_approx": cs.quantiles_approx,
         # rows-only: KLL sketch quantiles (approximate; rank-error bound
         # vs exact numpy quantiles is pytest-asserted)

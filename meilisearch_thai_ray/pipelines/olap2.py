@@ -37,7 +37,8 @@ _DIMV_MASK = (1 << _DIMV_BITS) - 1
 
 # ------------------------------------------------------------------ shared
 
-def _dimfact_reduce(k, side, dimv, factf, vol, skip_edge: bool):
+def _dimfact_reduce(k, side, dimv, factf, vol, skip_edge: bool,
+                    bits: int = _DIMV_BITS):
     """Vectorized per-run join+reduce over arrays sorted by orderkey `k`.
 
     Each run (one orderkey) holds at most one dim row (side=1, payload
@@ -60,7 +61,7 @@ def _dimfact_reduce(k, side, dimv, factf, vol, skip_edge: bool):
         keep &= (rid != 0) & (rid != nruns - 1)
     if not keep.any():
         return empty
-    key = ((factf[keep].astype(np.int64) << _DIMV_BITS)
+    key = ((factf[keep].astype(np.int64) << bits)
            | (dv[rid[keep]] - 1))
     u, inv = np.unique(key, return_inverse=True)
     return u, np.bincount(inv, weights=vol[keep])
@@ -913,6 +914,149 @@ def grouped_mode(sf_dir: str) -> pa.Table:
     order = np.argsort(out["user_id"].to_numpy(zero_copy_only=False),
                        kind="stable")
     return out.take(pa.array(order))
+
+
+# ----------------------------------- G1: PageRank on the purchase graph
+
+def _orderkey_pair_edges(dim_ds, fact_ds):
+    """Union + ONE sort(orderkey) + per-block run reduce into DISTINCT
+    (factf, dimv) pair counts that STAY a Dataset (edges scale with the
+    corpus, so — unlike `_orderkey_join_sums`'s bounded outputs — nothing
+    may collect on the driver except the <= 2 edge runs per block, which
+    re-enter as a tiny from_arrow Dataset). Returns (edge:int64 packed
+    factf<<32|dimv, cnt:int64) deduped by one groupby(edge)."""
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "partial": pa.array([], pa.bool_()),
+            "orderkey": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "dimv": pa.array([], pa.int32()),
+            "factf": pa.array([], pa.int64()),
+            "vol": pa.array([], pa.float64()),
+            "edge": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        k, side, dimv, factf, vol = _okjoin_arrays(batch)
+        u, sums = _dimfact_reduce(k, side, dimv, factf,
+                                  np.ones(k.size, np.float64),
+                                  skip_edge=True, bits=32)
+        new = np.r_[True, k[1:] != k[:-1]]
+        rid = np.cumsum(new) - 1
+        raw = batch.filter(pa.array((rid == 0) | (rid == rid[-1])))
+        inter = pa.table({
+            "partial": pa.array(np.zeros(u.size, bool)),
+            "orderkey": pa.array(np.zeros(u.size, np.int64)),
+            "side": pa.array(np.full(u.size, -1, np.int8)),
+            "dimv": pa.array(np.zeros(u.size, np.int32)),
+            "factf": pa.array(np.zeros(u.size, np.int64)),
+            "vol": pa.array(np.zeros(u.size, np.float64)),
+            "edge": pa.array(u, pa.int64()),
+            "cnt": pa.array(sums.astype(np.int64))})
+        rawt = pa.table({
+            "partial": pa.array(np.ones(raw.num_rows, bool)),
+            "orderkey": raw["orderkey"], "side": raw["side"],
+            "dimv": raw["dimv"], "factf": raw["factf"], "vol": raw["vol"],
+            "edge": pa.array(np.zeros(raw.num_rows, np.int64)),
+            "cnt": pa.array(np.zeros(raw.num_rows, np.int64))})
+        return pa.concat_tables([inter, rawt])
+
+    seg = (dim_ds.union(fact_ds).sort("orderkey")
+           .map_batches(block_pairs, batch_format="pyarrow",
+                        batch_size=None).materialize())
+    parts = [seg.filter(expr="partial == False")
+             .select_columns(["edge", "cnt"])]
+    raws = [b for b in seg.filter(expr="partial == True")
+            .iter_batches(batch_format="pyarrow")]
+    if raws:  # <= 2 orderkey runs per block: bounded driver merge
+        bt = pa.concat_tables(raws)
+        k, side, dimv, factf, vol = _okjoin_arrays(bt)
+        order = np.argsort(k, kind="stable")
+        u, sums = _dimfact_reduce(k[order], side[order], dimv[order],
+                                  factf[order], np.ones(k.size, np.float64),
+                                  skip_edge=False, bits=32)
+        if u.size:
+            parts.append(ray.data.from_arrow(pa.table({
+                "edge": pa.array(u, pa.int64()),
+                "cnt": pa.array(sums.astype(np.int64))})))
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    return ds.groupby("edge").sum("cnt")
+
+
+_PR_SUPP_BASE = 1 << 32  # supplier node ids live above the custkey range
+
+
+def purchase_pagerank(sf_dir: str, n_iter: int = 5,
+                      damping: float = 0.85):
+    """G1 — PageRank over the customer<->supplier purchase graph (edges =
+    distinct (customer, supplier) trade pairs weighted by lineitem count,
+    both orientations): which suppliers/customers sit most centrally in
+    the trade network — the canonical link-graph algorithm a web-corpus
+    engine needs (same machinery ranks url hosts by hyperlink).
+
+    Scale shape: edges are built with the same ONE-sort co-partition
+    machinery as Q8/Q9 but kept fully distributed
+    (`_orderkey_pair_edges`); ranks iterate via `stages.graph.pagerank` —
+    per-node state is exchanged through sort + groupby each iteration,
+    never broadcast. Approximate by iteration count only — deterministic,
+    so the numpy power-iteration parity is pytest-asserted."""
+    from ..stages.graph import pagerank
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _union_schema(
+            n, batch["o_orderkey"].cast(pa.int64()), 1,
+            batch["o_custkey"].cast(pa.int32()),
+            np.zeros(n, np.int64), np.zeros(n))
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _union_schema(
+            n, batch["l_orderkey"].cast(pa.int64()), 0,
+            np.zeros(n, np.int32),
+            batch["l_suppkey"].cast(pa.int64()), np.zeros(n))
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=65536)
+    lines = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=65536)
+    pair_counts = _orderkey_pair_edges(orders, lines)
+
+    def both_orientations(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        supp = (e >> 32) + _PR_SUPP_BASE
+        cust = e & 0xFFFFFFFF
+        return pa.table({
+            "src": pa.array(np.concatenate([cust, supp]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([supp, cust]).astype(np.int64)),
+            "w": pa.array(np.concatenate([c, c]).astype(np.float64)),
+        })
+
+    edges = pair_counts.map_batches(both_orientations,
+                                    batch_format="pyarrow",
+                                    batch_size=65536)
+    ranks = pagerank(edges, n_iter=n_iter, damping=damping)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        is_supp = node >= _PR_SUPP_BASE
+        return pa.table({
+            "node_type": pa.array(
+                np.where(is_supp, "supplier", "customer").tolist(),
+                pa.string()),
+            "key": pa.array(np.where(is_supp, node - _PR_SUPP_BASE,
+                                     node).astype(np.int64)),
+            "rank": batch["rank"],
+        })
+
+    return ranks.map_batches(decode, batch_format="pyarrow",
+                             batch_size=65536)
 
 
 # ----------------------------- J17: full outer join of two aggregates

@@ -284,3 +284,172 @@ def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
+
+
+# --------------------------------------------------------------- PageRank
+
+def _pr_union_schema(n, key, side_val, dst, w):
+    return pa.table({
+        "key": pa.array(key, pa.int64()),
+        "side": pa.array(np.full(n, side_val, np.int8)),
+        "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(w, pa.float64()),
+    })
+
+
+def _pr_contrib(k, side, dst, w, skip_edge: bool):
+    """Per-run PageRank contributions over arrays sorted by src `k`: each
+    run holds one rank row (side=1, w=rank) and that src's out-edges
+    (side=0, dst, w=weight). Emits (dst, rank * w / strength) combined
+    by dst within the call. Out-strength is computed INSIDE the run, so
+    no normalization pre-pass (and no separate strength join) is needed."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if k.size == 0:
+        return empty
+    new = np.r_[True, k[1:] != k[:-1]]
+    rid = np.cumsum(new) - 1
+    nruns = rid[-1] + 1
+    dim = side == 1
+    rank = np.zeros(nruns, np.float64)
+    rank[rid[dim]] = w[dim]
+    strength = np.zeros(nruns, np.float64)
+    np.add.at(strength, rid[~dim], w[~dim])
+    keep = (~dim) & (rank[rid] > 0) & (strength[rid] > 0)
+    if skip_edge:
+        keep &= (rid != 0) & (rid != nruns - 1)
+    if not keep.any():
+        return empty
+    c = w[keep] * rank[rid[keep]] / strength[rid[keep]]
+    u, inv = np.unique(dst[keep], return_inverse=True)
+    return u, np.bincount(inv, weights=c)
+
+
+def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
+             damping: float = 0.85) -> ray.data.Dataset:
+    """Distributed PageRank over a DIRECTED edge Dataset (src:int64,
+    dst:int64, w:float64) — for undirected graphs the caller emits both
+    orientations, which also guarantees every node has out-degree >= 1
+    (no dangling-mass term).
+
+    Scale shape (the canonical iterative-shuffle pattern): per-node rank
+    state is NEVER broadcast — each Lloyd-style iteration is ONE
+    co-partition sort of (rank rows UNION edge rows) by src + ONE
+    groupby(dst) of per-block combined contributions. Interior src runs
+    resolve locally (out-strength computed inside the run); the <= 2 edge
+    runs per block merge on the driver and re-enter as a tiny from_arrow
+    Dataset. Ranks materialize per iteration (O(nodes) rows, distributed)
+    so lineage stays flat."""
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "one": pa.array(np.ones(u.size, np.float64))})
+
+    nodes = (edges.map_batches(src_partial, batch_format="pyarrow",
+                               batch_size=65536)
+             .groupby("node").sum("one").materialize())
+    n_nodes = nodes.count()
+    r0 = 1.0 / n_nodes
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch["node"].to_numpy(zero_copy_only=False),
+            1, np.zeros(n, np.int64), np.full(n, r0))
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    def fact_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch["src"].to_numpy(zero_copy_only=False), 0,
+            batch["dst"].to_numpy(zero_copy_only=False),
+            batch["w"].to_numpy(zero_copy_only=False))
+
+    facts = edges.map_batches(fact_rows, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    def block_contrib(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "partial": pa.array([], pa.bool_()),
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64()),
+            "cdst": pa.array([], pa.int64()),
+            "cval": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        u, c = _pr_contrib(k, side, dst, w, skip_edge=True)
+        new = np.r_[True, k[1:] != k[:-1]]
+        rid = np.cumsum(new) - 1
+        raw = batch.filter(pa.array((rid == 0) | (rid == rid[-1])))
+        inter = pa.table({
+            "partial": pa.array(np.zeros(u.size, bool)),
+            "key": pa.array(np.zeros(u.size, np.int64)),
+            "side": pa.array(np.full(u.size, -1, np.int8)),
+            "dst": pa.array(np.zeros(u.size, np.int64)),
+            "w": pa.array(np.zeros(u.size, np.float64)),
+            "cdst": pa.array(u, pa.int64()),
+            "cval": pa.array(c, pa.float64())})
+        rawt = pa.table({
+            "partial": pa.array(np.ones(raw.num_rows, bool)),
+            "key": raw["key"], "side": raw["side"],
+            "dst": raw["dst"], "w": raw["w"],
+            "cdst": pa.array(np.zeros(raw.num_rows, np.int64)),
+            "cval": pa.array(np.zeros(raw.num_rows, np.float64))})
+        return pa.concat_tables([inter, rawt])
+
+    base = (1.0 - damping) / n_nodes
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        r = base + damping * batch["sum(cval)"].to_numpy(
+            zero_copy_only=False)
+        return _pr_union_schema(
+            n, batch["cdst"].to_numpy(zero_copy_only=False),
+            1, np.zeros(n, np.int64), r)
+
+    for _ in range(n_iter):
+        seg = (ranks.union(facts).sort("key")
+               .map_batches(block_contrib, batch_format="pyarrow",
+                            batch_size=None).materialize())
+        inter = seg.filter(expr="partial == False")
+        edge_tables = [inter.select_columns(["cdst", "cval"])]
+        raws = [b for b in seg.filter(expr="partial == True")
+                .iter_batches(batch_format="pyarrow")]
+        if raws:
+            bt = pa.concat_tables(raws)
+            k = bt["key"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((bt["side"].to_numpy(
+                zero_copy_only=False), k))
+            u, c = _pr_contrib(
+                k[order],
+                bt["side"].to_numpy(zero_copy_only=False)[order],
+                bt["dst"].to_numpy(zero_copy_only=False)[order],
+                bt["w"].to_numpy(zero_copy_only=False)[order],
+                skip_edge=False)
+            if u.size:
+                edge_tables.append(ray.data.from_arrow(pa.table({
+                    "cdst": pa.array(u, pa.int64()),
+                    "cval": pa.array(c, pa.float64())})))
+        contrib = edge_tables[0]
+        for extra in edge_tables[1:]:
+            contrib = contrib.union(extra)
+        ranks = (contrib.groupby("cdst").sum("cval")
+                 .map_batches(finish, batch_format="pyarrow",
+                              batch_size=65536).materialize())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["key"],
+            "rank": batch["w"],
+        })
+
+    return ranks.map_batches(emit, batch_format="pyarrow",
+                             batch_size=65536)

@@ -180,3 +180,114 @@ def test_star_scan_matches_group_oracle(ray_session):
         "small").to_pandas()
     assert collections.Counter(zip(got_small["u"], got_small["v"])) == \
         group_oracle(oriented, _small_star)
+
+
+def _np_pagerank(edges, n_iter=5, d=0.85):
+    """Reference power iteration with the same update rule."""
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    out_s = np.zeros(n)
+    for s, t, w in edges:
+        out_s[idx[s]] += w
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for s, t, w in edges:
+            c[idx[t]] += r[idx[s]] * w / out_s[idx[s]]
+        r = (1 - d) / n + d * c
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    """Distributed PageRank == numpy power iteration on a weighted digraph
+    with a hub, a chain, and asymmetric weights (every node has out-edges)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import pagerank
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 2.0), (3, 1, 1.0),
+             (3, 4, 1.0), (4, 5, 1.0), (5, 1, 3.0), (2, 4, 0.5),
+             (4, 1, 1.0), (5, 4, 1.0)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, n_iter=5).take_all()}
+    exp = _np_pagerank(edges)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9, n
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_boundary_merge_under_tiny_blocks(ray_session):
+    """A 60-node ring + hub graph under 2 KiB sort blocks: most src runs
+    straddle block boundaries, so contributions flow through the raw-edge
+    driver merge — ranks must still match power iteration."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import pagerank
+
+    edges = []
+    for i in range(60):
+        edges.append((i, (i + 1) % 60, 1.0))   # ring
+        edges.append((i, 999, 0.5))            # everyone links the hub
+    edges += [(999, j, 1.0) for j in range(0, 60, 7)]  # hub links back
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = {r["node"]: r["rank"]
+               for r in pagerank(ds, n_iter=4).take_all()}
+    finally:
+        ctx.target_max_block_size = saved
+    exp = _np_pagerank(edges, n_iter=4)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9, n
+
+
+def test_purchase_pagerank_pipeline_matches_oracle(ray_session):
+    """End-to-end pipeline at sf0.001 == power iteration over the exact
+    DuckDB-derived (customer, supplier, lineitem-count) edge list."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.olap2 import (_PR_SUPP_BASE,
+                                                      purchase_pagerank)
+
+    out = purchase_pagerank("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    pairs = con.execute("""
+        SELECT o_custkey, l_suppkey, count(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2""").fetchall()
+    edges = []
+    for c, s, w in pairs:
+        edges.append((int(c), int(s) + _PR_SUPP_BASE, float(w)))
+        edges.append((int(s) + _PR_SUPP_BASE, int(c), float(w)))
+    exp = _np_pagerank(edges)
+    got = {}
+    for _, r in out.iterrows():
+        node = (int(r["key"]) + _PR_SUPP_BASE
+                if r["node_type"] == "supplier" else int(r["key"]))
+        got[node] = r["rank"]
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9
