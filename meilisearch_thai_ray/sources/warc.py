@@ -184,11 +184,14 @@ def _pages_table(urls, htmls, statuses, errors) -> pa.Table:
     })
 
 
-def _pages_from_stream(f, path: str):
+def _pages_from_stream(f, path: str, accept: tuple = ("response",)):
     """Streaming record iterator -> chunks of page tables (shared by the
-    bytes and file entrypoints). Response records only, HTTP headers
-    stripped; lang empty (the extract stage's language detection owns it).
-    Malformed records surface as status='failed' rows with url
+    bytes and file entrypoints). Records whose WARC-Type is in `accept`
+    only — ("response",) for WARC crawl archives (HTTP headers stripped),
+    ("conversion",) for WET pre-extracted-text archives (payload used
+    verbatim; _http_body is a no-op for non-HTTP payloads). lang stays
+    empty (the extract stage's language detection owns it). Malformed
+    records surface as status='failed' rows with url
     'warc-error://<path>#<n>' — the extract dead-letter contract, one row
     per corrupt record."""
     urls: list[str] = []
@@ -204,7 +207,7 @@ def _pages_from_stream(f, path: str):
             errors.append(str(head))
             n_bad += 1
         else:
-            if head.get("warc-type") != "response":
+            if head.get("warc-type") not in accept:
                 continue
             urls.append(head.get("warc-target-uri", ""))
             htmls.append(_http_body(payload))
@@ -217,13 +220,13 @@ def _pages_from_stream(f, path: str):
         yield _pages_table(urls, htmls, statuses, errors)
 
 
-def warc_to_pages(batch: pa.Table):
+def warc_to_pages(batch: pa.Table, accept: tuple = ("response",)):
     """GENERATOR map_batches body over in-memory archives: one binary WARC
     buffer -> chunks of (url, html, lang, status, error) page rows."""
     paths = (batch["path"].to_pylist() if "path" in batch.column_names
              else [""] * batch.num_rows)
     for buf, path in zip(batch["bytes"].to_pylist(), paths):
-        yield from _pages_from_stream(_open_stream(buf, path), path)
+        yield from _pages_from_stream(_open_stream(buf, path), path, accept)
 
 
 def _open_path(path: str):
@@ -242,7 +245,7 @@ def _open_path(path: str):
     return raw
 
 
-def warc_files_to_pages(batch: pa.Table):
+def warc_files_to_pages(batch: pa.Table, accept: tuple = ("response",)):
     """GENERATOR map_batches body: one (path) row per WARC FILE -> chunks
     of page rows, streamed straight from storage. An unreadable file is
     one dead-letter row, not a task failure (the retry-storm rule: one
@@ -255,7 +258,7 @@ def warc_files_to_pages(batch: pa.Table):
                                [STATUS_FAILED], [f"open failed: {e}"])
             continue
         with f:
-            yield from _pages_from_stream(f, path)
+            yield from _pages_from_stream(f, path, accept)
 
 
 def _drop_status(batch: pa.Table) -> pa.Table:
@@ -266,7 +269,8 @@ def _drop_status(batch: pa.Table) -> pa.Table:
 
 
 def read_warc_pages(path: str,
-                    include_failed: bool = False) -> ray.data.Dataset:
+                    include_failed: bool = False,
+                    record_types: tuple = ("response",)) -> ray.data.Dataset:
     """WARC file(s)/directory -> pages Dataset, one streaming parse task
     per file. Default output is (url, html, lang) well-formed pages — a
     drop-in input for index.build_index; include_failed=True keeps the
@@ -287,7 +291,19 @@ def read_warc_pages(path: str,
     # auto-decompresses .gz by extension, so a truncated archive aborts
     # the read task before the tolerant parser ever sees a byte.
     ds = ray.data.from_items([{"path": p} for p in files]).map_batches(
-        warc_files_to_pages, batch_format="pyarrow", batch_size=1)
+        warc_files_to_pages, batch_format="pyarrow", batch_size=1,
+        fn_kwargs={"accept": record_types})
     if include_failed:
         return ds
     return ds.map_batches(_drop_status, batch_format="pyarrow")
+
+
+def read_wet_pages(path: str,
+                   include_failed: bool = False) -> ray.data.Dataset:
+    """WET file(s)/directory (Common Crawl's pre-extracted-text sibling of
+    WARC: same framing, WARC-Type 'conversion', payload = plain UTF-8
+    text) -> pages Dataset. The text rides the `html` column and flows
+    through the same extract stage, where `html_to_text` is the identity
+    for tag-free text — one uniform build path for both archive kinds."""
+    return read_warc_pages(path, include_failed=include_failed,
+                           record_types=("conversion",))

@@ -848,3 +848,38 @@ def test_doc_partitioned_phrase_and_proximity_equal_local(pos_index):
         assert svc.proximity_topk(["red", "zzz_missing"], k=5) == []
     finally:
         svc.shutdown()
+
+
+def test_wet_source_reads_conversion_records(ray_session, tmp_path):
+    """WET archives (WARC framing, conversion records, plain-text payload)
+    read through read_wet_pages: conversion records only, text verbatim,
+    and the text survives the extract kernel unchanged (identity on
+    tag-free text) so the build path is uniform with WARC."""
+    import gzip
+
+    from meilisearch_thai_ray.kernel.extract import html_to_text
+    from meilisearch_thai_ray.sources.warc import (read_warc_pages,
+                                                   read_wet_pages)
+
+    thai = "สาหร่ายวากาเมะ อร่อยมาก\nบรรทัดที่สอง"
+    recs = [
+        ("warcinfo", "", b"software: wet-test"),
+        ("conversion", "http://a.example/1", thai.encode()),
+        ("conversion", "http://a.example/2", b"plain english text"),
+        ("response", "http://a.example/3", b"<html>never here</html>"),
+    ]
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "crawl-00000.warc.wet.gz").write_bytes(
+        gzip.compress(_warc_bytes(recs)))
+
+    pages = read_wet_pages(str(d)).to_pandas()
+    assert set(pages["url"]) == {"http://a.example/1", "http://a.example/2"}
+    got = pages.set_index("url").loc["http://a.example/1", "html"]
+    assert got == thai.encode()  # payload verbatim, no HTTP stripping
+    assert html_to_text(got) == html_to_text(thai.encode())
+    assert "สาหร่ายวากาเมะ" in html_to_text(got)
+
+    # the same archive read as WARC sees only the response record
+    warc_pages = read_warc_pages(str(d)).to_pandas()
+    assert set(warc_pages["url"]) == {"http://a.example/3"}
