@@ -332,13 +332,17 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
     (no dangling-mass term).
 
     Scale shape (the canonical iterative-shuffle pattern): per-node rank
-    state is NEVER broadcast — each Lloyd-style iteration is ONE
-    co-partition sort of (rank rows UNION edge rows) by src + ONE
-    groupby(dst) of per-block combined contributions. Interior src runs
-    resolve locally (out-strength computed inside the run); the <= 2 edge
-    runs per block merge on the driver and re-enter as a tiny from_arrow
-    Dataset. Ranks materialize per iteration (O(nodes) rows, distributed)
-    so lineage stays flat."""
+    state is NEVER broadcast — each iteration is ONE co-partition sort of
+    (rank rows UNION edge rows) by src + ONE groupby(dst) of per-block
+    combined contributions. Interior src runs resolve locally
+    (out-strength computed inside the run). Block-straddling runs — a hub
+    node's adjacency can span MANY blocks — resolve skew-safely: each
+    block emits a CONSTANT-SIZE profile (its Σw share of the run + the
+    rank if the rank row landed there) as the only driver carry, plus
+    per-dst pending partials that STAY distributed and are scaled by a
+    broadcast (src -> rank/strength) factor map of O(blocks) entries.
+    Ranks materialize per iteration (O(nodes) rows, distributed) so
+    lineage stays flat."""
 
     def src_partial(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
@@ -370,40 +374,70 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
     facts = edges.map_batches(fact_rows, batch_format="pyarrow",
                               batch_size=65536).materialize()
 
+    # per-block scan output kinds (the `kind` column):
+    #   0 = interior contribution (cdst, cval) — complete, stays distributed
+    #   1 = pending contribution from a block-straddling src run:
+    #       cval = per-dst Σw WITHIN this block, NOT yet scaled by the
+    #       run's rank/strength (unknown locally) — stays distributed and
+    #       is scaled later by a broadcast factor map
+    #   2 = profile of a straddling run: s_part = its Σw in this block,
+    #       rval = the rank if the rank row landed here (else NaN) —
+    #       TWO CONSTANT-SIZE rows per block max, the only driver carry.
+    # This keeps the carry O(1) per block even for a hub src whose edge
+    # run spans many blocks (shipping the raw run would put the hub's
+    # whole adjacency on the driver).
+    _EMPTY_SCAN = pa.table({
+        "kind": pa.array([], pa.int8()),
+        "src": pa.array([], pa.int64()),
+        "cdst": pa.array([], pa.int64()),
+        "cval": pa.array([], pa.float64()),
+        "s_part": pa.array([], pa.float64()),
+        "rval": pa.array([], pa.float64())})
+
     def block_contrib(batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "partial": pa.array([], pa.bool_()),
-            "key": pa.array([], pa.int64()),
-            "side": pa.array([], pa.int8()),
-            "dst": pa.array([], pa.int64()),
-            "w": pa.array([], pa.float64()),
-            "cdst": pa.array([], pa.int64()),
-            "cval": pa.array([], pa.float64())})
         if batch.num_rows == 0:
-            return empty
+            return _EMPTY_SCAN
         k = batch["key"].to_numpy(zero_copy_only=False)
         side = batch["side"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
         w = batch["w"].to_numpy(zero_copy_only=False)
         u, c = _pr_contrib(k, side, dst, w, skip_edge=True)
+        parts = [pa.table({
+            "kind": pa.array(np.zeros(u.size, np.int8)),
+            "src": pa.array(np.zeros(u.size, np.int64)),
+            "cdst": pa.array(u, pa.int64()),
+            "cval": pa.array(c, pa.float64()),
+            "s_part": pa.array(np.zeros(u.size, np.float64)),
+            "rval": pa.array(np.zeros(u.size, np.float64))})]
         new = np.r_[True, k[1:] != k[:-1]]
         rid = np.cumsum(new) - 1
-        raw = batch.filter(pa.array((rid == 0) | (rid == rid[-1])))
-        inter = pa.table({
-            "partial": pa.array(np.zeros(u.size, bool)),
-            "key": pa.array(np.zeros(u.size, np.int64)),
-            "side": pa.array(np.full(u.size, -1, np.int8)),
-            "dst": pa.array(np.zeros(u.size, np.int64)),
-            "w": pa.array(np.zeros(u.size, np.float64)),
-            "cdst": pa.array(u, pa.int64()),
-            "cval": pa.array(c, pa.float64())})
-        rawt = pa.table({
-            "partial": pa.array(np.ones(raw.num_rows, bool)),
-            "key": raw["key"], "side": raw["side"],
-            "dst": raw["dst"], "w": raw["w"],
-            "cdst": pa.array(np.zeros(raw.num_rows, np.int64)),
-            "cval": pa.array(np.zeros(raw.num_rows, np.float64))})
-        return pa.concat_tables([inter, rawt])
+        for r_sel in ({0, rid[-1]} if rid[-1] else {0}):
+            sel = rid == r_sel
+            src_key = int(k[np.flatnonzero(sel)[0]])
+            fact = sel & (side == 0)
+            dims = sel & (side == 1)
+            rv = float(w[np.flatnonzero(dims)[0]]) if dims.any() \
+                else float("nan")
+            ud, cd = (np.empty(0, np.int64), np.empty(0, np.float64))
+            if fact.any():
+                ud, inv = np.unique(dst[fact], return_inverse=True)
+                cd = np.bincount(inv, weights=w[fact])
+            parts.append(pa.table({
+                "kind": pa.array(np.ones(ud.size, np.int8)),
+                "src": pa.array(np.full(ud.size, src_key, np.int64)),
+                "cdst": pa.array(ud, pa.int64()),
+                "cval": pa.array(cd, pa.float64()),
+                "s_part": pa.array(np.zeros(ud.size, np.float64)),
+                "rval": pa.array(np.zeros(ud.size, np.float64))}))
+            parts.append(pa.table({
+                "kind": pa.array(np.array([2], np.int8)),
+                "src": pa.array(np.array([src_key], np.int64)),
+                "cdst": pa.array(np.zeros(1, np.int64)),
+                "cval": pa.array(np.zeros(1, np.float64)),
+                "s_part": pa.array(
+                    np.array([float(w[fact].sum())], np.float64)),
+                "rval": pa.array(np.array([rv], np.float64))}))
+        return pa.concat_tables(parts)
 
     base = (1.0 - damping) / n_nodes
 
@@ -419,28 +453,42 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
         seg = (ranks.union(facts).sort("key")
                .map_batches(block_contrib, batch_format="pyarrow",
                             batch_size=None).materialize())
-        inter = seg.filter(expr="partial == False")
-        edge_tables = [inter.select_columns(["cdst", "cval"])]
-        raws = [b for b in seg.filter(expr="partial == True")
-                .iter_batches(batch_format="pyarrow")]
-        if raws:
-            bt = pa.concat_tables(raws)
-            k = bt["key"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((bt["side"].to_numpy(
-                zero_copy_only=False), k))
-            u, c = _pr_contrib(
-                k[order],
-                bt["side"].to_numpy(zero_copy_only=False)[order],
-                bt["dst"].to_numpy(zero_copy_only=False)[order],
-                bt["w"].to_numpy(zero_copy_only=False)[order],
-                skip_edge=False)
-            if u.size:
-                edge_tables.append(ray.data.from_arrow(pa.table({
-                    "cdst": pa.array(u, pa.int64()),
-                    "cval": pa.array(c, pa.float64())})))
-        contrib = edge_tables[0]
-        for extra in edge_tables[1:]:
-            contrib = contrib.union(extra)
+        # profiles: <= 2 constant-size rows per block — the only driver pull
+        prof = pa.concat_tables(
+            [b for b in seg.filter(expr="kind == 2")
+             .iter_batches(batch_format="pyarrow")] or [_EMPTY_SCAN])
+        factor: dict[int, float] = {}
+        s_tot: dict[int, float] = {}
+        r_of: dict[int, float] = {}
+        for srck, sp, rv in zip(prof["src"].to_pylist(),
+                                prof["s_part"].to_pylist(),
+                                prof["rval"].to_pylist()):
+            s_tot[srck] = s_tot.get(srck, 0.0) + sp
+            if rv == rv:  # not NaN: the block holding the rank row
+                r_of[srck] = rv
+        for srck, s in s_tot.items():
+            factor[srck] = (r_of.get(srck, 0.0) / s) if s > 0 else 0.0
+        fkeys = np.array(sorted(factor), np.int64)
+        fvals = np.array([factor[int(x)] for x in fkeys], np.float64)
+        factor_ref = ray.put((fkeys, fvals))
+
+        def scale_pending(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(factor_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            if keys.size:
+                pos = np.minimum(np.searchsorted(keys, src), keys.size - 1)
+                f = np.where(keys[pos] == src, vals[pos], 0.0)
+            else:
+                f = np.zeros(len(src), np.float64)
+            return pa.table({
+                "cdst": batch["cdst"],
+                "cval": pa.array(batch["cval"].to_numpy(
+                    zero_copy_only=False) * f, pa.float64())})
+
+        contrib = seg.filter(expr="kind == 0").select_columns(
+            ["cdst", "cval"]).union(
+            seg.filter(expr="kind == 1").map_batches(
+                scale_pending, batch_format="pyarrow", batch_size=65536))
         ranks = (contrib.groupby("cdst").sum("cval")
                  .map_batches(finish, batch_format="pyarrow",
                               batch_size=65536).materialize())

@@ -291,3 +291,38 @@ def test_purchase_pagerank_pipeline_matches_oracle(ray_session):
     assert set(got) == set(exp)
     for n in exp:
         assert abs(got[n] - exp[n]) < 1e-9
+
+
+def test_pagerank_hub_skew_constant_carries(ray_session):
+    """A 3000-edge hub under 2 KiB sort blocks: the hub's src run spans
+    MANY blocks, so correctness depends on the constant-size profile
+    carries (per-block Σw + rank location) and the distributed pending
+    rows — the hub's adjacency must never ship to the driver as raw rows.
+    Ranks must match power iteration exactly."""
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import pagerank
+
+    hub = 7
+    edges = []
+    for j in range(3000):
+        leaf = 1000 + j
+        edges.append((hub, leaf, 1.0 + (j % 5)))   # hub fans out, weighted
+        edges.append((leaf, hub, 1.0))             # leaves point back
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = {r["node"]: r["rank"] for r in pagerank(ds, n_iter=3).take_all()}
+    finally:
+        ctx.target_max_block_size = saved
+    exp = _np_pagerank(edges, n_iter=3)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9
