@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m26_gopher_rules": cs.gopher_rules,
         "m21_pii_scan": cs.pii_scan,
         "k7_stratified_sample": cs.stratified_sample,
+        "a24_source_entropy": cs.source_entropy,
         "k12_weighted_sample": st.weighted_sample,
         "j8_latest_event": cs.latest_event_per_user,
         "j10_bloom_semi_join": cs.bloom_semi_join,
@@ -181,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_embed_neardup": functools.partial(dp.embedding_neardup_pairs,
                                               plant=True),
         "d2_simhash_sigs": dp.simhash_sigs,
+        # rows-only: exact k-NN graph (top-k per row; numpy-oracle parity
+        # incl. tie determinism is pytest-asserted)
+        "d15_knn_graph": dp.knn_graph,
         # rows-only: PQ/ADC top-k (approximate by design — codes, not
         # vectors, ride the scan; recall@10 vs the brute-force oracle is
         # pytest-asserted)

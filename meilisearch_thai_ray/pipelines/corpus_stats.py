@@ -479,6 +479,52 @@ HAVING {HH_DENOM} * count(*) >= tot.n
 """
 
 
+# ------------------------------- Shannon entropy of source mix per lang
+
+def source_entropy(sf_dir: str) -> pa.Table:
+    """A24: Shannon entropy (nats) of each language's source distribution —
+    the mix-diversity signal data-balancing recipes monitor (a collapsed
+    entropy means one source dominates a language's corpus).
+
+    Scale shape: per-batch (lang, source) count combiner -> ONE bounded
+    groupby (rows = langs x sources, both categorical) -> driver computes
+    -sum(p ln p) per lang over the tiny result. Matches DuckDB at 6 dp
+    (documented float-rounding convention)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["lang", "source"], use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "source", "cnt"]))
+
+    rows = (_docs(sf_dir, ["lang", "source"])
+            .map_batches(counts, batch_format="pyarrow", batch_size=65536)
+            .groupby(["lang", "source"]).sum("cnt")).take_all()
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(int(r["sum(cnt)"]))
+    langs = sorted(per_lang)
+    ents = []
+    for lg in langs:
+        c = np.array(per_lang[lg], np.float64)
+        p_arr = c / c.sum()
+        ents.append(round(float(-(p_arr * np.log(p_arr)).sum()), 6))
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "entropy": pa.array(ents, pa.float64()),
+    })
+
+
+SQL["a24_source_entropy"] = """
+SELECT lang, round(-sum(p * ln(p)), 6) AS entropy
+FROM (SELECT lang,
+             count(*) * 1.0 /
+             sum(count(*)) OVER (PARTITION BY lang) AS p
+      FROM documents GROUP BY lang, source)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------- OLAP rollup (one-pass cube)
 
 _ROLLUP_ALL = "*"  # rolled-up marker; never a real lang/source value

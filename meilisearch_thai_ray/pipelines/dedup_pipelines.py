@@ -637,6 +637,118 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.42,
     }, tmp)
 
 
+def knn_graph(sf_dir: str, k: int = 10, n_blocks: int | None = None):
+    """D15: exact k-NN graph over the embedding table (each vector's top-k
+    cosine neighbors) — the input graph for SemDeDup-style semantic dedup,
+    graph-based curation, and kNN-classifier label propagation.
+
+    Scale shape: blocked matmul — vectors spill once to P hive blocks;
+    P^2 tasks each emit block i's PARTIAL top-k vs block j (k rows per
+    query row per task, per-actor block cache), so no task ever holds the
+    n x n matrix. The global merge is ONE sort by (vec_id, cos desc,
+    neighbor) + per-block rank run-scan; rows per vec are bounded by
+    P*k, edge runs by 2*P*k per block, and the result STAYS a Dataset
+    (n*k rows scale with the corpus). Inherently O(n^2/P^2)-per-task like
+    the exact similarity join — the corpus-scale recall-lossy swap is the
+    IVF/LSH ANN family."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.similarity_join import KnnBlockPair, knn_pair_items
+
+    if n_blocks is None:
+        n_blocks = _auto_blocks(os.path.join(sf_dir, "embeddings.parquet"),
+                                target_rows=4096)
+    tmp = tempfile.mkdtemp(prefix="knn_graph_", dir="/tmp")
+    try:
+        read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).map_batches(
+            _EmbedPrep, fn_constructor_kwargs={"n_blocks": n_blocks},
+            batch_format="pyarrow", batch_size=4096, concurrency=2,
+        ).write_parquet(tmp, partition_cols=["block"])
+        items = knn_pair_items(n_blocks)
+        cand = ray.data.from_items(items).map_batches(
+            KnnBlockPair,
+            fn_constructor_kwargs={"blocks_dir": tmp, "k": k},
+            batch_format="pyarrow", batch_size=1,
+            concurrency=(1, min(pool_cap(12), len(items))),
+        )
+
+        def block_rank(batch: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "partial": pa.array([], pa.bool_()),
+                "vec_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int32())})
+            if batch.num_rows == 0:
+                return empty
+            v = batch["vec_id"].to_numpy(zero_copy_only=False)
+            new = np.r_[True, v[1:] != v[:-1]]
+            rid = np.cumsum(new) - 1
+            pos = np.arange(v.size) - np.flatnonzero(new)[rid]
+            edge = (rid == 0) | (rid == rid[-1])
+            keep = ~edge & (pos < k)
+            kept = batch.filter(pa.array(keep))
+            inter = pa.table({
+                "partial": pa.array(np.zeros(kept.num_rows, bool)),
+                "vec_id": kept["vec_id"],
+                "neighbor_id": kept["neighbor_id"],
+                "cos": kept["cos"],
+                "rank": pa.array((pos[keep] + 1).astype(np.int32))})
+            raw = batch.filter(pa.array(edge & (pos < k)))
+            rawt = pa.table({
+                "partial": pa.array(np.ones(raw.num_rows, bool)),
+                "vec_id": raw["vec_id"],
+                "neighbor_id": raw["neighbor_id"],
+                "cos": raw["cos"],
+                "rank": pa.array(np.zeros(raw.num_rows, np.int32))})
+            return pa.concat_tables([inter, rawt])
+
+        seg = (cand.sort(["vec_id", "cos", "neighbor_id"],
+                         descending=[False, True, False])
+               .map_batches(block_rank, batch_format="pyarrow",
+                            batch_size=None).materialize())
+        parts = [seg.filter(expr="partial == False")
+                 .select_columns(["vec_id", "rank", "neighbor_id", "cos"])]
+        raws = [b for b in seg.filter(expr="partial == True")
+                .iter_batches(batch_format="pyarrow")]
+        if raws:  # <= 2 runs x P*k rows per block: bounded driver merge
+            bt = pa.concat_tables(raws)
+            v = bt["vec_id"].to_numpy(zero_copy_only=False)
+            nb = bt["neighbor_id"].to_numpy(zero_copy_only=False)
+            c = bt["cos"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((nb, -c, v))
+            v = v[order]
+            new = np.r_[True, v[1:] != v[:-1]]
+            rid = np.cumsum(new) - 1
+            pos = np.arange(v.size) - np.flatnonzero(new)[rid]
+            sel = pos < k
+            parts.append(ray.data.from_arrow(pa.table({
+                "vec_id": pa.array(v[sel]),
+                "rank": pa.array((pos[sel] + 1).astype(np.int32)),
+                "neighbor_id": pa.array(nb[order][sel]),
+                "cos": pa.array(c[order][sel], pa.float64()),
+            })))
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.union(extra)
+
+        def round_cos(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("cos"), "cos",
+                pa.array(np.round(batch["cos"].to_numpy(
+                    zero_copy_only=False), 6), pa.float64()))
+
+        return out.map_batches(round_cos, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SQL["d3_cosine_pairs_exact"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -312,3 +312,51 @@ def block_pair_items(n_blocks: int) -> list[dict]:
     """All unordered block pairs (i <= j): the task fan-out."""
     return [{"i": i, "j": j}
             for i in range(n_blocks) for j in range(i, n_blocks)]
+
+
+class KnnBlockPair(BlockPairCosine):
+    """Actor: one ORDERED (i, j) block pair -> block i's per-row top-k
+    cosine candidates against block j (k-NN-graph construction — the
+    all-rows sibling of the single-query brute-force top-k).
+
+    Ties resolve deterministically to the smaller neighbor id (stable
+    argsort over ascending-id candidates), so the downstream global merge
+    reproduces the numpy oracle exactly."""
+
+    def __init__(self, blocks_dir: str, k: int = 10):
+        super().__init__(blocks_dir, threshold=0.0)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        out_v, out_n, out_c = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, ua = self._block(i)
+            ids_b, ub = self._block(j)
+            if not ids_a.size or not ids_b.size:
+                continue
+            cos = ua @ ub.T
+            if i == j:  # same block: rows align (both id-sorted) -> self
+                np.fill_diagonal(cos, -np.inf)
+            kk = min(self.k, cos.shape[1])
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(cos.shape[0]), kk)
+            cols = top.ravel()
+            sel = np.isfinite(cos[rows, cols])
+            out_v.append(ids_a[rows[sel]])
+            out_n.append(ids_b[cols[sel]])
+            out_c.append(cos[rows[sel], cols[sel]])
+        return pa.table({
+            "vec_id": pa.array(
+                np.concatenate(out_v) if out_v else [], pa.int64()),
+            "neighbor_id": pa.array(
+                np.concatenate(out_n) if out_n else [], pa.int64()),
+            "cos": pa.array(
+                np.concatenate(out_c) if out_c else [], pa.float64()),
+        })
+
+
+def knn_pair_items(n_blocks: int) -> list[dict]:
+    """All ORDERED block pairs — k-NN roles are asymmetric (query block i
+    scans candidate block j), so the fan-out is P^2 tasks."""
+    return [{"i": i, "j": j}
+            for i in range(n_blocks) for j in range(n_blocks)]

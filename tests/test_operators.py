@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "q8_market_share", "q9_profit_by_nation", "q12_priority_by_status",
     "q19_disjunctive_revenue", "q21_last_shipper", "a22_event_paths",
     "j16_grouped_mode", "a23_cohort_retention", "j17_full_outer_counts",
+    "a24_source_entropy",
 ]
 
 
@@ -1610,3 +1611,32 @@ def test_funnel_stages_partial_and_cross_block(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert dict(zip(got["stage"], got["n_users"])) == {
         0: 1, 1: 2, 2: 1, 3: 1, 4: 2}
+
+
+def test_knn_graph_matches_numpy_oracle(ray_session):
+    """Blocked-matmul k-NN graph at sf0.001 (forced multi-block) == numpy
+    full-matrix top-k with the same (cos desc, neighbor asc) tie rule —
+    every row, every rank."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.dedup_pipelines import knn_graph
+
+    k = 5
+    out = knn_graph(SF, k=k, n_blocks=4).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cos = unit @ unit.T
+    np.fill_diagonal(cos, -np.inf)
+    got = out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(ids) * k
+    for row_i in range(len(ids)):
+        keys = np.lexsort((ids, -cos[row_i]))[:k]
+        sub = got[got["vec_id"] == ids[row_i]]
+        assert list(sub["neighbor_id"]) == [int(ids[j]) for j in keys]
+        assert np.allclose(sub["cos"].to_numpy(),
+                           np.round(cos[row_i, keys], 6))
