@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k9_budget_select": td.budget_select,
         "k10_source_balance": td.source_balance,
         "k15_sorted_export": td.sorted_export_range,
+        "k19_zorder_box": td.zorder_export_box,
         "k17_dsir_weights": td.dsir_weights,
         "k18_temperature_mix": td.temperature_mix,
         "m27_text_chunks": td.text_chunks,

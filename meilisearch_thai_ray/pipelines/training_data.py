@@ -810,6 +810,9 @@ FROM t LEFT JOIN a USING (doc_id)
 def _write_sorted_part(tab: pa.Table, path: str, key: str) -> dict:
     import pyarrow.parquet as pq
 
+    if key not in tab.column_names:  # schemaless empty sort block
+        return {"file": os.path.basename(path), "min": None, "max": None,
+                "rows": 0}
     tmp = path + f".tmp.{os.getpid()}"
     pq.write_table(tab, tmp)
     os.replace(tmp, path)
@@ -883,6 +886,177 @@ def read_sorted_range(out_dir: str, lo: int, hi: int,
         columns=columns,
         filter=(_pc.field(key) >= lo) & (_pc.field(key) <= hi))
     return tab, len(hit)
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Spread each of 16 bits of `x` (uint32 in [0, 65535]) to the even
+    bit positions of a uint32 (the standard Morton magic-number dilation)."""
+    x = x.astype(np.uint32)
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def _u16_norm(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Min-max scale to the 16-bit grid (monotone, so per-column file
+    min/max stats stay exact for pruning)."""
+    if hi <= lo:
+        return np.zeros(len(v), np.uint32)
+    f = (v.astype(np.float64) - lo) / (hi - lo)
+    return np.clip(np.floor(f * 65535.0), 0, 65535).astype(np.uint32)
+
+
+@ray.remote
+def _write_zorder_part(tab: pa.Table, path: str, cols: list) -> dict:
+    import pyarrow.parquet as pq
+
+    if "zkey" not in tab.column_names:  # schemaless empty sort block
+        out = {"file": os.path.basename(path), "rows": 0}
+        for c in cols:
+            out[f"min_{c}"] = out[f"max_{c}"] = None
+        return out
+    tab = tab.drop_columns(["zkey"])
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, path)
+    out = {"file": os.path.basename(path), "rows": tab.num_rows}
+    for c in cols:
+        v = tab[c].to_numpy(zero_copy_only=False)
+        out[f"min_{c}"] = float(v.min()) if len(v) else None
+        out[f"max_{c}"] = float(v.max()) if len(v) else None
+    return out
+
+
+def export_zorder(ds: ray.data.Dataset, out_dir: str,
+                  cols: list[str]) -> dict:
+    """Z-ORDER export: interleave the bits of two min-max-normalized
+    columns into a Morton key, sort by it, and write one parquet file per
+    sorted block with per-file [min, max] stats for BOTH columns — the
+    multi-dimensional data layout (Delta/Iceberg OPTIMIZE ZORDER) that
+    lets a rectangle predicate prune files on EITHER column, where a
+    single-key sort clusters only its leading column.
+
+    Scale shape: one tiny (min, max) aggregate pass fixes the grid, one
+    map_batches stamps keys, ONE sort is the only exchange; same
+    whole-export atomic-manifest resume contract as export_sorted."""
+    import json
+
+    from ray.data.aggregate import Max, Min
+
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)  # partial export: rebuild
+    os.makedirs(out_dir, exist_ok=True)
+    aggs = []
+    for c in cols:
+        aggs += [Min(c, alias_name=f"lo_{c}"), Max(c, alias_name=f"hi_{c}")]
+    stats = ds.aggregate(*aggs)
+    bounds = [(float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"]))
+              for c in cols]
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        a = _u16_norm(batch[cols[0]].to_numpy(zero_copy_only=False),
+                      *bounds[0])
+        b = _u16_norm(batch[cols[1]].to_numpy(zero_copy_only=False),
+                      *bounds[1])
+        z = (_spread16(a) << np.uint32(1)) | _spread16(b)
+        return batch.append_column("zkey", pa.array(z, pa.uint32()))
+
+    # batch_size=None: stamp per input block — a row-count batch size here
+    # would COALESCE blocks and collapse the sort's output partitioning
+    # (fewer, fatter exported files)
+    sorted_ds = (ds.map_batches(stamp, batch_format="pyarrow",
+                                batch_size=None)
+                 .sort("zkey").materialize())
+    refs = sorted_ds.to_arrow_refs()
+    parts = ray.get([
+        _write_zorder_part.remote(
+            r, os.path.join(out_dir, f"part-{i:05d}.parquet"), cols)
+        for i, r in enumerate(refs)])
+    parts = [p for p in parts if p["rows"]]
+    man = {"cols": cols, "files": parts,
+           "rows": int(sum(p["rows"] for p in parts))}
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, manifest_path)
+    return man
+
+
+def read_zorder_box(out_dir: str, box: dict,
+                    columns: list[str] | None = None):
+    """Rectangle read over an export_zorder layout: the manifest prunes to
+    files whose per-column [min, max] stats intersect EVERY box side, then
+    a residual row filter trims the edges. Returns (table, n_files_read)."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        man = json.load(f)
+    hit = []
+    for p in man["files"]:
+        ok = p["rows"] > 0
+        for c, (lo, hi) in box.items():
+            ok = ok and p[f"min_{c}"] <= hi and p[f"max_{c}"] >= lo
+        if ok:
+            hit.append(p["file"])
+    if not hit:
+        return None, 0
+    import pyarrow.compute as _pc
+
+    filt = None
+    for c, (lo, hi) in box.items():
+        this = (_pc.field(c) >= lo) & (_pc.field(c) <= hi)
+        filt = this if filt is None else (filt & this)
+    tab = pads.dataset(
+        [os.path.join(out_dir, f) for f in hit]).to_table(
+        columns=columns, filter=filt)
+    return tab, len(hit)
+
+
+K19_BOX = {"user_id": (3, 9), "value": (20.0, 60.0)}
+
+
+def zorder_export_box(sf_dir: str):
+    """K19: export events Z-ORDERED by (user_id, value) — cached per
+    corpus under /tmp like the PQ code store — then serve a rectangle
+    query by two-column manifest pruning + residual filter. The pruning
+    advantage over a single-key layout is pytest-measured; THIS entry is
+    the exactness gate (hash match vs the plain SQL rectangle scan)."""
+    from .simple_text import input_fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out = os.path.join("/tmp/meili_ray_cache",
+                       f"zorder_events_{input_fingerprint(src)}")
+    ds = read_parquet_clean(
+        src, columns=["event_id", "user_id", "value"])
+    export_zorder(ds, out, ["user_id", "value"])
+    tab, _ = read_zorder_box(out, K19_BOX,
+                             columns=["event_id", "user_id", "value"])
+    if tab is None:
+        tab = pa.table({"event_id": pa.array([], pa.int64()),
+                        "user_id": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64())})
+    order = np.argsort(tab["event_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    return tab.take(pa.array(order))
+
+
+SQL["k19_zorder_box"] = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, value
+FROM events
+WHERE user_id BETWEEN {K19_BOX["user_id"][0]} AND {K19_BOX["user_id"][1]}
+  AND value BETWEEN {K19_BOX["value"][0]} AND {K19_BOX["value"][1]}
+ORDER BY event_id
+"""
 
 
 K15_RANGE = (400, 900)  # n_chars band for the driver query

@@ -463,3 +463,55 @@ def test_minhash_index_absorb_and_prune(ray_session, tmp_path):
                  if os.path.getmtime(os.path.join(idx, f))
                  == files_before[f]]
     assert untouched  # at least the absorbed-crawl files
+
+
+def test_zorder_export_prunes_both_dimensions(ray_session, tmp_path):
+    """Z-order layout under tiny blocks: (a) a two-sided rectangle read
+    returns exactly DuckDB's rows while opening a strict subset of files;
+    (b) on a VALUE-only band the z-order layout prunes files while the
+    user-sorted single-key layout must open every file (value is its
+    trailing, unclustered column); (c) re-export is a manifest no-op."""
+    import duckdb
+    import ray.data
+
+    from meilisearch_thai_ray.pipelines.training_data import (
+        export_sorted, export_zorder, read_sorted_range, read_zorder_box)
+    from meilisearch_thai_ray.sources.documents import read_parquet_clean
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    # the one-file source reads as one block; repartition so the sort
+    # yields multiple output blocks = multiple exported files
+    ds = read_parquet_clean(
+        src, columns=["event_id", "user_id", "value"]).repartition(10)
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    man = export_zorder(ds, zdir, ["user_id", "value"])
+    export_sorted(
+        read_parquet_clean(src, columns=["event_id", "user_id",
+                                         "value"]).repartition(10),
+        sdir, "user_id")
+    n_files = len(man["files"])
+    assert n_files >= 6, "fixture must span multiple files"
+    assert man["rows"] == 1000
+
+    box = {"user_id": (3, 9), "value": (20.0, 60.0)}
+    tab, nz = read_zorder_box(zdir, box)
+    exp = duckdb.sql(
+        f"SELECT event_id, user_id, value FROM read_parquet('{src}') "
+        f"WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20 AND 60 "
+        f"ORDER BY event_id").fetchall()
+    got = sorted(zip(tab["event_id"].to_pylist(),
+                     tab["user_id"].to_pylist(),
+                     tab["value"].to_pylist()))
+    assert got == [tuple(r) for r in exp]
+    assert 0 < nz < n_files  # the rectangle pruned whole files
+
+    # value-only band: z-order prunes, user-sorted layout cannot
+    vband = {"value": (0.0, 30.0), "user_id": (0, 10 ** 9)}
+    _, nz_v = read_zorder_box(zdir, vband)
+    _, ns_v = read_sorted_range(sdir, 0, 10 ** 9)
+    assert nz_v < n_files
+    assert ns_v == len(
+        [p for p in export_sorted(None, sdir, "user_id")["files"]])
+
+    man2 = export_zorder(None, zdir, ["user_id", "value"])  # no-op resume
+    assert man2 == man
