@@ -88,7 +88,13 @@ def _okjoin_arrays(t: pa.Table):
 def _orderkey_join_sums(dim_ds, fact_ds):
     """Union + ONE sort(orderkey) + per-block run reduce + bounded driver
     edge merge. Both inputs must carry the `_union_schema` columns. Returns
-    (factf: int64[], dimv: int64[], sums: float64[])."""
+    (factf: int64[], dimv: int64[], sums: float64[]).
+
+    Carry contract: the <= 2 edge runs per block ship RAW, so per-carry
+    size is O(rows per orderkey) — bounded by the schema here (an order
+    has single-digit lineitems). A caller whose key can be a corpus-scale
+    hub must use the constant-carry profile design instead
+    (stages/graph.py pagerank)."""
 
     def block_reduce(batch: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -412,19 +418,26 @@ def priority_by_status(sf_dir: str) -> pa.Table:
     hi = datetime.datetime.fromisoformat(f"{int(Q12_YEAR) + 1}-01-01")
     status_codes = {"F": 0, "O": 1}
 
+    status_values = pa.array(sorted(status_codes,
+                                    key=status_codes.__getitem__))
+
     def lineitem_side(batch: pa.Table) -> pa.Table:
-        stat = batch["l_linestatus"].to_pylist()
-        codes = np.array([status_codes[s] for s in stat], np.int64)
+        codes = pc.index_in(batch["l_linestatus"],
+                            value_set=status_values).cast(pa.int64())
         n = batch.num_rows
-        return _union_schema(n, batch["l_orderkey"].cast(pa.int64()), 0,
-                             np.zeros(n, np.int32), codes, np.ones(n))
+        return _union_schema(
+            n, batch["l_orderkey"].cast(pa.int64()), 0,
+            np.zeros(n, np.int32),
+            codes.to_numpy(zero_copy_only=False), np.ones(n))
 
     def orders_side(batch: pa.Table) -> pa.Table:
-        prio = batch["o_orderpriority"].to_pylist()
-        is_high = np.array([p in _HIGH_PRIOS for p in prio], np.int32)
+        is_high = pc.is_in(batch["o_orderpriority"],
+                           value_set=pa.array(list(_HIGH_PRIOS)))
         n = batch.num_rows
-        return _union_schema(n, batch["o_orderkey"].cast(pa.int64()), 1,
-                             is_high, np.zeros(n, np.int64), np.zeros(n))
+        return _union_schema(
+            n, batch["o_orderkey"].cast(pa.int64()),
+            1, is_high.cast(pa.int32()).to_numpy(zero_copy_only=False),
+            np.zeros(n, np.int64), np.zeros(n))
 
     lines = read_parquet_clean(
         _doc_path(sf_dir, "lineitem"),
