@@ -930,7 +930,7 @@ def _write_zorder_part(tab: pa.Table, path: str, cols: list) -> dict:
 
 
 def export_zorder(ds: ray.data.Dataset, out_dir: str,
-                  cols: list[str]) -> dict:
+                  cols: list[str], n_files: int | None = None) -> dict:
     """Z-ORDER export: interleave the bits of two min-max-normalized
     columns into a Morton key, sort by it, and write one parquet file per
     sorted block with per-file [min, max] stats for BOTH columns — the
@@ -971,9 +971,13 @@ def export_zorder(ds: ray.data.Dataset, out_dir: str,
     # batch_size=None: stamp per input block — a row-count batch size here
     # would COALESCE blocks and collapse the sort's output partitioning
     # (fewer, fatter exported files)
-    sorted_ds = (ds.map_batches(stamp, batch_format="pyarrow",
-                                batch_size=None)
-                 .sort("zkey").materialize())
+    sorted_ds = ds.map_batches(stamp, batch_format="pyarrow",
+                               batch_size=None).sort("zkey")
+    if n_files is not None:
+        # order-preserving block split/merge: pins the exported file count
+        # instead of inheriting the sort's block layout
+        sorted_ds = sorted_ds.repartition(n_files)
+    sorted_ds = sorted_ds.materialize()
     refs = sorted_ds.to_arrow_refs()
     parts = ray.get([
         _write_zorder_part.remote(

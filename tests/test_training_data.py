@@ -479,12 +479,11 @@ def test_zorder_export_prunes_both_dimensions(ray_session, tmp_path):
     from meilisearch_thai_ray.sources.documents import read_parquet_clean
 
     src = "/root/testdata/sf0.001/events.parquet"
-    # the one-file source reads as one block; repartition so the sort
-    # yields multiple output blocks = multiple exported files
-    ds = read_parquet_clean(
-        src, columns=["event_id", "user_id", "value"]).repartition(10)
+    ds = read_parquet_clean(src, columns=["event_id", "user_id", "value"])
     zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
-    man = export_zorder(ds, zdir, ["user_id", "value"])
+    # n_files pins the layout deterministically (the sort's own block
+    # count varies with session state)
+    man = export_zorder(ds, zdir, ["user_id", "value"], n_files=10)
     export_sorted(
         read_parquet_clean(src, columns=["event_id", "user_id",
                                          "value"]).repartition(10),
