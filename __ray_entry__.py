@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k13_ntile": wo.ntile_doc_buckets,
         "a14_embed_centroids": wo.embed_centroids,
         "a16_grouped_corr": wo.grouped_corr,
+        "a25_percent_rank": wo.percent_rank_events,
         "a9_distinct_users": cs.distinct_users,
         "k6_heavy_hitters": cs.heavy_hitter_words,
         "k6b_heavy_hitters_by_lang": cs.heavy_hitter_words_by_lang,

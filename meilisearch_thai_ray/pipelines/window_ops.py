@@ -973,3 +973,170 @@ FROM range(0, 5) g(stage) LEFT JOIN st ON st.stage = g.stage
 GROUP BY g.stage
 ORDER BY g.stage
 """
+
+
+# ---------------------------------------------- a25 percent_rank (ties)
+
+def _pr_profile(batch: pa.Table) -> pa.Table:
+    """Per-block profile for the percent_rank driver walk: ordered
+    (type, count) segments, the block's first/last (type, value), and the
+    block-relative row index where the last tie run starts. O(types in
+    block) rows per block."""
+    empty = pa.schema([("tag", pa.string()), ("seg_type", pa.string()),
+                       ("seg_n", pa.int64()), ("first_type", pa.string()),
+                       ("first_value", pa.float64()),
+                       ("last_type", pa.string()),
+                       ("last_value", pa.float64()),
+                       ("last_run_start", pa.int64()),
+                       ("seg_idx", pa.int64())])
+    if batch.num_rows == 0:
+        return empty.empty_table()
+    types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    vals = batch["value"].to_numpy(zero_copy_only=False)
+    eids = batch["event_id"].to_numpy(zero_copy_only=False)
+    tag = repr((types[0], float(vals[0]), int(eids[0])))
+    new_t = np.r_[True, types[1:] != types[:-1]]
+    seg_starts = np.flatnonzero(new_t)
+    seg_lens = np.diff(np.r_[seg_starts, types.size])
+    new_run = np.r_[True, (types[1:] != types[:-1]) | (vals[1:] != vals[:-1])]
+    last_run_start = int(np.flatnonzero(new_run)[-1])
+    n = seg_starts.size
+    return pa.table({
+        "tag": pa.array([tag] * n, pa.string()),
+        "seg_type": pa.array([types[i] for i in seg_starts], pa.string()),
+        "seg_n": pa.array(seg_lens.astype(np.int64)),
+        "first_type": pa.array([str(types[0])] * n, pa.string()),
+        "first_value": pa.array([float(vals[0])] * n, pa.float64()),
+        "last_type": pa.array([str(types[-1])] * n, pa.string()),
+        "last_value": pa.array([float(vals[-1])] * n, pa.float64()),
+        "last_run_start": pa.array([last_run_start] * n, pa.int64()),
+        "seg_idx": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+class _PrEmit:
+    """Pass 2: per-row percent_rank from broadcast per-block state
+    (per-type base offsets, tie-carry rank for a first run continuing an
+    earlier block, per-type totals)."""
+
+    def __init__(self, state_ref, totals_ref):
+        self.state = ray.get(state_ref) if isinstance(
+            state_ref, ray.ObjectRef) else state_ref
+        self.totals = ray.get(totals_ref) if isinstance(
+            totals_ref, ray.ObjectRef) else totals_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "pr": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        eids = batch["event_id"].to_numpy(zero_copy_only=False)
+        tag = repr((types[0], float(vals[0]), int(eids[0])))
+        bases, carry = self.state[tag]
+        # global per-type position of each row
+        new_t = np.r_[True, types[1:] != types[:-1]]
+        seg_starts = np.flatnonzero(new_t)
+        pos = np.empty(types.size, np.int64)
+        for si in seg_starts:
+            t = types[si]
+            end = si
+            while end < types.size and types[end] == t:
+                end += 1
+            pos[si:end] = bases[t] + np.arange(end - si)
+        # rank = global position of the first row of the row's tie run
+        new_run = np.r_[True,
+                        (types[1:] != types[:-1]) | (vals[1:] != vals[:-1])]
+        rid = np.cumsum(new_run) - 1
+        run_start_pos = pos[np.flatnonzero(new_run)]
+        rank = run_start_pos[rid].astype(np.float64)
+        if carry is not None:
+            rank[rid == 0] = carry
+        denom = np.array([max(self.totals[t] - 1, 1) for t in types],
+                         np.float64)
+        pr = np.where(
+            np.array([self.totals[t] for t in types]) > 1,
+            rank / denom, 0.0)
+        return pa.table({
+            "event_id": pa.array(eids.astype(np.int64)),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "pr": pa.array(np.round(pr, 6), pa.float64()),
+        })
+
+
+def percent_rank_events(sf_dir: str):
+    """A25: percent_rank() per event_type ordered by value — the
+    tie-correct global-rank window (rank = MIN rank of the tie run, so a
+    run straddling blocks must inherit the run's global start).
+
+    Scale shape: ONE sort(type, value, event_id); pass 1 collects
+    O(types-in-block) profile rows per block; the driver walks blocks in
+    sort order maintaining per-type running offsets and the current tie
+    run's global start (O(blocks) work, never rows); pass 2 emits ranks
+    per row with the broadcast state. Rows never visit the driver."""
+    ds = (_events(sf_dir, ["event_id", "event_type", "value"])
+          .sort(["event_type", "value", "event_id"]).materialize())
+    prof = pa.concat_tables(ray.get(
+        ds.map_batches(_pr_profile, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs()))
+    import ast
+
+    blocks: dict = {}
+    for r in prof.to_pylist():
+        b = blocks.setdefault(r["tag"], {
+            "first": ast.literal_eval(r["tag"]), "segs": {},
+            "first_type": r["first_type"], "first_value": r["first_value"],
+            "last_type": r["last_type"], "last_value": r["last_value"],
+            "last_run_start": r["last_run_start"]})
+        b["segs"][r["seg_idx"]] = (r["seg_type"], r["seg_n"])
+    ordered = sorted(blocks.values(), key=lambda b: b["first"])
+
+    pos_in_type: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    cur_tie = None          # (type, value) of the open tie run
+    cur_tie_start = 0       # its global per-type start position
+    state: dict[str, tuple] = {}
+    for b in ordered:
+        tag = repr(b["first"])
+        segs = [b["segs"][i] for i in sorted(b["segs"])]
+        bases = {}
+        for t, n_seg in segs:
+            bases.setdefault(t, pos_in_type.get(t, 0))
+        continuing = (cur_tie is not None
+                      and cur_tie == (b["first_type"], b["first_value"]))
+        carry = cur_tie_start if continuing else None
+        # advance the open tie run: where does this block's LAST run start?
+        last_base = pos_in_type.get(b["last_type"], 0)
+        # rows of the last type BEFORE this block within the block:
+        rows_before_last_type = sum(
+            n_seg for t, n_seg in segs[:-1]) if len(segs) > 1 else 0
+        if b["last_run_start"] == 0 and continuing:
+            pass  # whole block continues the open run: start unchanged
+        else:
+            # block-relative last_run_start indexes ALL block rows; runs
+            # break at type changes, so the last run lies inside the last
+            # type's segment — convert to that type's per-type position
+            cur_tie_start = (last_base + b["last_run_start"]
+                             - rows_before_last_type)
+        cur_tie = (b["last_type"], b["last_value"])
+        for t, n_seg in segs:
+            pos_in_type[t] = pos_in_type.get(t, 0) + n_seg
+            totals[t] = totals.get(t, 0) + n_seg
+        state[tag] = (bases, carry)
+
+    state_ref, totals_ref = ray.put(state), ray.put(totals)
+    return ds.map_batches(
+        _PrEmit, fn_constructor_kwargs={"state_ref": state_ref,
+                                        "totals_ref": totals_ref},
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, pool_cap(8)))
+
+
+SQL["a25_percent_rank"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value), 6) AS pr
+FROM events
+"""

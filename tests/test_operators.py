@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "q8_market_share", "q9_profit_by_nation", "q12_priority_by_status",
     "q19_disjunctive_revenue", "q21_last_shipper", "a22_event_paths",
     "j16_grouped_mode", "a23_cohort_retention", "j17_full_outer_counts",
-    "a24_source_entropy", "k19_zorder_box",
+    "a24_source_entropy", "k19_zorder_box", "a25_percent_rank",
 ]
 
 

@@ -458,3 +458,49 @@ def test_embed_pca_matches_numpy(ray_session, tmp_path):
     # top components capture the planted anisotropy: variance descending
     var = got.var(axis=0)
     assert var[0] > var[1] > var[2]
+
+
+def test_percent_rank_tie_runs_across_blocks(ray_session, tmp_path):
+    """Heavy planted ties (few distinct values, thousands of rows) under
+    2 KiB sort blocks: most tie runs straddle blocks, so ranks flow
+    through the driver's tie-carry walk — every row must match DuckDB's
+    percent_rank exactly (MIN rank of the tie run)."""
+    import duckdb
+    import pandas as pd
+
+    import ray.data
+    from meilisearch_thai_ray.pipelines.window_ops import (
+        SQL, percent_rank_events)
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    types = rng.choice(["alpha", "beta", "gamma"], n)
+    vals = rng.choice([1.0, 2.0, 2.5, 7.0], n)  # 4 values -> massive ties
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * n),
+    }), str(d / "events.parquet"))
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = percent_rank_events(str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = saved
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    exp = con.execute(SQL["a25_percent_rank"]).fetchdf()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["event_id", "event_type", "pr"]],
+                                  exp[["event_id", "event_type", "pr"]],
+                                  check_dtype=False)
