@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # purchase graph (iterative sort+groupby exchange — not SQL-
         # expressible; numpy power-iteration parity is pytest-asserted)
         "g1_purchase_pagerank": olap2.purchase_pagerank,
+        # rows-only: HITS hubs/authorities (iterative; numpy parity
+        # pytest-asserted)
+        "g2_purchase_hits": olap2.purchase_hits,
         "a10b_quantiles_approx": cs.quantiles_approx,
         # rows-only: KLL sketch quantiles (approximate; rank-error bound
         # vs exact numpy quantiles is pytest-asserted)

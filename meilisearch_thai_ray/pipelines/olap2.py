@@ -1072,6 +1072,67 @@ def purchase_pagerank(sf_dir: str, n_iter: int = 5,
                              batch_size=65536)
 
 
+def purchase_hits(sf_dir: str, n_iter: int = 5):
+    """G2 — HITS hubs/authorities over the DIRECTED customer -> supplier
+    purchase graph (edge weight = lineitem count): hub customers buy from
+    many well-connected suppliers; authority suppliers serve many
+    well-connected customers. Same distributed machinery as PageRank
+    (`stages.graph.push_scores`, two exchanges per iteration, no
+    strength division, L2 normalization as one scalar aggregate)."""
+    from ..stages.graph import hits
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _union_schema(
+            n, batch["o_orderkey"].cast(pa.int64()), 1,
+            batch["o_custkey"].cast(pa.int32()),
+            np.zeros(n, np.int64), np.zeros(n))
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _union_schema(
+            n, batch["l_orderkey"].cast(pa.int64()), 0,
+            np.zeros(n, np.int32),
+            batch["l_suppkey"].cast(pa.int64()), np.zeros(n))
+
+    orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=65536)
+    lines = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=65536)
+    pair_counts = _orderkey_pair_edges(orders, lines)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False)
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array((e & 0xFFFFFFFF).astype(np.int64)),
+            "dst": pa.array(((e >> 32) + _PR_SUPP_BASE).astype(np.int64)),
+            "w": pa.array(c.astype(np.float64)),
+        })
+
+    scores = hits(pair_counts.map_batches(
+        directed, batch_format="pyarrow", batch_size=65536),
+        n_iter=n_iter)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        is_supp = node >= _PR_SUPP_BASE
+        return pa.table({
+            "node_type": pa.array(
+                np.where(is_supp, "supplier", "customer").tolist(),
+                pa.string()),
+            "key": pa.array(np.where(is_supp, node - _PR_SUPP_BASE,
+                                     node).astype(np.int64)),
+            "hub": batch["hub"],
+            "authority": batch["authority"],
+        })
+
+    return scores.map_batches(decode, batch_format="pyarrow",
+                              batch_size=65536)
+
+
 # ----------------------------- J17: full outer join of two aggregates
 
 def full_outer_counts(sf_dir: str) -> pa.Table:

@@ -297,7 +297,8 @@ def _pr_union_schema(n, key, side_val, dst, w):
     })
 
 
-def _pr_contrib(k, side, dst, w, skip_edge: bool):
+def _pr_contrib(k, side, dst, w, skip_edge: bool,
+                divide_strength: bool = True):
     """Per-run PageRank contributions over arrays sorted by src `k`: each
     run holds one rank row (side=1, w=rank) and that src's out-edges
     (side=0, dst, w=weight). Emits (dst, rank * w / strength) combined
@@ -312,9 +313,11 @@ def _pr_contrib(k, side, dst, w, skip_edge: bool):
     dim = side == 1
     rank = np.zeros(nruns, np.float64)
     rank[rid[dim]] = w[dim]
-    strength = np.zeros(nruns, np.float64)
-    np.add.at(strength, rid[~dim], w[~dim])
-    keep = (~dim) & (rank[rid] > 0) & (strength[rid] > 0)
+    strength = np.ones(nruns, np.float64)
+    if divide_strength:
+        strength = np.zeros(nruns, np.float64)
+        np.add.at(strength, rid[~dim], w[~dim])
+    keep = (~dim) & (rank[rid] != 0) & (strength[rid] > 0)
     if skip_edge:
         keep &= (rid != 0) & (rid != nruns - 1)
     if not keep.any():
@@ -322,6 +325,146 @@ def _pr_contrib(k, side, dst, w, skip_edge: bool):
     c = w[keep] * rank[rid[keep]] / strength[rid[keep]]
     u, inv = np.unique(dst[keep], return_inverse=True)
     return u, np.bincount(inv, weights=c)
+
+
+
+# per-block scan output kinds (the `kind` column) for the score-push
+# exchange shared by pagerank and HITS:
+#   0 = interior contribution (cdst, cval) — complete, stays distributed
+#   1 = pending contribution from a block-straddling src run:
+#       cval = per-dst sum(w) WITHIN this block, NOT yet scaled by the
+#       run's score(/strength) (unknown locally) — stays distributed and
+#       is scaled later by a broadcast factor map
+#   2 = profile of a straddling run: s_part = its sum(w) in this block,
+#       rval = the score if the score row landed here (else NaN) —
+#       TWO CONSTANT-SIZE rows per block max, the only driver carry.
+# This keeps the carry O(1) per block even for a hub src whose edge run
+# spans many blocks (shipping the raw run would put the hub's whole
+# adjacency on the driver).
+_EMPTY_SCAN = pa.table({
+    "kind": pa.array([], pa.int8()),
+    "src": pa.array([], pa.int64()),
+    "cdst": pa.array([], pa.int64()),
+    "cval": pa.array([], pa.float64()),
+    "s_part": pa.array([], pa.float64()),
+    "rval": pa.array([], pa.float64())})
+
+
+def _push_block_scan(batch: pa.Table, divide_strength: bool) -> pa.Table:
+    if batch.num_rows == 0:
+        return _EMPTY_SCAN
+    k = batch["key"].to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    w = batch["w"].to_numpy(zero_copy_only=False)
+    u, c = _pr_contrib(k, side, dst, w, skip_edge=True,
+                       divide_strength=divide_strength)
+    parts = [pa.table({
+        "kind": pa.array(np.zeros(u.size, np.int8)),
+        "src": pa.array(np.zeros(u.size, np.int64)),
+        "cdst": pa.array(u, pa.int64()),
+        "cval": pa.array(c, pa.float64()),
+        "s_part": pa.array(np.zeros(u.size, np.float64)),
+        "rval": pa.array(np.zeros(u.size, np.float64))})]
+    new = np.r_[True, k[1:] != k[:-1]]
+    rid = np.cumsum(new) - 1
+    for r_sel in ({0, rid[-1]} if rid[-1] else {0}):
+        sel = rid == r_sel
+        src_key = int(k[np.flatnonzero(sel)[0]])
+        fact = sel & (side == 0)
+        dims = sel & (side == 1)
+        rv = float(w[np.flatnonzero(dims)[0]]) if dims.any() else float("nan")
+        ud, cd = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if fact.any():
+            ud, inv = np.unique(dst[fact], return_inverse=True)
+            cd = np.bincount(inv, weights=w[fact])
+        parts.append(pa.table({
+            "kind": pa.array(np.ones(ud.size, np.int8)),
+            "src": pa.array(np.full(ud.size, src_key, np.int64)),
+            "cdst": pa.array(ud, pa.int64()),
+            "cval": pa.array(cd, pa.float64()),
+            "s_part": pa.array(np.zeros(ud.size, np.float64)),
+            "rval": pa.array(np.zeros(ud.size, np.float64))}))
+        parts.append(pa.table({
+            "kind": pa.array(np.array([2], np.int8)),
+            "src": pa.array(np.array([src_key], np.int64)),
+            "cdst": pa.array(np.zeros(1, np.int64)),
+            "cval": pa.array(np.zeros(1, np.float64)),
+            "s_part": pa.array(
+                np.array([float(w[fact].sum())], np.float64)),
+            "rval": pa.array(np.array([rv], np.float64))}))
+    return pa.concat_tables(parts)
+
+
+def push_scores(scores: "ray.data.Dataset", facts: "ray.data.Dataset",
+                divide_strength: bool = True):
+    """One score-push exchange: (score rows UNION edge rows) sorted by
+    key + per-block combined contributions + ONE groupby(dst). Returns a
+    Dataset with columns (cdst, "sum(cval)"). divide_strength=True pushes
+    score * w / sum(w) (the PageRank random-surfer split); False pushes
+    score * w (the HITS linear operator). Skew-safe per the kind-column
+    contract above."""
+    import functools
+
+    seg = (scores.union(facts).sort("key")
+           .map_batches(functools.partial(_push_block_scan,
+                                          divide_strength=divide_strength),
+                        batch_format="pyarrow",
+                        batch_size=None).materialize())
+    # profiles: <= 2 constant-size rows per block — the only driver pull
+    prof = pa.concat_tables(
+        [b for b in seg.filter(expr="kind == 2")
+         .iter_batches(batch_format="pyarrow")] or [_EMPTY_SCAN])
+    factor: dict[int, float] = {}
+    s_tot: dict[int, float] = {}
+    r_of: dict[int, float] = {}
+    for srck, sp, rv in zip(prof["src"].to_pylist(),
+                            prof["s_part"].to_pylist(),
+                            prof["rval"].to_pylist()):
+        s_tot[srck] = s_tot.get(srck, 0.0) + sp
+        if rv == rv:  # not NaN: the block holding the score row
+            r_of[srck] = rv
+    for srck, s in s_tot.items():
+        if divide_strength:
+            factor[srck] = (r_of.get(srck, 0.0) / s) if s > 0 else 0.0
+        else:
+            factor[srck] = r_of.get(srck, 0.0)
+    fkeys = np.array(sorted(factor), np.int64)
+    fvals = np.array([factor[int(x)] for x in fkeys], np.float64)
+    factor_ref = ray.put((fkeys, fvals))
+
+    def scale_pending(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(factor_ref)
+        srcv = batch["src"].to_numpy(zero_copy_only=False)
+        if keys.size:
+            pos = np.minimum(np.searchsorted(keys, srcv), keys.size - 1)
+            f = np.where(keys[pos] == srcv, vals[pos], 0.0)
+        else:
+            f = np.zeros(len(srcv), np.float64)
+        return pa.table({
+            "cdst": batch["cdst"],
+            "cval": pa.array(batch["cval"].to_numpy(
+                zero_copy_only=False) * f, pa.float64())})
+
+    contrib = seg.filter(expr="kind == 0").select_columns(
+        ["cdst", "cval"]).union(
+        seg.filter(expr="kind == 1").map_batches(
+            scale_pending, batch_format="pyarrow", batch_size=65536))
+    return contrib.groupby("cdst").sum("cval")
+
+
+def _fact_rows_ds(edges: "ray.data.Dataset", key_col: str = "src",
+                  other_col: str = "dst"):
+    """Edges -> materialized union-schema fact rows keyed by key_col."""
+    def _rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch[key_col].to_numpy(zero_copy_only=False), 0,
+            batch[other_col].to_numpy(zero_copy_only=False),
+            batch["w"].to_numpy(zero_copy_only=False))
+
+    return edges.map_batches(_rows, batch_format="pyarrow",
+                             batch_size=65536).materialize()
 
 
 def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
@@ -364,80 +507,7 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
                               batch_size=65536).materialize()
 
-    def fact_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return _pr_union_schema(
-            n, batch["src"].to_numpy(zero_copy_only=False), 0,
-            batch["dst"].to_numpy(zero_copy_only=False),
-            batch["w"].to_numpy(zero_copy_only=False))
-
-    facts = edges.map_batches(fact_rows, batch_format="pyarrow",
-                              batch_size=65536).materialize()
-
-    # per-block scan output kinds (the `kind` column):
-    #   0 = interior contribution (cdst, cval) — complete, stays distributed
-    #   1 = pending contribution from a block-straddling src run:
-    #       cval = per-dst Σw WITHIN this block, NOT yet scaled by the
-    #       run's rank/strength (unknown locally) — stays distributed and
-    #       is scaled later by a broadcast factor map
-    #   2 = profile of a straddling run: s_part = its Σw in this block,
-    #       rval = the rank if the rank row landed here (else NaN) —
-    #       TWO CONSTANT-SIZE rows per block max, the only driver carry.
-    # This keeps the carry O(1) per block even for a hub src whose edge
-    # run spans many blocks (shipping the raw run would put the hub's
-    # whole adjacency on the driver).
-    _EMPTY_SCAN = pa.table({
-        "kind": pa.array([], pa.int8()),
-        "src": pa.array([], pa.int64()),
-        "cdst": pa.array([], pa.int64()),
-        "cval": pa.array([], pa.float64()),
-        "s_part": pa.array([], pa.float64()),
-        "rval": pa.array([], pa.float64())})
-
-    def block_contrib(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY_SCAN
-        k = batch["key"].to_numpy(zero_copy_only=False)
-        side = batch["side"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        w = batch["w"].to_numpy(zero_copy_only=False)
-        u, c = _pr_contrib(k, side, dst, w, skip_edge=True)
-        parts = [pa.table({
-            "kind": pa.array(np.zeros(u.size, np.int8)),
-            "src": pa.array(np.zeros(u.size, np.int64)),
-            "cdst": pa.array(u, pa.int64()),
-            "cval": pa.array(c, pa.float64()),
-            "s_part": pa.array(np.zeros(u.size, np.float64)),
-            "rval": pa.array(np.zeros(u.size, np.float64))})]
-        new = np.r_[True, k[1:] != k[:-1]]
-        rid = np.cumsum(new) - 1
-        for r_sel in ({0, rid[-1]} if rid[-1] else {0}):
-            sel = rid == r_sel
-            src_key = int(k[np.flatnonzero(sel)[0]])
-            fact = sel & (side == 0)
-            dims = sel & (side == 1)
-            rv = float(w[np.flatnonzero(dims)[0]]) if dims.any() \
-                else float("nan")
-            ud, cd = (np.empty(0, np.int64), np.empty(0, np.float64))
-            if fact.any():
-                ud, inv = np.unique(dst[fact], return_inverse=True)
-                cd = np.bincount(inv, weights=w[fact])
-            parts.append(pa.table({
-                "kind": pa.array(np.ones(ud.size, np.int8)),
-                "src": pa.array(np.full(ud.size, src_key, np.int64)),
-                "cdst": pa.array(ud, pa.int64()),
-                "cval": pa.array(cd, pa.float64()),
-                "s_part": pa.array(np.zeros(ud.size, np.float64)),
-                "rval": pa.array(np.zeros(ud.size, np.float64))}))
-            parts.append(pa.table({
-                "kind": pa.array(np.array([2], np.int8)),
-                "src": pa.array(np.array([src_key], np.int64)),
-                "cdst": pa.array(np.zeros(1, np.int64)),
-                "cval": pa.array(np.zeros(1, np.float64)),
-                "s_part": pa.array(
-                    np.array([float(w[fact].sum())], np.float64)),
-                "rval": pa.array(np.array([rv], np.float64))}))
-        return pa.concat_tables(parts)
+    facts = _fact_rows_ds(edges)
 
     base = (1.0 - damping) / n_nodes
 
@@ -450,46 +520,7 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
             1, np.zeros(n, np.int64), r)
 
     for _ in range(n_iter):
-        seg = (ranks.union(facts).sort("key")
-               .map_batches(block_contrib, batch_format="pyarrow",
-                            batch_size=None).materialize())
-        # profiles: <= 2 constant-size rows per block — the only driver pull
-        prof = pa.concat_tables(
-            [b for b in seg.filter(expr="kind == 2")
-             .iter_batches(batch_format="pyarrow")] or [_EMPTY_SCAN])
-        factor: dict[int, float] = {}
-        s_tot: dict[int, float] = {}
-        r_of: dict[int, float] = {}
-        for srck, sp, rv in zip(prof["src"].to_pylist(),
-                                prof["s_part"].to_pylist(),
-                                prof["rval"].to_pylist()):
-            s_tot[srck] = s_tot.get(srck, 0.0) + sp
-            if rv == rv:  # not NaN: the block holding the rank row
-                r_of[srck] = rv
-        for srck, s in s_tot.items():
-            factor[srck] = (r_of.get(srck, 0.0) / s) if s > 0 else 0.0
-        fkeys = np.array(sorted(factor), np.int64)
-        fvals = np.array([factor[int(x)] for x in fkeys], np.float64)
-        factor_ref = ray.put((fkeys, fvals))
-
-        def scale_pending(batch: pa.Table) -> pa.Table:
-            keys, vals = ray.get(factor_ref)
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            if keys.size:
-                pos = np.minimum(np.searchsorted(keys, src), keys.size - 1)
-                f = np.where(keys[pos] == src, vals[pos], 0.0)
-            else:
-                f = np.zeros(len(src), np.float64)
-            return pa.table({
-                "cdst": batch["cdst"],
-                "cval": pa.array(batch["cval"].to_numpy(
-                    zero_copy_only=False) * f, pa.float64())})
-
-        contrib = seg.filter(expr="kind == 0").select_columns(
-            ["cdst", "cval"]).union(
-            seg.filter(expr="kind == 1").map_batches(
-                scale_pending, batch_format="pyarrow", batch_size=65536))
-        ranks = (contrib.groupby("cdst").sum("cval")
+        ranks = (push_scores(ranks, facts, divide_strength=True)
                  .map_batches(finish, batch_format="pyarrow",
                               batch_size=65536).materialize())
 
@@ -501,3 +532,95 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
 
     return ranks.map_batches(emit, batch_format="pyarrow",
                              batch_size=65536)
+
+
+def _l2_normalized_scores(sums_ds, eps: float = 1e-300):
+    """(cdst, sum(cval)) -> L2-normalized score rows in the union schema.
+    One scalar aggregate (sum of squares) + one scaling pass."""
+    from ray.data.aggregate import Sum
+
+    def sq(batch: pa.Table) -> pa.Table:
+        v = batch["sum(cval)"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(np.dot(v, v))], pa.float64())})
+
+    tot = (sums_ds.map_batches(sq, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("s", alias_name="t"))["t"]) or 0.0
+    norm = float(np.sqrt(tot)) or eps
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch["cdst"].to_numpy(zero_copy_only=False), 1,
+            np.zeros(n, np.int64),
+            batch["sum(cval)"].to_numpy(zero_copy_only=False) / norm)
+
+    return sums_ds.map_batches(fin, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+
+
+def hits(edges: ray.data.Dataset, n_iter: int = 5) -> ray.data.Dataset:
+    """Distributed HITS (Kleinberg 1999) over a DIRECTED weighted edge
+    Dataset (src, dst, w): hubs point, authorities receive —
+    a = A^T h then h = A a, each L2-normalized, for n_iter rounds.
+
+    Scale shape: two `push_scores` exchanges per iteration (the same
+    skew-safe sort+groupby as pagerank, without the strength division —
+    HITS is the raw linear operator) over pre-materialized forward and
+    reverse fact rows; normalization is one scalar aggregate. Returns
+    (node, hub, authority) with 0.0 for roles a node never plays."""
+    facts_fwd = _fact_rows_ds(edges, "src", "dst")
+    facts_rev = _fact_rows_ds(edges, "dst", "src")
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "one": pa.array(np.ones(u.size, np.float64))})
+
+    nodes = (edges.map_batches(node_partial, batch_format="pyarrow",
+                               batch_size=65536)
+             .groupby("node").sum("one").materialize())
+
+    def init_h(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch["node"].to_numpy(zero_copy_only=False), 1,
+            np.zeros(n, np.int64), np.ones(n, np.float64))
+
+    h = nodes.map_batches(init_h, batch_format="pyarrow",
+                          batch_size=65536).materialize()
+    a = None
+    for _ in range(n_iter):
+        a = _l2_normalized_scores(
+            push_scores(h, facts_fwd, divide_strength=False))
+        h = _l2_normalized_scores(
+            push_scores(a, facts_rev, divide_strength=False))
+
+    def h_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["key"].cast(pa.int64()),
+            "hub_p": batch["w"],
+            "auth_p": pa.array(np.zeros(batch.num_rows, np.float64))})
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["key"].cast(pa.int64()),
+            "hub_p": pa.array(np.zeros(batch.num_rows, np.float64)),
+            "auth_p": batch["w"]})
+
+    both = (h.map_batches(h_rows, batch_format="pyarrow",
+                          batch_size=65536)
+            .union(a.map_batches(a_rows, batch_format="pyarrow",
+                                 batch_size=65536))
+            .groupby("node").sum(["hub_p", "auth_p"]))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "hub": batch["sum(hub_p)"],
+            "authority": batch["sum(auth_p)"],
+        })
+
+    return both.map_batches(emit, batch_format="pyarrow",
+                            batch_size=65536)

@@ -326,3 +326,88 @@ def test_pagerank_hub_skew_constant_carries(ray_session):
     assert set(got) == set(exp)
     for n in exp:
         assert abs(got[n] - exp[n]) < 1e-9
+
+
+def _np_hits(edges, n_iter=5):
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t, w in edges:
+        A[idx[s], idx[t]] += w
+    h = np.ones(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+    return ({nodes[i]: h[i] for i in range(n)},
+            {nodes[i]: a[i] for i in range(n)})
+
+
+def test_hits_matches_power_iteration(ray_session):
+    """Distributed HITS == numpy on a weighted digraph with pure sources
+    (hub-only), pure sinks (authority-only), and a hub whose adjacency
+    straddles 2 KiB blocks."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import hits
+
+    edges = [(1, 10, 2.0), (1, 11, 1.0), (2, 10, 1.0), (2, 12, 3.0),
+             (3, 11, 1.0), (10, 12, 0.5)]  # 1,2,3 sources; 12 pure sink
+    edges += [(7, 1000 + j, 1.0) for j in range(800)]  # straddling hub
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(ds, n_iter=4).take_all()}
+    finally:
+        ctx.target_max_block_size = saved
+    eh, ea = _np_hits(edges, n_iter=4)
+    assert set(got) == set(eh)
+    for nd in eh:
+        assert abs(got[nd][0] - eh[nd]) < 1e-9, ("hub", nd)
+        assert abs(got[nd][1] - ea[nd]) < 1e-9, ("auth", nd)
+    # role sanity: pure sources have 0 authority, the pure sink 0 hub
+    assert got[3][1] == 0.0 and got[12][0] == 0.0
+
+
+def test_purchase_hits_pipeline_matches_oracle(ray_session):
+    """End-to-end HITS at sf0.001 == numpy over the DuckDB-derived
+    directed customer->supplier edge list."""
+    import duckdb
+
+    from meilisearch_thai_ray.pipelines.olap2 import (_PR_SUPP_BASE,
+                                                      purchase_hits)
+
+    out = purchase_hits("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    pairs = con.execute("""
+        SELECT o_custkey, l_suppkey, count(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2""").fetchall()
+    edges = [(int(c), int(s) + _PR_SUPP_BASE, float(w))
+             for c, s, w in pairs]
+    eh, ea = _np_hits(edges)
+    got = {}
+    for _, r in out.iterrows():
+        node = (int(r["key"]) + _PR_SUPP_BASE
+                if r["node_type"] == "supplier" else int(r["key"]))
+        got[node] = (r["hub"], r["authority"])
+    assert set(got) == set(eh)
+    for nd in eh:
+        assert abs(got[nd][0] - eh[nd]) < 1e-9
+        assert abs(got[nd][1] - ea[nd]) < 1e-9
