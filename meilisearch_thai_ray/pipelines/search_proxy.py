@@ -950,12 +950,25 @@ class FederatedSearch:
         self.indexes = dict(indexes)
 
     def multi_search(self, queries: list[dict], limit: int = 20,
-                     offset: int = 0) -> list[dict]:
+                     offset: int = 0, fusion: str = "weighted",
+                     rrf_k: int = 60) -> list[dict]:
         """`queries`: one entry per (index, query) pair, Meilisearch shape:
         {"indexUid": str, "q": str, "weight": float = 1.0,
          "options": SearchOptions | None}. Returns the federated hit list:
         each hit carries `_federation = {"indexUid", "weightedRankingScore"}`
-        plus the member proxy's own hit fields."""
+        plus the member proxy's own hit fields.
+
+        fusion="rrf": Reciprocal Rank Fusion (Cormack et al., SIGIR 2009)
+        — the hybrid-retrieval combiner for indexes over the SAME doc
+        space (e.g. a BM25 index federated with an ANN index): hits with
+        one doc_id COMBINE, score = sum_i weight_i / (rrf_k + rank_i);
+        scoreless-rank fusion, so per-index score magnitudes drop out
+        entirely. Payload comes from the best-ranked source; every
+        contributing index's rank survives in `_federation.ranks`."""
+        if fusion == "rrf":
+            return self._multi_search_rrf(queries, limit, offset, rrf_k)
+        if fusion != "weighted":
+            raise ValueError(f"unknown fusion {fusion!r}")
         merged: list[tuple] = []
         for pos, q in enumerate(queries):
             uid = q["indexUid"]
@@ -983,12 +996,48 @@ class FederatedSearch:
             out.append(hit)
         return out
 
+    def _multi_search_rrf(self, queries: list[dict], limit: int,
+                          offset: int, rrf_k: int) -> list[dict]:
+        agg: dict = {}
+        for pos, q in enumerate(queries):
+            uid = q["indexUid"]
+            if uid not in self.indexes:
+                raise KeyError(f"unknown index {uid!r}; registered: "
+                               f"{sorted(self.indexes)}")
+            weight = float(q.get("weight", 1.0))
+            if weight == 0.0:
+                continue
+            hits = self.indexes[uid].search(
+                q["q"], k=limit + offset, options=q.get("options"))
+            for rank, h in enumerate(hits, start=1):
+                rec = agg.setdefault(h["doc_id"], {
+                    "score": 0.0, "ranks": {}, "best": None})
+                rec["score"] += weight / (rrf_k + rank)
+                rec["ranks"][uid] = rank
+                cand = (rank, pos, uid, h)
+                if rec["best"] is None or cand[:3] < rec["best"][:3]:
+                    rec["best"] = cand
+        ordered = sorted(agg.items(),
+                         key=lambda kv: (-kv[1]["score"], kv[0]))
+        out = []
+        for doc_id, rec in ordered[offset:offset + limit]:
+            hit = dict(rec["best"][3])
+            hit["_federation"] = {
+                "indexUid": rec["best"][2],
+                "rrfScore": round(rec["score"], 9),
+                "ranks": dict(sorted(rec["ranks"].items())),
+            }
+            out.append(hit)
+        return out
+
     def search(self, query: str, limit: int = 20, offset: int = 0,
-               weights: dict[str, float] | None = None) -> list[dict]:
+               weights: dict[str, float] | None = None,
+               fusion: str = "weighted") -> list[dict]:
         """One query fanned out to EVERY registered index (the common
         federated case), with optional per-index weights."""
         weights = weights or {}
         qs = [{"indexUid": uid, "q": query,
                "weight": weights.get(uid, 1.0)}
               for uid in sorted(self.indexes)]
-        return self.multi_search(qs, limit=limit, offset=offset)
+        return self.multi_search(qs, limit=limit, offset=offset,
+                                 fusion=fusion)

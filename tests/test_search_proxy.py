@@ -530,3 +530,43 @@ def test_federated_single_index_matches_plain_search(federation):
     assert [h["doc_id"] for h in via_fed] == [h["doc_id"] for h in plain]
     with pytest.raises(KeyError):
         fed.multi_search([{"indexUid": "nope", "q": q}])
+
+
+def test_federated_rrf_fusion(federation):
+    """fusion='rrf': (a) same index registered twice -> every doc combines
+    with score 2/(k+rank) in plain-search order; (b) over the disjoint
+    two-corpus federation every hit keeps exactly one contributing rank
+    and the list is ordered by descending rrfScore."""
+    from meilisearch_thai_ray.pipelines.search_proxy import FederatedSearch
+
+    fed, proxies = federation
+    q = _fed_query(proxies)
+
+    twin = FederatedSearch({"a": proxies["idx_a"], "b": proxies["idx_a"]})
+    plain = proxies["idx_a"].search(q, k=10)
+    rrf = twin.search(q, limit=10, fusion="rrf")
+    assert [h["doc_id"] for h in rrf] == [h["doc_id"] for h in plain]
+    for i, h in enumerate(rrf):
+        rank = i + 1
+        assert h["_federation"]["ranks"] == {"a": rank, "b": rank}
+        assert abs(h["_federation"]["rrfScore"] - 2.0 / (60 + rank)) < 1e-9
+
+    mixed = fed.search(q, limit=20, fusion="rrf")
+    assert mixed, "shared Thai vocabulary must match in both corpora"
+    scores = [h["_federation"]["rrfScore"] for h in mixed]
+    assert scores == sorted(scores, reverse=True)
+    # the fixture corpora share urls (same url scheme), so some doc_ids
+    # appear in BOTH indexes and must combine: score == sum of the
+    # per-index reciprocal ranks, payload from the best-ranked source
+    assert any(len(h["_federation"]["ranks"]) == 2 for h in mixed)
+    for h in mixed:
+        ranks = h["_federation"]["ranks"]
+        assert set(ranks) <= {"idx_a", "idx_b"}
+        expect = sum(1.0 / (60 + r) for r in ranks.values())
+        assert abs(h["_federation"]["rrfScore"] - expect) < 1e-9
+        assert h["_federation"]["indexUid"] == min(
+            ranks, key=lambda u: (ranks[u], u))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fed.multi_search([{"indexUid": "idx_a", "q": q}], fusion="nope")
