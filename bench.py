@@ -131,7 +131,8 @@ def run_bench() -> dict:
                  "j14_order_priority", "m26_gopher_rules", "d14_semdedup",
                  "q7_nation_volume", "k17_dsir_weights", "ann_pq_topk",
                  "q8_market_share", "q21_last_shipper", "a22_event_paths",
-                 "a23_cohort_retention"]:
+                 "a23_cohort_retention", "a25_percent_rank",
+                 "j16_grouped_mode"]:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

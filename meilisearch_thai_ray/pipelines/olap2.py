@@ -179,6 +179,19 @@ def _member(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
     return keys[pos] == vals
 
 
+def _rev_e4(t: pa.Table) -> np.ndarray:
+    """Revenue in exact integer 'basis points': price and discount are
+    2-dp decimals, so round(price*100) * (100 - round(disc*100)) is an
+    EXACT integer (x 1e4 the float revenue). Integer-valued float64 sums
+    below 2^53 are associative, so distributed sums become independent of
+    block layout — the q17 integral-sum convention, adopted here after a
+    2-dp rounding-boundary flake (the SQL oracle computes the same form).
+    """
+    p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+    d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+    return p * (100.0 - d)
+
+
 # ------------------------------------------ Q8: national market share
 
 Q8_REGION = "ASIA"
@@ -252,8 +265,7 @@ def market_share(sf_dir: str, region: str = Q8_REGION,
         sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(skeys, sup)
         pos = np.minimum(pos, max(skeys.size - 1, 0))
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = _rev_e4(t)  # exact integer sums: ratio is layout-independent
         n = t.num_rows
         return _union_schema(n, t["l_orderkey"].cast(pa.int64()), 0,
                              np.zeros(n, np.int32), scodes[pos], rev)
@@ -290,7 +302,8 @@ SELECT CAST(o_year AS INTEGER) AS o_year,
        round(sum(CASE WHEN nation = '{Q8_NATION}' THEN volume ELSE 0 END)
              / sum(volume), 6) AS mkt_share
 FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             round(l_extendedprice * 100)
+               * (100 - round(l_discount * 100)) AS volume,
              n2.n_name AS nation
       FROM part, supplier, lineitem, orders, customer,
            nation n1, nation n2, region
@@ -346,8 +359,7 @@ def profit_by_nation(sf_dir: str, name_sub: str = Q9_PART_LIKE) -> pa.Table:
         sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(skeys, sup)
         pos = np.minimum(pos, max(skeys.size - 1, 0))
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = _rev_e4(t)
         n = t.num_rows
         return _union_schema(n, t["l_orderkey"].cast(pa.int64()), 0,
                              np.zeros(n, np.int32), scodes[pos], rev)
@@ -374,7 +386,7 @@ def profit_by_nation(sf_dir: str, name_sub: str = Q9_PART_LIKE) -> pa.Table:
 
     ncode, year, sums = _orderkey_join_sums(orders, lines)
     rows = sorted(zip((name_of[int(c)] for c in ncode), year.tolist(),
-                      np.round(sums, 2).tolist()))
+                      np.round(sums / 1e4, 2).tolist()))
     return pa.table({
         "nation": pa.array([r[0] for r in rows], pa.string()),
         "o_year": pa.array([r[1] for r in rows], pa.int32()),
@@ -385,7 +397,9 @@ def profit_by_nation(sf_dir: str, name_sub: str = Q9_PART_LIKE) -> pa.Table:
 SQL["q9_profit_by_nation"] = f"""
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 2)
+           AS sum_profit
 FROM part, supplier, lineitem, orders, nation
 WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
   AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
