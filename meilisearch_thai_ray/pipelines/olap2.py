@@ -530,8 +530,7 @@ def disjunctive_revenue(sf_dir: str) -> pa.Table:
         keys = ray.get(keys_ref)
         part = batch["l_partkey"].to_numpy(zero_copy_only=False)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = _rev_e4(batch)  # integer-exact: layout-independent 2-dp sum
         hit = np.zeros(len(part), bool)
         for ck, (qlo, qhi) in zip(keys, qty_ranges):
             hit |= _member(ck, part) & (qty >= qlo) & (qty <= qhi)
@@ -543,7 +542,8 @@ def disjunctive_revenue(sf_dir: str) -> pa.Table:
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
         .map_batches(rev_partial, batch_format="pyarrow", batch_size=None)
         .aggregate(Sum("part", alias_name="s"))["s"]) or 0.0
-    return pa.table({"revenue": pa.array([round(total, 2)], pa.float64())})
+    return pa.table({"revenue": pa.array([round(total / 1e4, 2)],
+                                         pa.float64())})
 
 
 _Q19_DISJUNCTS = " OR ".join(
@@ -551,7 +551,8 @@ _Q19_DISJUNCTS = " OR ".join(
     f" AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_CLASSES)
 SQL["q19_disjunctive_revenue"] = f"""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {_Q19_DISJUNCTS}
 """
