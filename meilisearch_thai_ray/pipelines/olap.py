@@ -243,19 +243,23 @@ def forecast_revenue(sf_dir: str) -> pa.Table:
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        # integer-exact cents x basis points (q9 flake postmortem)
+        p = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100)
+        d = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100)
         return pa.table({"part": pa.array([float(np.dot(p, d))],
                                           pa.float64())})
 
     total = (li.map_batches(rev_partial, batch_format="pyarrow",
                             batch_size=None)  # batch == block
              .aggregate(Sum("part", alias_name="s"))["s"]) or 0.0
-    return pa.table({"revenue": pa.array([round(total, 6)], pa.float64())})
+    return pa.table({"revenue": pa.array([round(total / 1e4, 6)], pa.float64())})
 
 
 SQL["q6_forecast_revenue"] = f"""
-SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+SELECT round(sum(round(l_extendedprice * 100)
+                 * round(l_discount * 100)) / 10000.0, 6) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
   AND l_shipdate < TIMESTAMP '{int(Q6_YEAR) + 1}-01-01'
@@ -297,8 +301,10 @@ def promo_revenue(sf_dir: str) -> pa.Table:
     def partials(batch: pa.Table) -> pa.Table:
         keys = ray.get(pk_ref)
         part = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        rev = (np.rint(batch["l_extendedprice"].to_numpy(
+                   zero_copy_only=False) * 100)
+               * (100.0 - np.rint(batch["l_discount"].to_numpy(
+                   zero_copy_only=False) * 100)))
         pos = np.searchsorted(keys, part)
         pos[pos == keys.size] = 0
         is_promo = (keys[pos] == part) if keys.size else np.zeros(
@@ -325,9 +331,11 @@ def promo_revenue(sf_dir: str) -> pa.Table:
 
 SQL["q14_promo_revenue"] = f"""
 SELECT round(100.0 * sum(CASE WHEN p_type = '{Q14_PROMO_TYPE}'
-                              THEN l_extendedprice * (1 - l_discount)
+                              THEN round(l_extendedprice * 100)
+                                   * (100 - round(l_discount * 100))
                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+             / sum(round(l_extendedprice * 100)
+                   * (100 - round(l_discount * 100))), 6) AS promo_revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_LO}'
   AND l_shipdate < TIMESTAMP '{Q14_MONTH_HI}'
@@ -515,14 +523,17 @@ def nation_volume(sf_dir: str, nation1: str = Q7_NATION1,
         hit, codes = probe(supp_ref,
                            batch["l_suppkey"].to_numpy(zero_copy_only=False))
         t = batch.filter(pa.array(hit))
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # integer-exact basis points (q9 flake postmortem)
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100)
         return pa.table({
             "orderkey": t["l_orderkey"].cast(pa.int64()),
             "side": pa.array(np.zeros(t.num_rows, np.int8)),
             "code": pa.array(codes),
             "year": pc.year(t["l_shipdate"]).cast(pa.int32()),
-            "vol": pa.array(price * (1.0 - disc), pa.float64()),
+            "vol": pa.array(price * (100.0 - disc), pa.float64()),
         })
 
     orders = read_parquet_clean(
@@ -607,7 +618,7 @@ def nation_volume(sf_dir: str, nation1: str = Q7_NATION1,
     rows = sorted(zip((names_rev[s] for s in scode[cross]),
                       (names_rev[c] for c in ccode[cross]),
                       years[cross].tolist(),
-                      np.round(sums[cross], 2).tolist()))
+                      np.round(sums[cross] / 1e4, 2).tolist()))
     return pa.table({
         "supp_nation": pa.array([r[0] for r in rows], pa.string()),
         "cust_nation": pa.array([r[1] for r in rows], pa.string()),
@@ -620,7 +631,8 @@ SQL["q7_nation_volume"] = f"""
 SELECT n_s.n_name AS supp_nation,
        n_c.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 2) AS volume
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -660,8 +672,13 @@ def top_supplier(sf_dir: str) -> pa.Table:
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        # integer-exact basis points (q9 flake postmortem): the rounded
+        # per-supplier totals — and the argmax winner set — are
+        # block-layout independent
+        rev = (np.rint(batch["l_extendedprice"].to_numpy(
+                   zero_copy_only=False) * 100)
+               * (100.0 - np.rint(batch["l_discount"].to_numpy(
+                   zero_copy_only=False) * 100)))
         u, inv = np.unique(k, return_inverse=True)
         return pa.table({"l_suppkey": pa.array(u, pa.int64()),
                          "rev_part": pa.array(np.bincount(inv, weights=rev),
@@ -679,7 +696,7 @@ def top_supplier(sf_dir: str) -> pa.Table:
         return pa.table({"s_suppkey": pa.array([], pa.int64()),
                          "s_name": pa.array([], pa.string()),
                          "total_revenue": pa.array([], pa.float64())})
-    rev = {int(r["l_suppkey"]): round(float(r["total_revenue"]), 2)
+    rev = {int(r["l_suppkey"]): round(float(r["total_revenue"]) / 1e4, 2)
            for r in sums}
     best = max(rev.values())
     winners = sorted(k for k, v in rev.items() if v == best)
@@ -696,7 +713,9 @@ def top_supplier(sf_dir: str) -> pa.Table:
 SQL["q15_top_supplier"] = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(sum(round(l_extendedprice * 100)
+                   * (100 - round(l_discount * 100))) / 10000.0, 2)
+             AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_LO}'
     AND l_shipdate < TIMESTAMP '{Q15_QTR_HI}'

@@ -1350,7 +1350,7 @@ def _q3_finalize(tbl: pa.Table) -> pa.Table:
     return pa.table({
         "orderkey": t["orderkey"].cast(pa.int64()),
         "revenue": pa.array(
-            np.round(t["rev_sum"].to_numpy(zero_copy_only=False), 6),
+            np.round(t["rev_sum"].to_numpy(zero_copy_only=False) / 1e4, 6),
             pa.float64()),
         "o_orderdate": t["date_i"].cast(pa.int64()).cast(
             pa.timestamp("us")),
@@ -1399,12 +1399,16 @@ def q3_shipping(sf_dir: str):
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        # integer-exact basis points (q9 flake postmortem): per-order
+        # 6-dp revenue becomes block-layout independent
+        price = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100)
         return pa.table({
             "orderkey": batch["l_orderkey"].cast(pa.int64()),
             "side": pa.array(np.zeros(n, np.int8)),
-            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            "rev": pa.array(price * (100.0 - disc), pa.float64()),
             "date_i": pa.array(np.full(n, _Q3_DATE_SENTINEL), pa.int64()),
             "prio": pa.array([""] * n, pa.string()),
         })
@@ -1456,7 +1460,8 @@ def q3_shipping(sf_dir: str):
 
 SQL["q3_shipping"] = f"""
 SELECT l_orderkey AS orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 6) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = '{Q3_SEGMENT}'
@@ -1624,14 +1629,17 @@ def q5_region_revenue(sf_dir: str):
         hit = (sk[idx] == l_supp) if len(sk) else np.zeros(len(l_supp), bool)
         t = batch.filter(pa.array(hit))
         n = t.num_rows
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100)
         return pa.table({
             "orderkey": t["l_orderkey"].cast(pa.int64()),
             "side": pa.array(np.zeros(n, np.int8)),
             "natkey": pa.array(np.full(n, -1), pa.int64()),
             "suppnat": pa.array(sn[idx[hit]], pa.int64()),
-            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            # integer-exact basis points (q9 flake postmortem)
+            "rev": pa.array(price * (100.0 - disc), pa.float64()),
         })
 
     orders = read_parquet_clean(
@@ -1673,7 +1681,8 @@ def q5_region_revenue(sf_dir: str):
     hit = np.flatnonzero(cnt_by_nat > 0)
     out = pa.table({
         "n_name": pa.array([nat_name[int(i)] for i in hit], pa.string()),
-        "revenue": pa.array(np.round(rev_by_nat[hit], 6), pa.float64()),
+        "revenue": pa.array(np.round(rev_by_nat[hit] / 1e4, 6),
+                            pa.float64()),
     })
     return out.take(pc.sort_indices(
         out, sort_keys=[("revenue", "descending")]))
@@ -1681,7 +1690,8 @@ def q5_region_revenue(sf_dir: str):
 
 SQL["j12_star_join"] = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 6) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1992,11 +2002,18 @@ def lineitem_agg(sf_dir: str):
     )
 
     def partials(batch: pa.Table) -> pa.Table:
+        # integer-exact money sums (price/discount are 2-dp decimals):
+        # cents and basis points are exact int64s, so every partial and
+        # the final sums are block-layout independent — the 2-dp rounding
+        # can never land on a float boundary (q9 flake postmortem)
         df = pl.from_arrow(batch)
         out = df.group_by(["l_returnflag", "l_linestatus"]).agg(
             pl.col("l_quantity").sum().alias("q_part"),
-            pl.col("l_extendedprice").sum().alias("p_part"),
-            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("d_part"),
+            (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64)
+            .sum().alias("p_part"),
+            ((pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64)
+             * (100 - (pl.col("l_discount") * 100).round(0).cast(pl.Int64))
+             ).sum().alias("d_part"),
             pl.len().cast(pl.Int64).alias("n_part"),
         )
         return out.to_arrow()
@@ -2021,10 +2038,12 @@ def lineitem_agg(sf_dir: str):
                     np.round(batch["sum_qty_raw"].to_numpy().astype(np.float64), 2)
                 ),
                 "sum_base_price": pa.array(
-                    np.round(batch["sum_base_raw"].to_numpy().astype(np.float64), 2)
+                    np.round(batch["sum_base_raw"].to_numpy()
+                             .astype(np.float64) / 100.0, 2)
                 ),
                 "sum_disc_price": pa.array(
-                    np.round(batch["sum_disc_raw"].to_numpy().astype(np.float64), 2)
+                    np.round(batch["sum_disc_raw"].to_numpy()
+                             .astype(np.float64) / 10000.0, 2)
                 ),
                 "n": batch["n"],
             }
@@ -2036,8 +2055,11 @@ def lineitem_agg(sf_dir: str):
 SQL["q1_lineitem_agg"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(round(l_extendedprice * 100)) / 100.0, 2)
+           AS sum_base_price,
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 2)
+           AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -2167,13 +2189,16 @@ def q10_top_returners(sf_dir: str):
         })
 
     def line_side(batch: pa.Table) -> pa.Table:
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        # integer-exact basis points (q9 flake postmortem)
+        price = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        disc = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100)
         n = batch.num_rows
         return pa.table({
             "orderkey": batch["l_orderkey"].cast(pa.int64()),
             "custkey": pa.array(np.full(n, -1), pa.int64()),
-            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            "rev": pa.array(price * (100.0 - disc), pa.float64()),
             "is_ord": pa.array(np.zeros(n, np.int8)),
         })
 
@@ -2277,7 +2302,8 @@ def q10_top_returners(sf_dir: str):
         ck = batch["custkey"].to_numpy(zero_copy_only=False)
         # rank on the 6-dp-ROUNDED revenue: the oracle's ORDER BY uses the
         # rounded alias, so near-ties must break by custkey on both sides
-        rev = np.round(batch["sum(rev)"].to_numpy(zero_copy_only=False), 6)
+        rev = np.round(batch["sum(rev)"].to_numpy(
+            zero_copy_only=False) / 1e4, 6)
         order = np.lexsort((ck, -rev))[:Q10_TOPN]
         return pa.table({"custkey": pa.array(ck[order].astype(np.int64)),
                          "rev": pa.array(rev[order], pa.float64())})
@@ -2287,6 +2313,7 @@ def q10_top_returners(sf_dir: str):
                            batch_size=None).to_arrow_refs()))
     ck = parts["custkey"].to_numpy(zero_copy_only=False)
     rev = np.round(parts["rev"].to_numpy(zero_copy_only=False), 6)
+    # parts["rev"] is already 6-dp dollars (divided in _topn_partial)
     order = np.lexsort((ck, -rev))[:Q10_TOPN]
     ck, rev = ck[order].astype(np.int64), rev[order]
 
@@ -2311,7 +2338,9 @@ def q10_top_returners(sf_dir: str):
 
 SQL["q10_top_returners"] = f"""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))) / 10000.0, 6)
+           AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
