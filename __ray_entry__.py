@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: exact k-NN graph (top-k per row; numpy-oracle parity
         # incl. tie determinism is pytest-asserted)
         "d15_knn_graph": dp.knn_graph,
+        # rows-only: label-propagation communities over the k-NN graph
+        # (deterministic synchronous LPA; numpy parity pytest-asserted)
+        "d16_knn_communities": dp.knn_communities,
         # rows-only: PQ/ADC top-k (approximate by design — codes, not
         # vectors, ride the scan; recall@10 vs the brute-force oracle is
         # pytest-asserted)

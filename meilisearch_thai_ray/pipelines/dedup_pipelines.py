@@ -749,6 +749,45 @@ def knn_graph(sf_dir: str, k: int = 10, n_blocks: int | None = None):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def knn_communities(sf_dir: str, k: int = 10, n_iter: int = 5,
+                    n_blocks: int | None = None):
+    """D16: semantic communities over the embedding k-NN graph —
+    deterministic label propagation (stages/graph.py) on the knn_graph
+    edges (cosine weights, negative similarities dropped, both
+    orientations). The graph-clustering sibling of SemDeDup's k-means:
+    no centroid count to choose, communities follow graph density.
+
+    Scale shape: knn_graph stays a Dataset; LPA is 3 exchanges per round
+    with the pagerank-style constant carry. Approximate by iteration
+    count only — numpy-parity of the LPA kernel is pytest-asserted."""
+    from ..stages.graph import label_propagation
+
+    knn = knn_graph(sf_dir, k=k, n_blocks=n_blocks)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        nb = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        c = batch["cos"].to_numpy(zero_copy_only=False)
+        keep = c > 0
+        v, nb, c = v[keep], nb[keep], c[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([v, nb]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([nb, v]).astype(np.int64)),
+            "w": pa.array(np.concatenate([c, c]), pa.float64()),
+        })
+
+    edges = knn.map_batches(to_edges, batch_format="pyarrow",
+                            batch_size=65536)
+    out = label_propagation(edges, n_iter=n_iter)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["node"],
+                         "community": batch["label"]})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           batch_size=65536)
+
+
 SQL["d3_cosine_pairs_exact"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -624,3 +624,246 @@ def hits(edges: ray.data.Dataset, n_iter: int = 5) -> ray.data.Dataset:
 
     return both.map_batches(emit, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def _lpa_votes_scan(batch: pa.Table) -> pa.Table:
+    """Sorted (label rows UNION edge rows) block -> per-(dst, src-label)
+    weight votes. Interior runs resolve locally; straddling runs emit
+    label-less pending votes (filled by a broadcast src->label map) plus
+    one constant-size profile row per block edge — the pagerank carry
+    contract with a label payload instead of a rank."""
+    empty = pa.table({
+        "kind": pa.array([], pa.int8()),
+        "src": pa.array([], pa.int64()),
+        "vdst": pa.array([], pa.int64()),
+        "vlabel": pa.array([], pa.int64()),
+        "vw": pa.array([], pa.float64())})
+    if batch.num_rows == 0:
+        return empty
+    k = batch["key"].to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    w = batch["w"].to_numpy(zero_copy_only=False)
+    new = np.r_[True, k[1:] != k[:-1]]
+    rid = np.cumsum(new) - 1
+    nruns = rid[-1] + 1
+    dim = side == 1
+    lab = np.full(nruns, -1, np.int64)
+    lab[rid[dim]] = w[dim].astype(np.int64)
+    interior = (rid != 0) & (rid != nruns - 1)
+    keep = (~dim) & (lab[rid] >= 0) & interior
+    parts = []
+    if keep.any():
+        # combine per (dst, label) within the block
+        pair = np.stack([dst[keep], lab[rid[keep]]], axis=1)
+        u, inv = np.unique(pair, axis=0, return_inverse=True)
+        votes = np.bincount(inv, weights=w[keep])
+        parts.append(pa.table({
+            "kind": pa.array(np.zeros(len(u), np.int8)),
+            "src": pa.array(np.zeros(len(u), np.int64)),
+            "vdst": pa.array(u[:, 0], pa.int64()),
+            "vlabel": pa.array(u[:, 1], pa.int64()),
+            "vw": pa.array(votes, pa.float64())}))
+    for r_sel in ({0, rid[-1]} if rid[-1] else {0}):
+        sel = rid == r_sel
+        src_key = int(k[np.flatnonzero(sel)[0]])
+        fact = sel & (side == 0)
+        dims = sel & (side == 1)
+        lv = int(w[np.flatnonzero(dims)[0]]) if dims.any() else -1
+        if fact.any():
+            ud, inv = np.unique(dst[fact], return_inverse=True)
+            cd = np.bincount(inv, weights=w[fact])
+            parts.append(pa.table({
+                "kind": pa.array(np.ones(ud.size, np.int8)),
+                "src": pa.array(np.full(ud.size, src_key, np.int64)),
+                "vdst": pa.array(ud, pa.int64()),
+                "vlabel": pa.array(np.full(ud.size, -1, np.int64)),
+                "vw": pa.array(cd, pa.float64())}))
+        parts.append(pa.table({
+            "kind": pa.array(np.array([2], np.int8)),
+            "src": pa.array(np.array([src_key], np.int64)),
+            "vdst": pa.array(np.zeros(1, np.int64)),
+            "vlabel": pa.array(np.array([lv], np.int64)),
+            "vw": pa.array(np.zeros(1, np.float64))}))
+    return pa.concat_tables(parts) if parts else empty
+
+
+def _lpa_argmax(t: pa.Table, skip_edge: bool) -> pa.Table:
+    """Sorted-by-dst vote rows -> winner label per dst run
+    (max weight, ties to the smallest label)."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    d = t["vdst"].to_numpy(zero_copy_only=False)
+    if d.size == 0:
+        return empty
+    lb = t["vlabel"].to_numpy(zero_copy_only=False)
+    w = t["sum(vw)"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lb, -w, d))
+    dd = d[order]
+    first = np.r_[True, dd[1:] != dd[:-1]]
+    win = order[first]
+    if skip_edge:
+        new = np.r_[True, d[1:] != d[:-1]]
+        rid = np.cumsum(new) - 1
+        wr = rid[win]
+        win = win[(wr != 0) & (wr != rid[-1])]
+    return pa.table({"node": pa.array(d[win].astype(np.int64)),
+                     "label": pa.array(lb[win].astype(np.int64))})
+
+
+def label_propagation(edges: ray.data.Dataset,
+                      n_iter: int = 5) -> ray.data.Dataset:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan et al. 2007,
+    made deterministic: every node simultaneously adopts the neighbor
+    label with the max incident weight, ties to the SMALLEST label;
+    labels init to node ids). Callers with undirected graphs emit both
+    edge orientations. Fixed iteration count — communities of a weighted
+    graph in O(n_iter) rounds, no RNG.
+
+    Scale shape: per iteration ONE sort join of (label rows UNION edge
+    rows) by src with the pagerank-style constant carry (pending votes
+    stay distributed, labels re-enter via a broadcast O(blocks)-entry
+    map), ONE groupby(dst, label) vote sum, and ONE sort(dst) argmax
+    run-scan with <= 2 edge runs per block merged on the driver."""
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "one": pa.array(np.ones(u.size, np.float64))})
+
+    nodes = (edges.map_batches(node_rows, batch_format="pyarrow",
+                               batch_size=65536)
+             .groupby("node").sum("one").materialize())
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nd = batch["node"].to_numpy(zero_copy_only=False)
+        return _pr_union_schema(n, nd, 1, np.zeros(n, np.int64),
+                                nd.astype(np.float64))
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+    facts = _fact_rows_ds(edges)
+
+    for _ in range(n_iter):
+        seg = (labels.union(facts).sort("key")
+               .map_batches(_lpa_votes_scan, batch_format="pyarrow",
+                            batch_size=None).materialize())
+        prof = pa.concat_tables(
+            [b for b in seg.filter(expr="kind == 2")
+             .iter_batches(batch_format="pyarrow")] or
+            [pa.table({"src": pa.array([], pa.int64()),
+                       "vlabel": pa.array([], pa.int64())})])
+        lab_of: dict[int, int] = {}
+        for srck, lv in zip(prof["src"].to_pylist(),
+                            prof["vlabel"].to_pylist()):
+            if lv >= 0:
+                lab_of[srck] = lv
+        lkeys = np.array(sorted(lab_of), np.int64)
+        lvals = np.array([lab_of[int(x)] for x in lkeys], np.int64)
+        lref = ray.put((lkeys, lvals))
+
+        def fill_pending(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lref)
+            srcv = batch["src"].to_numpy(zero_copy_only=False)
+            if keys.size:
+                pos = np.minimum(np.searchsorted(keys, srcv),
+                                 keys.size - 1)
+                lab = np.where(keys[pos] == srcv, vals[pos], -1)
+            else:
+                lab = np.full(len(srcv), -1, np.int64)
+            out = pa.table({
+                "vdst": batch["vdst"],
+                "vlabel": pa.array(lab.astype(np.int64)),
+                "vw": batch["vw"]})
+            return out.filter(pa.array(lab >= 0))
+
+        votes = (seg.filter(expr="kind == 0")
+                 .select_columns(["vdst", "vlabel", "vw"])
+                 .union(seg.filter(expr="kind == 1").map_batches(
+                     fill_pending, batch_format="pyarrow",
+                     batch_size=65536))
+                 .groupby(["vdst", "vlabel"]).sum("vw"))
+        seg2 = (votes.sort(["vdst", "vlabel"])
+                .map_batches(_lpa_seg2, batch_format="pyarrow",
+                             batch_size=None)
+                .materialize())
+        done = [seg2.filter(expr="partial == False")
+                .select_columns(["node", "label"])]
+        raws = [b for b in seg2.filter(expr="partial == True")
+                .iter_batches(batch_format="pyarrow")]
+        new_parts = []
+        if raws:
+            bt = pa.concat_tables(raws)
+            d = bt["vdst"].to_numpy(zero_copy_only=False)
+            bt = bt.take(pa.array(np.argsort(d, kind="stable")))
+            new_parts.append(_lpa_argmax(bt, skip_edge=False))
+        winner_tables = done
+        if new_parts:
+            winner_tables.append(ray.data.from_arrow(new_parts[0]))
+        winners = winner_tables[0]
+        for extra in winner_tables[1:]:
+            winners = winners.union(extra)
+        winners = winners.materialize()
+        # nodes with no incoming votes keep their current label
+        from .runs import anti_id_filter
+
+        def lab_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return _pr_union_schema(
+                n, batch["node"].to_numpy(zero_copy_only=False), 1,
+                np.zeros(n, np.int64),
+                batch["label"].to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+
+        kept = anti_id_filter(labels, winners.map_batches(
+            lambda b: pa.table({"key": b["node"]}),
+            batch_format="pyarrow"), id_col="key")
+        labels = (winners.map_batches(lab_rows, batch_format="pyarrow",
+                                      batch_size=65536)
+                  .union(kept).materialize())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["key"],
+            "label": batch["w"].cast(pa.int64()),
+        })
+
+    return labels.map_batches(emit, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def _lpa_seg2(b: pa.Table) -> pa.Table:
+    """Per-block argmax over sorted (vdst, vlabel) vote rows: interior
+    winners + raw edge-run rows (<= 2 dst runs per block)."""
+    empty = pa.table({
+        "partial": pa.array([], pa.bool_()),
+        "node": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int64()),
+        "vdst": pa.array([], pa.int64()),
+        "vlabel": pa.array([], pa.int64()),
+        "sum(vw)": pa.array([], pa.float64())})
+    if b.num_rows == 0:
+        return empty
+    inter = _lpa_argmax(b, skip_edge=True)
+    d = b["vdst"].to_numpy(zero_copy_only=False)
+    new = np.r_[True, d[1:] != d[:-1]]
+    rid = np.cumsum(new) - 1
+    raw = b.filter(pa.array((rid == 0) | (rid == rid[-1])))
+    it = pa.table({
+        "partial": pa.array(np.zeros(inter.num_rows, bool)),
+        "node": inter["node"],
+        "label": inter["label"],
+        "vdst": pa.array(np.zeros(inter.num_rows, np.int64)),
+        "vlabel": pa.array(np.zeros(inter.num_rows, np.int64)),
+        "sum(vw)": pa.array(np.zeros(inter.num_rows, np.float64))})
+    rt = pa.table({
+        "partial": pa.array(np.ones(raw.num_rows, bool)),
+        "node": pa.array(np.zeros(raw.num_rows, np.int64)),
+        "label": pa.array(np.zeros(raw.num_rows, np.int64)),
+        "vdst": raw["vdst"],
+        "vlabel": raw["vlabel"],
+        "sum(vw)": raw["sum(vw)"]})
+    return pa.concat_tables([it, rt])

@@ -411,3 +411,93 @@ def test_purchase_hits_pipeline_matches_oracle(ray_session):
     for nd in eh:
         assert abs(got[nd][0] - eh[nd]) < 1e-9
         assert abs(got[nd][1] - ea[nd]) < 1e-9
+
+
+def _np_lpa(edges, n_iter=5):
+    """Synchronous deterministic LPA oracle: max incident weight,
+    ties to the smallest label; no-vote nodes keep their label."""
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    lab = {n: n for n in nodes}
+    for _ in range(n_iter):
+        votes = {}
+        for s, t, w in edges:
+            votes.setdefault(t, {}).setdefault(lab[s], 0.0)
+            votes[t][lab[s]] += w
+        new = dict(lab)
+        for t, vv in votes.items():
+            best = max(vv.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[t] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_communities(ray_session):
+    """Two dense 12-node cliques joined by one weak bridge, under 2 KiB
+    blocks: after 5 synchronous rounds the distributed labels equal the
+    numpy oracle exactly (and form exactly two communities)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import label_propagation
+
+    edges = []
+    for base in (0, 100):
+        for i in range(12):
+            for j in range(i + 1, 12):
+                edges.append((base + i, base + j, 1.0))
+                edges.append((base + j, base + i, 1.0))
+    edges += [(11, 100, 0.1), (100, 11, 0.1)]  # weak bridge
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = {r["node"]: r["label"]
+               for r in label_propagation(ds, n_iter=5).take_all()}
+    finally:
+        ctx.target_max_block_size = saved
+    exp = _np_lpa(edges, n_iter=5)
+    assert got == exp
+    comms = {}
+    for n, l in got.items():
+        comms.setdefault(l, set()).add(n)
+    assert len(comms) == 2
+    assert {frozenset(c) for c in comms.values()} == {
+        frozenset(range(12)), frozenset(range(100, 112))}
+
+
+def test_label_propagation_isolated_and_skew(ray_session):
+    """A 500-leaf hub (straddling runs + pending votes) and a
+    no-incoming-vote source node (must keep its own label): exact numpy
+    parity after 3 rounds."""
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import label_propagation
+
+    edges = [(5, 1000 + j, 1.0) for j in range(500)]       # hub fan-out
+    edges += [(1000 + j, 5, 1.0) for j in range(500)]
+    edges.append((9999, 5, 0.01))  # source with no in-edges
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = {r["node"]: r["label"]
+               for r in label_propagation(ds, n_iter=3).take_all()}
+    finally:
+        ctx.target_max_block_size = saved
+    exp = _np_lpa(edges, n_iter=3)
+    assert got == exp
+    assert got[9999] == 9999  # kept its own label (never receives votes)
