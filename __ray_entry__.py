@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a23_cohort_retention": olap2.cohort_retention,
         "j17_full_outer_counts": olap2.full_outer_counts,
         "j16_grouped_mode": olap2.grouped_mode,
+        "k20_copurchase_pairs": olap2.copurchase_pairs,
         "k5_hash_sample": st.hash_sample,
         "a15_running_total": wo.running_total,
         "a17_event_gaps": wo.event_gaps,

@@ -944,6 +944,145 @@ def grouped_mode(sf_dir: str) -> pa.Table:
     return out.take(pa.array(order))
 
 
+# --------------------- K20: frequent co-purchase pairs (market basket)
+
+K20_SUPPORT_DIV = 600  # min support = ceil(n_orders / 600)
+
+
+def copurchase_pairs(sf_dir: str) -> pa.Table:
+    """K20 — frequent-itemset mining at pair size (the market-basket
+    staple): supplier pairs appearing together in at least
+    ceil(n_orders/600) orders.
+
+    Scale shape: the self-join never happens as a join — lineitem sorts
+    ONCE by (orderkey, suppkey); within each block, adjacent dedup then a
+    bounded OFFSET loop (d = 1..max items per order, each step fully
+    vectorized: supp[:-d] pairs supp[d:] where the run id matches)
+    expands pairs — per-run Python dispatch never occurs and the loop
+    bound is the max basket size, not the order count. Pair counts pack
+    into (a << 32 | b) int64 keys; ONE groupby(pair) sums; the support
+    threshold (a tiny count aggregate) filters distributed."""
+    import math
+
+    li = read_parquet_clean(
+        _doc_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey"])
+    n_orders = read_parquet_clean(
+        _doc_path(sf_dir, "orders"), columns=["o_orderkey"]).count()
+    support = math.ceil(n_orders / K20_SUPPORT_DIV)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "suppkey": batch["l_suppkey"].cast(pa.int64()),
+        })
+
+    def pair_counts(k, s):
+        """(pair_key, count) over arrays sorted by (orderkey, suppkey),
+        deduped per (orderkey, suppkey)."""
+        if k.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        first = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+        k, s = k[first], s[first]
+        new = np.r_[True, k[1:] != k[:-1]]
+        rid = np.cumsum(new) - 1
+        lens = np.bincount(rid)
+        pairs = []
+        for d in range(1, int(lens.max()) if lens.size else 1):
+            ok = rid[:-d] == rid[d:] if k.size > d else np.empty(0, bool)
+            if not ok.any():
+                break
+            pairs.append((s[:-d][ok] << 32) | s[d:][ok])
+        if not pairs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        u, cnt = np.unique(np.concatenate(pairs), return_counts=True)
+        return u, cnt.astype(np.int64)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "partial": pa.array([], pa.bool_()),
+            "orderkey": pa.array([], pa.int64()),
+            "suppkey": pa.array([], pa.int64()),
+            "pair": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        k = batch["orderkey"].to_numpy(zero_copy_only=False)
+        s = batch["suppkey"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, k[1:] != k[:-1]]
+        rid = np.cumsum(new) - 1
+        interior = (rid != 0) & (rid != rid[-1])
+        u, cnt = pair_counts(k[interior], s[interior])
+        raw = batch.filter(pa.array(~interior))
+        inter = pa.table({
+            "partial": pa.array(np.zeros(u.size, bool)),
+            "orderkey": pa.array(np.zeros(u.size, np.int64)),
+            "suppkey": pa.array(np.zeros(u.size, np.int64)),
+            "pair": pa.array(u, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64())})
+        rawt = pa.table({
+            "partial": pa.array(np.ones(raw.num_rows, bool)),
+            "orderkey": raw["orderkey"],
+            "suppkey": raw["suppkey"],
+            "pair": pa.array(np.zeros(raw.num_rows, np.int64)),
+            "cnt": pa.array(np.zeros(raw.num_rows, np.int64))})
+        return pa.concat_tables([inter, rawt])
+
+    seg = (li.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+           .sort(["orderkey", "suppkey"])
+           .map_batches(block_pairs, batch_format="pyarrow",
+                        batch_size=None).materialize())
+    parts = [seg.filter(expr="partial == False")
+             .select_columns(["pair", "cnt"])]
+    raws = [b for b in seg.filter(expr="partial == True")
+            .iter_batches(batch_format="pyarrow")]
+    if raws:  # <= 2 basket-sized runs per block: bounded driver merge
+        bt = pa.concat_tables(raws)
+        k = bt["orderkey"].to_numpy(zero_copy_only=False)
+        s = bt["suppkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        u, cnt = pair_counts(k[order], s[order])
+        if u.size:
+            parts.append(ray.data.from_arrow(pa.table({
+                "pair": pa.array(u, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64())})))
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    def above_support(batch: pa.Table) -> pa.Table:
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c >= support))
+
+    hits = (ds.groupby("pair").sum("cnt")
+            .map_batches(above_support, batch_format="pyarrow",
+                         batch_size=65536)).take_all()
+    hits.sort(key=lambda r: r["pair"])
+    pk = np.array([r["pair"] for r in hits], np.int64)
+    nc = np.array([r["sum(cnt)"] for r in hits], np.int64)
+    return pa.table({
+        "supp_a": pa.array(pk >> 32, pa.int64()),
+        "supp_b": pa.array(pk & 0xFFFFFFFF, pa.int64()),
+        "n_orders": pa.array(nc, pa.int64()),
+    })
+
+
+SQL["k20_copurchase_pairs"] = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+     pairs AS (SELECT l1.l_suppkey AS supp_a, l2.l_suppkey AS supp_b,
+                      count(*) AS n_orders
+               FROM items l1 JOIN items l2
+                 ON l1.l_orderkey = l2.l_orderkey
+                AND l1.l_suppkey < l2.l_suppkey
+               GROUP BY 1, 2)
+SELECT CAST(supp_a AS BIGINT) AS supp_a,
+       CAST(supp_b AS BIGINT) AS supp_b,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM pairs
+WHERE n_orders >= CEIL((SELECT count(*) FROM orders)
+                       / {K20_SUPPORT_DIV}.0)
+ORDER BY 1, 2
+"""
+
+
 # ----------------------------------- G1: PageRank on the purchase graph
 
 def _orderkey_pair_edges(dim_ds, fact_ds):

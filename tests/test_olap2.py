@@ -41,6 +41,7 @@ def _tiny_blocks():
     ("q21_last_shipper", "last_shipper"),
     ("a22_event_paths", "event_paths"),
     ("j16_grouped_mode", "grouped_mode"),
+    ("k20_copurchase_pairs", "copurchase_pairs"),
 ])
 def test_boundary_merge_under_tiny_blocks(ray_session, con, name, fn_name):
     """With ~8 KiB sort blocks most key runs straddle a block boundary, so

@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "q19_disjunctive_revenue", "q21_last_shipper", "a22_event_paths",
     "j16_grouped_mode", "a23_cohort_retention", "j17_full_outer_counts",
     "a24_source_entropy", "k19_zorder_box", "a25_percent_rank",
+    "k20_copurchase_pairs",
 ]
 
 
