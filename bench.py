@@ -21,11 +21,50 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "2"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 # realistic web-page text size (~2 KB) so compute dominates fixed overheads
 _LINES = tuple(int(x) for x in os.environ.get("BENCH_DOC_LINES", "20-50").split("-"))
 PAGES_DIR = f"/tmp/meili_ray_bench/pages_{BENCH_DOCS}_L{_LINES[0]}-{_LINES[1]}"
+
+
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds consumed so far by this process and every live
+    descendant (the whole local Ray session: raylet, GCS, workers, actors),
+    via /proc — no psutil dependency.
+
+    Purpose (VERDICT r3 #8): ray.init(num_cpus=N) is a SCHEDULER hint, not a
+    cgroup — a "2-CPU" leg whose arrow/IPC/raylet threads burn extra idle
+    cores measures an inflated baseline and deflates the scaling ratio.
+    Sampling the tree's CPU time around the timed build turns that narrative
+    into a number: effective_cores = delta_cpu_seconds / wall_seconds."""
+    clk = os.sysconf("SC_CLK_TCK")
+    children: dict[int, list[int]] = {}
+    stats: dict[int, float] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced with process exit
+        # field layout after the parenthesized comm (which may contain
+        # spaces): split on the LAST ')' then index from there
+        rest = raw.rsplit(")", 1)[1].split()
+        pid = int(ent)
+        ppid = int(rest[1])
+        utime, stime = int(rest[11]), int(rest[12])
+        cutime, cstime = int(rest[13]), int(rest[14])  # reaped children
+        children.setdefault(ppid, []).append(pid)
+        stats[pid] = (utime + stime + cutime + cstime) / clk
+    total, frontier = 0.0, [os.getpid()]
+    while frontier:
+        pid = frontier.pop()
+        total += stats.get(pid, 0.0)
+        frontier.extend(children.get(pid, ()))
+    return total
 
 
 def run_bench() -> dict:
@@ -75,12 +114,18 @@ def run_bench() -> dict:
     # phased build measured fastest here (2301 docs/s @8cpu vs 1464 fused):
     # separate jobs let the object store pipeline read/tokenize/write stages.
     # min of 2 builds: this VM shows sporadic hypervisor stalls (BASELINE.md)
-    build_sec = float("inf")
+    build_sec, eff_cores = float("inf"), 0.0
     for rep in range(2):
         shutil.rmtree(out, ignore_errors=True)
+        cpu0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         build_index(PAGES_DIR, out, cfg, num_salts=2, batch_size=512)
-        build_sec = min(build_sec, time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        if wall < build_sec:
+            build_sec = wall
+            # cores the session ACTUALLY burned during the fastest build —
+            # the scaling protocol's per-leg confinement check
+            eff_cores = (_tree_cpu_seconds() - cpu0) / wall
     timings["index_build"] = build_sec
 
     # ---- query latency over the built index ----
@@ -108,6 +153,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "docs_per_sec": round(BENCH_DOCS / build_sec, 1),
             "query_p50_ms": round(p50_ms, 2),
+            "effective_cores": round(eff_cores, 2),
         }
         ray.shutdown()
         return result
@@ -134,11 +180,19 @@ def run_bench() -> dict:
                  "a23_cohort_retention", "a25_percent_rank",
                  "j16_grouped_mode"]:
         fn = qs[name]
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        timings[name] = time.perf_counter() - t0
+        # min-of-N per query: this shared box shows sporadic 2-10x stalls on
+        # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s
+        # recorded vs 1.4-1.7 s on every isolated re-measurement, BASELINE.md
+        # round-4 postmortem) — a single sample cannot distinguish a code
+        # regression from one hypervisor hiccup.
+        best = float("inf")
+        for _ in range(max(1, QUERY_REPS)):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
 
     result = {
         "metric": f"thai_index_build_{BENCH_DOCS}_docs",
@@ -151,6 +205,7 @@ def run_bench() -> dict:
         "query_p50_ms": round(p50_ms, 2),
         "query_p95_ms": round(p95_ms, 2),
         "query_p99_ms": round(p99_ms, 2),
+        "effective_cores": round(eff_cores, 2),
     }
     ray.shutdown()
     return result
@@ -204,6 +259,8 @@ def run_scaling() -> dict:
     lo, hi = best[lo_n], best[hi_n]
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
+    cores_lo = lo.get("effective_cores", 0.0)
+    cores_hi = hi.get("effective_cores", 0.0)
     out = {
         "metric": f"scaling_{lo_n}_to_{hi_n}_cpus",
         f"sec_{lo_n}": t_lo,
@@ -212,6 +269,14 @@ def run_scaling() -> dict:
         f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "bench_docs": int(env_base.get("BENCH_DOCS", BENCH_DOCS)),
+        # per-leg confinement evidence (VERDICT r3 #8): cores each leg
+        # ACTUALLY burned (process-tree CPU time / wall). num_cpus is a
+        # scheduler hint, not a cgroup — a lo leg that burned >> lo_n cores
+        # measured an inflated baseline, so its RATIO is invalid even though
+        # both absolute throughputs are real.
+        "effective_cores_lo": cores_lo,
+        "effective_cores_hi": cores_hi,
+        "lo_leg_suspect": bool(cores_lo > lo_n * 1.1 + 0.1),
     }
     if lo_n != hi_n:  # SCALE_LO == SCALE_HI is a same-level variance probe
         # two-point Amdahl fit t(n) = S + P/n: separates fixed per-job cost
