@@ -977,14 +977,30 @@ ORDER BY g.stage
 
 # ---------------------------------------------- a25 percent_rank (ties)
 
+def _pr_block_key(types, vals, eids) -> tuple:
+    """Stable block identity = the first row's (type, value BITS, id).
+    The value rides as its exact float64 bit pattern (int) so pass-1 and
+    pass-2 keys match bit-for-bit with no float-equality or repr/parse
+    round trip (r3 advice: the old repr()/ast.literal_eval tag raised on
+    nan/inf and NaN broke dict-key equality)."""
+    return (str(types[0]),
+            int(np.float64(vals[0]).view(np.int64)), int(eids[0]))
+
+
 def _pr_profile(batch: pa.Table) -> pa.Table:
     """Per-block profile for the percent_rank driver walk: ordered
     (type, count) segments, the block's first/last (type, value), and the
     block-relative row index where the last tie run starts. O(types in
-    block) rows per block."""
-    empty = pa.schema([("tag", pa.string()), ("seg_type", pa.string()),
+    block) rows per block. Block identity travels as THREE TYPED columns
+    (first_type, first_value, first_eid), never a repr string.
+
+    Finite-value guard: tie runs are detected by value equality and the
+    oracle's ORDER BY has no deterministic NaN tie semantics — a NaN/inf
+    value is a loud error here, not a silent rank divergence."""
+    empty = pa.schema([("seg_type", pa.string()),
                        ("seg_n", pa.int64()), ("first_type", pa.string()),
                        ("first_value", pa.float64()),
+                       ("first_eid", pa.int64()),
                        ("last_type", pa.string()),
                        ("last_value", pa.float64()),
                        ("last_run_start", pa.int64()),
@@ -994,7 +1010,10 @@ def _pr_profile(batch: pa.Table) -> pa.Table:
     types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
     vals = batch["value"].to_numpy(zero_copy_only=False)
     eids = batch["event_id"].to_numpy(zero_copy_only=False)
-    tag = repr((types[0], float(vals[0]), int(eids[0])))
+    if not np.isfinite(vals).all():
+        raise ValueError(
+            "percent_rank_events requires finite values: NaN/inf have no "
+            "deterministic tie-run semantics vs the SQL window oracle")
     new_t = np.r_[True, types[1:] != types[:-1]]
     seg_starts = np.flatnonzero(new_t)
     seg_lens = np.diff(np.r_[seg_starts, types.size])
@@ -1002,11 +1021,11 @@ def _pr_profile(batch: pa.Table) -> pa.Table:
     last_run_start = int(np.flatnonzero(new_run)[-1])
     n = seg_starts.size
     return pa.table({
-        "tag": pa.array([tag] * n, pa.string()),
         "seg_type": pa.array([types[i] for i in seg_starts], pa.string()),
         "seg_n": pa.array(seg_lens.astype(np.int64)),
         "first_type": pa.array([str(types[0])] * n, pa.string()),
         "first_value": pa.array([float(vals[0])] * n, pa.float64()),
+        "first_eid": pa.array([int(eids[0])] * n, pa.int64()),
         "last_type": pa.array([str(types[-1])] * n, pa.string()),
         "last_value": pa.array([float(vals[-1])] * n, pa.float64()),
         "last_run_start": pa.array([last_run_start] * n, pa.int64()),
@@ -1034,8 +1053,7 @@ class _PrEmit:
         types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         vals = batch["value"].to_numpy(zero_copy_only=False)
         eids = batch["event_id"].to_numpy(zero_copy_only=False)
-        tag = repr((types[0], float(vals[0]), int(eids[0])))
-        bases, carry = self.state[tag]
+        bases, carry = self.state[_pr_block_key(types, vals, eids)]
         # global per-type position of each row
         new_t = np.r_[True, types[1:] != types[:-1]]
         seg_starts = np.flatnonzero(new_t)
@@ -1081,12 +1099,15 @@ def percent_rank_events(sf_dir: str):
     prof = pa.concat_tables(ray.get(
         ds.map_batches(_pr_profile, batch_format="pyarrow",
                        batch_size=None).to_arrow_refs()))
-    import ast
-
     blocks: dict = {}
     for r in prof.to_pylist():
-        b = blocks.setdefault(r["tag"], {
-            "first": ast.literal_eval(r["tag"]), "segs": {},
+        key = (r["first_type"],
+               int(np.float64(r["first_value"]).view(np.int64)),
+               int(r["first_eid"]))
+        b = blocks.setdefault(key, {
+            # driver walk order == the dataset's sort keys
+            "first": (r["first_type"], r["first_value"], r["first_eid"]),
+            "key": key, "segs": {},
             "first_type": r["first_type"], "first_value": r["first_value"],
             "last_type": r["last_type"], "last_value": r["last_value"],
             "last_run_start": r["last_run_start"]})
@@ -1099,7 +1120,6 @@ def percent_rank_events(sf_dir: str):
     cur_tie_start = 0       # its global per-type start position
     state: dict[str, tuple] = {}
     for b in ordered:
-        tag = repr(b["first"])
         segs = [b["segs"][i] for i in sorted(b["segs"])]
         bases = {}
         for t, n_seg in segs:
@@ -1124,7 +1144,7 @@ def percent_rank_events(sf_dir: str):
         for t, n_seg in segs:
             pos_in_type[t] = pos_in_type.get(t, 0) + n_seg
             totals[t] = totals.get(t, 0) + n_seg
-        state[tag] = (bases, carry)
+        state[b["key"]] = (bases, carry)
 
     state_ref, totals_ref = ray.put(state), ray.put(totals)
     return ds.map_batches(

@@ -189,7 +189,10 @@ def _pages_from_stream(f, path: str, accept: tuple = ("response",)):
     bytes and file entrypoints). Records whose WARC-Type is in `accept`
     only — ("response",) for WARC crawl archives (HTTP headers stripped),
     ("conversion",) for WET pre-extracted-text archives (payload used
-    verbatim; _http_body is a no-op for non-HTTP payloads). lang stays
+    verbatim — _http_body applies ONLY to response records, per record:
+    a WET text payload that happens to begin with 'HTTP/' and contain a
+    blank line, e.g. extracted prose ABOUT HTTP, must not be truncated
+    as if it carried a header block). lang stays
     empty (the extract stage's language detection owns it). Malformed
     records surface as status='failed' rows with url
     'warc-error://<path>#<n>' — the extract dead-letter contract, one row
@@ -210,7 +213,9 @@ def _pages_from_stream(f, path: str, accept: tuple = ("response",)):
             if head.get("warc-type") not in accept:
                 continue
             urls.append(head.get("warc-target-uri", ""))
-            htmls.append(_http_body(payload))
+            htmls.append(_http_body(payload)
+                         if head.get("warc-type") == "response"
+                         else payload)
             statuses.append(STATUS_OK)
             errors.append("")
         if len(urls) >= _PAGE_CHUNK:

@@ -403,7 +403,12 @@ def push_scores(scores: "ray.data.Dataset", facts: "ray.data.Dataset",
     Dataset with columns (cdst, "sum(cval)"). divide_strength=True pushes
     score * w / sum(w) (the PageRank random-surfer split); False pushes
     score * w (the HITS linear operator). Skew-safe per the kind-column
-    contract above."""
+    contract above.
+
+    Kept as the SEMANTIC ORACLE for the sort-once path below (re-sorts
+    rank UNION edges every call — iterative callers should build a
+    SortedFacts once and use push_scores_presorted instead; equality of
+    the two paths is pytest-asserted)."""
     import functools
 
     seg = (scores.union(facts).sort("key")
@@ -411,6 +416,13 @@ def push_scores(scores: "ray.data.Dataset", facts: "ray.data.Dataset",
                                           divide_strength=divide_strength),
                         batch_format="pyarrow",
                         batch_size=None).materialize())
+    return _push_postprocess(seg, divide_strength)
+
+
+def _push_postprocess(seg: "ray.data.Dataset", divide_strength: bool):
+    """Scan-output segments -> (cdst, sum(cval)) contributions: collect the
+    constant-size straddle profiles on the driver, broadcast the factor
+    map, scale pending rows distributed, ONE groupby(dst)."""
     # profiles: <= 2 constant-size rows per block — the only driver pull
     prof = pa.concat_tables(
         [b for b in seg.filter(expr="kind == 2")
@@ -450,7 +462,126 @@ def push_scores(scores: "ray.data.Dataset", facts: "ray.data.Dataset",
         ["cdst", "cval"]).union(
         seg.filter(expr="kind == 1").map_batches(
             scale_pending, batch_format="pyarrow", batch_size=65536))
-    return contrib.groupby("cdst").sum("cval")
+    from .runs import sum_by_int_key
+
+    return sum_by_int_key(contrib, "cdst", "cval")
+
+
+# --- sort-once iterative exchange ---------------------------------------
+# The edge set of an iterative graph algorithm is STATIC: re-sorting
+# (scores UNION edges) every iteration (push_scores) pays the full
+# O(N + E) all-to-all each round for data that never changes. Instead the
+# fact rows sort ONCE into SortedFacts — ordered block refs plus driver
+# half-open key ranges — and each iteration merges only the O(nodes)
+# score rows into their owning fact block inside a per-block task (local
+# argsort, no exchange). The per-block scan functions and the kind-0/1/2
+# constant-carry contract are IDENTICAL to the sorted-union path, because
+# the scans never needed pre-scan carries: block-straddling runs resolve
+# post-hoc via profile rows either way. Equality with push_scores is
+# pytest-asserted.
+
+
+@ray.remote
+def _block_minmax(tab: pa.Table, col: str):
+    v = tab[col].to_numpy(zero_copy_only=False)
+    if v.size == 0:
+        return None
+    return (int(v.min()), int(v.max()))
+
+
+class SortedFacts:
+    """Union-schema fact rows sorted by key ONCE, pinned as ordered block
+    refs with driver-side half-open ownership ranges.
+
+    Block i OWNS keys [first_key_i, next strictly-greater first_key_j);
+    block 0's range opens at -inf, the last distinct range closes at +inf,
+    and a continuation block (same first key as its predecessor — a hub
+    run spanning blocks) owns nothing. Every int64 key therefore has
+    exactly ONE owner block, so a score row lands in exactly one merge
+    task; if its run's facts straddle into neighbour blocks, the scan's
+    profile/pending mechanism reassembles it — same contract as the
+    sorted-union path."""
+
+    def __init__(self, facts: "ray.data.Dataset"):
+        sorted_f = facts.sort("key").materialize()
+        refs = sorted_f.to_arrow_refs()  # in dataset (= sort) order
+        mm = ray.get([_block_minmax.remote(r, "key") for r in refs])
+        self.refs = [r for r, m in zip(refs, mm) if m is not None]
+        firsts = [m[0] for m in mm if m is not None]
+        self.ranges: list = []  # (lo | None=-inf, hi | None=+inf, empty)
+        for i in range(len(self.refs)):
+            if i > 0 and firsts[i] == firsts[i - 1]:
+                self.ranges.append((0, 0, True))  # continuation block
+                continue
+            lo = None if i == 0 else firsts[i]
+            hi = next((f for f in firsts[i + 1:] if f > firsts[i]), None)
+            self.ranges.append((lo, hi, False))
+
+
+@ray.remote
+def _merge_scan(fact_tab: pa.Table, score_refs: list, lo, hi,
+                scan_fn, scan_kwargs: dict) -> pa.Table:
+    """One owner block's iteration work: select the score rows this block
+    owns ([lo, hi), sentinel None = unbounded), merge them into the
+    pre-sorted fact block by LOCAL argsort, run the per-block scan."""
+    tabs = ray.get(list(score_refs)) if score_refs else []
+    parts = []
+    for t in tabs:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        m = np.ones(k.size, bool)
+        if lo is not None:
+            m &= k >= lo
+        if hi is not None:
+            m &= k < hi
+        if m.any():
+            parts.append(t.filter(pa.array(m)))
+    if not parts:
+        merged = fact_tab
+    else:
+        merged = pa.concat_tables(
+            [fact_tab] + parts).combine_chunks()
+        keys = merged["key"].to_numpy(zero_copy_only=False)
+        merged = merged.take(pa.array(np.argsort(keys, kind="stable")))
+    return scan_fn(merged, **scan_kwargs)
+
+
+def _presorted_seg(scores: "ray.data.Dataset", sf: SortedFacts,
+                   scan_fn, scan_kwargs: dict) -> "ray.data.Dataset":
+    """scores (union schema) + SortedFacts -> scan-output segment Dataset,
+    with NO sort exchange: score blocks are range-pruned against each
+    owner block's [lo, hi) and fetched only by overlapping merge tasks."""
+    scores = scores.materialize()
+    srefs = scores.to_arrow_refs()
+    smm = ray.get([_block_minmax.remote(r, "key") for r in srefs])
+    live = [(r, m) for r, m in zip(srefs, smm) if m is not None]
+    scan_refs = []
+    for fref, (lo, hi, empty) in zip(sf.refs, sf.ranges):
+        if empty:
+            overlap, slo, shi = [], 0, 0
+        else:
+            overlap = [r for r, (mn, mx) in live
+                       if (hi is None or mn < hi)
+                       and (lo is None or mx >= lo)]
+            slo, shi = lo, hi
+        scan_refs.append(_merge_scan.remote(
+            fref, overlap, slo, shi, scan_fn, scan_kwargs))
+    return ray.data.from_arrow_refs(scan_refs)
+
+
+_EMPTY_CONTRIB = pa.table({"cdst": pa.array([], pa.int64()),
+                           "sum(cval)": pa.array([], pa.float64())})
+
+
+def push_scores_presorted(scores: "ray.data.Dataset", sf: SortedFacts,
+                          divide_strength: bool = True):
+    """push_scores over a SortedFacts edge layout: per iteration only the
+    O(nodes) score rows move (block-ref metadata + targeted fetches); the
+    O(edges) fact rows never re-sort. Output == push_scores (asserted)."""
+    if not sf.refs:
+        return ray.data.from_arrow(_EMPTY_CONTRIB)
+    seg = _presorted_seg(scores, sf, _push_block_scan,
+                         {"divide_strength": divide_strength})
+    return _push_postprocess(seg.materialize(), divide_strength)
 
 
 def _fact_rows_ds(edges: "ray.data.Dataset", key_col: str = "src",
@@ -467,17 +598,32 @@ def _fact_rows_ds(edges: "ray.data.Dataset", key_col: str = "src",
                              batch_size=65536).materialize()
 
 
+def _sorted_fact_rows(edges: "ray.data.Dataset", key_col: str = "src",
+                      other_col: str = "dst") -> SortedFacts:
+    """Edges -> SortedFacts (one sort, reused every iteration)."""
+    def _rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch[key_col].to_numpy(zero_copy_only=False), 0,
+            batch[other_col].to_numpy(zero_copy_only=False),
+            batch["w"].to_numpy(zero_copy_only=False))
+
+    return SortedFacts(edges.map_batches(_rows, batch_format="pyarrow",
+                                         batch_size=65536))
+
+
 def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
              damping: float = 0.85) -> ray.data.Dataset:
     """Distributed PageRank over a DIRECTED edge Dataset (src:int64,
-    dst:int64, w:float64) — for undirected graphs the caller emits both
-    orientations, which also guarantees every node has out-degree >= 1
-    (no dangling-mass term).
+    dst:int64, w:float64, weights strictly positive) — for undirected
+    graphs the caller emits both orientations, which also guarantees
+    every node has out-degree >= 1 (no dangling-mass term).
 
     Scale shape (the canonical iterative-shuffle pattern): per-node rank
-    state is NEVER broadcast — each iteration is ONE co-partition sort of
-    (rank rows UNION edge rows) by src + ONE groupby(dst) of per-block
-    combined contributions. Interior src runs resolve locally
+    state is NEVER broadcast — the edge set sorts ONCE into SortedFacts,
+    then each iteration is one rank-row merge into the pre-sorted fact
+    blocks (per-block tasks, no edge exchange) + ONE groupby(dst) of
+    per-block combined contributions. Interior src runs resolve locally
     (out-strength computed inside the run). Block-straddling runs — a hub
     node's adjacency can span MANY blocks — resolve skew-safely: each
     block emits a CONSTANT-SIZE profile (its Σw share of the run + the
@@ -485,14 +631,27 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
     per-dst pending partials that STAY distributed and are scaled by a
     broadcast (src -> rank/strength) factor map of O(blocks) entries.
     Ranks materialize per iteration (O(nodes) rows, distributed) so
-    lineage stays flat."""
+    lineage stays flat.
 
-    def src_partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+    Node set = src UNION dst (a zero-in-degree node receives no
+    contributions yet must KEEP its teleport mass each iteration — its
+    base-rank row is unioned back in via an anti-id filter, r3 advice); a
+    dangling node (no out-edges) contributes nothing (its mass leaks —
+    the simplified-PageRank convention, matched by the test oracle). The
+    edge set sorts ONCE (SortedFacts); iterations move only rank rows."""
+
+    # consumed twice (node scan + fact sort): pin the caller's edge-build
+    # plan once or each consumption re-executes it from the source reads
+    edges = edges.materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
         return pa.table({"node": pa.array(u.astype(np.int64)),
                          "one": pa.array(np.ones(u.size, np.float64))})
 
-    nodes = (edges.map_batches(src_partial, batch_format="pyarrow",
+    nodes = (edges.map_batches(node_partial, batch_format="pyarrow",
                                batch_size=65536)
              .groupby("node").sum("one").materialize())
     n_nodes = nodes.count()
@@ -507,9 +666,19 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
                               batch_size=65536).materialize()
 
-    facts = _fact_rows_ds(edges)
+    sfacts = _sorted_fact_rows(edges)
 
     base = (1.0 - damping) / n_nodes
+
+    def init_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return _pr_union_schema(
+            n, batch["node"].to_numpy(zero_copy_only=False),
+            1, np.zeros(n, np.int64), np.full(n, base))
+
+    # constant across iterations: every node's teleport-only rank row
+    base_rows = nodes.map_batches(init_base, batch_format="pyarrow",
+                                  batch_size=65536).materialize()
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -519,10 +688,26 @@ def pagerank(edges: ray.data.Dataset, n_iter: int = 5,
             n, batch["cdst"].to_numpy(zero_copy_only=False),
             1, np.zeros(n, np.int64), r)
 
+    from .runs import anti_id_filter
+
+    # the receiving set is CONSTANT across iterations (ranks are always
+    # >= base > 0 and weights are positive, so exactly the distinct dst
+    # nodes receive a contribution row every round) — compute the
+    # complementary teleport-only rows ONCE, not per iteration
+    def dst_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(u.astype(np.int64))})
+
+    receiving = edges.map_batches(dst_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    missing_base = anti_id_filter(base_rows, receiving,
+                                  id_col="key").materialize()
+
     for _ in range(n_iter):
-        ranks = (push_scores(ranks, facts, divide_strength=True)
+        ranks = (push_scores_presorted(ranks, sfacts, divide_strength=True)
                  .map_batches(finish, batch_format="pyarrow",
-                              batch_size=65536).materialize())
+                              batch_size=65536)
+                 .union(missing_base).materialize())
 
     def emit(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -538,6 +723,10 @@ def _l2_normalized_scores(sums_ds, eps: float = 1e-300):
     """(cdst, sum(cval)) -> L2-normalized score rows in the union schema.
     One scalar aggregate (sum of squares) + one scaling pass."""
     from ray.data.aggregate import Sum
+
+    # consumed twice (norm + scaling): pin the groupby output or the lazy
+    # plan re-runs the whole contribution exchange for the second pass
+    sums_ds = sums_ds.materialize()
 
     def sq(batch: pa.Table) -> pa.Table:
         v = batch["sum(cval)"].to_numpy(zero_copy_only=False)
@@ -563,13 +752,18 @@ def hits(edges: ray.data.Dataset, n_iter: int = 5) -> ray.data.Dataset:
     Dataset (src, dst, w): hubs point, authorities receive —
     a = A^T h then h = A a, each L2-normalized, for n_iter rounds.
 
-    Scale shape: two `push_scores` exchanges per iteration (the same
-    skew-safe sort+groupby as pagerank, without the strength division —
-    HITS is the raw linear operator) over pre-materialized forward and
-    reverse fact rows; normalization is one scalar aggregate. Returns
-    (node, hub, authority) with 0.0 for roles a node never plays."""
-    facts_fwd = _fact_rows_ds(edges, "src", "dst")
-    facts_rev = _fact_rows_ds(edges, "dst", "src")
+    Scale shape: two score-push exchanges per iteration (the same
+    skew-safe contract as pagerank, without the strength division — HITS
+    is the raw linear operator) over forward and reverse fact rows each
+    sorted ONCE (SortedFacts — iterations move only the O(nodes) score
+    rows, never the edge set); normalization is one scalar aggregate.
+    Returns (node, hub, authority) with 0.0 for roles a node never
+    plays."""
+    # consumed three times (two fact sorts + node scan): pin the edge
+    # build once
+    edges = edges.materialize()
+    facts_fwd = _sorted_fact_rows(edges, "src", "dst")
+    facts_rev = _sorted_fact_rows(edges, "dst", "src")
 
     def node_partial(batch: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
@@ -593,9 +787,9 @@ def hits(edges: ray.data.Dataset, n_iter: int = 5) -> ray.data.Dataset:
     a = None
     for _ in range(n_iter):
         a = _l2_normalized_scores(
-            push_scores(h, facts_fwd, divide_strength=False))
+            push_scores_presorted(h, facts_fwd, divide_strength=False))
         h = _l2_normalized_scores(
-            push_scores(a, facts_rev, divide_strength=False))
+            push_scores_presorted(a, facts_rev, divide_strength=False))
 
     def h_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -720,11 +914,12 @@ def label_propagation(edges: ray.data.Dataset,
     edge orientations. Fixed iteration count — communities of a weighted
     graph in O(n_iter) rounds, no RNG.
 
-    Scale shape: per iteration ONE sort join of (label rows UNION edge
-    rows) by src with the pagerank-style constant carry (pending votes
-    stay distributed, labels re-enter via a broadcast O(blocks)-entry
-    map), ONE groupby(dst, label) vote sum, and ONE sort(dst) argmax
-    run-scan with <= 2 edge runs per block merged on the driver."""
+    Scale shape: the edge set sorts ONCE (SortedFacts); per iteration one
+    label-row merge into the pre-sorted fact blocks (per-block tasks,
+    pagerank-style constant carry: pending votes stay distributed, labels
+    re-enter via a broadcast O(blocks)-entry map), ONE groupby(dst, label)
+    vote sum, and ONE sort(dst) argmax run-scan with <= 2 edge runs per
+    block merged on the driver."""
 
     def node_rows(batch: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
@@ -733,6 +928,7 @@ def label_propagation(edges: ray.data.Dataset,
         return pa.table({"node": pa.array(u.astype(np.int64)),
                          "one": pa.array(np.ones(u.size, np.float64))})
 
+    edges = edges.materialize()  # consumed twice: node scan + fact sort
     nodes = (edges.map_batches(node_rows, batch_format="pyarrow",
                                batch_size=65536)
              .groupby("node").sum("one").materialize())
@@ -745,12 +941,11 @@ def label_propagation(edges: ray.data.Dataset,
 
     labels = nodes.map_batches(init_labels, batch_format="pyarrow",
                                batch_size=65536).materialize()
-    facts = _fact_rows_ds(edges)
+    sfacts = _sorted_fact_rows(edges)
 
     for _ in range(n_iter):
-        seg = (labels.union(facts).sort("key")
-               .map_batches(_lpa_votes_scan, batch_format="pyarrow",
-                            batch_size=None).materialize())
+        seg = _presorted_seg(labels, sfacts,
+                             _lpa_votes_scan, {}).materialize()
         prof = pa.concat_tables(
             [b for b in seg.filter(expr="kind == 2")
              .iter_batches(batch_format="pyarrow")] or
@@ -784,10 +979,12 @@ def label_propagation(edges: ray.data.Dataset,
                  .select_columns(["vdst", "vlabel", "vw"])
                  .union(seg.filter(expr="kind == 1").map_batches(
                      fill_pending, batch_format="pyarrow",
-                     batch_size=65536))
-                 .groupby(["vdst", "vlabel"]).sum("vw"))
+                     batch_size=65536)))
+        # ONE sort fuses the (vdst, vlabel) vote combine INTO the argmax
+        # scan (equal pairs are adjacent under the sort, reduceat combines
+        # them locally) — replaces the former groupby + second sort
         seg2 = (votes.sort(["vdst", "vlabel"])
-                .map_batches(_lpa_seg2, batch_format="pyarrow",
+                .map_batches(_lpa_seg2_fused, batch_format="pyarrow",
                              batch_size=None)
                 .materialize())
         done = [seg2.filter(expr="partial == False")
@@ -796,10 +993,21 @@ def label_propagation(edges: ray.data.Dataset,
                 .iter_batches(batch_format="pyarrow")]
         new_parts = []
         if raws:
+            # boundary vdst runs: same (vdst, vlabel) may arrive from two
+            # adjacent blocks — combine before the argmax
             bt = pa.concat_tables(raws)
             d = bt["vdst"].to_numpy(zero_copy_only=False)
-            bt = bt.take(pa.array(np.argsort(d, kind="stable")))
-            new_parts.append(_lpa_argmax(bt, skip_edge=False))
+            lb = bt["vlabel"].to_numpy(zero_copy_only=False)
+            w = bt["sum(vw)"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((lb, d))
+            d, lb, w = d[order], lb[order], w[order]
+            newp = np.r_[True, (d[1:] != d[:-1]) | (lb[1:] != lb[:-1])]
+            st = np.flatnonzero(newp)
+            ct = pa.table({
+                "vdst": pa.array(d[st].astype(np.int64)),
+                "vlabel": pa.array(lb[st].astype(np.int64)),
+                "sum(vw)": pa.array(np.add.reduceat(w, st))})
+            new_parts.append(_lpa_argmax(ct, skip_edge=False))
         winner_tables = done
         if new_parts:
             winner_tables.append(ray.data.from_arrow(new_parts[0]))
@@ -833,6 +1041,25 @@ def label_propagation(edges: ray.data.Dataset,
 
     return labels.map_batches(emit, batch_format="pyarrow",
                               batch_size=65536)
+
+
+def _lpa_seg2_fused(b: pa.Table) -> pa.Table:
+    """Raw (vdst, vlabel, vw) vote rows sorted by (vdst, vlabel) -> the
+    per-(vdst, vlabel) combine (adjacent under the sort: one reduceat)
+    feeding the same argmax scan — the vote-sum groupby fused into the
+    argmax sort, saving one exchange per LPA round."""
+    if b.num_rows == 0:
+        return _lpa_seg2(b.append_column(
+            "sum(vw)", pa.array([], pa.float64())).drop_columns(["vw"]))
+    d = b["vdst"].to_numpy(zero_copy_only=False)
+    lb = b["vlabel"].to_numpy(zero_copy_only=False)
+    w = b["vw"].to_numpy(zero_copy_only=False)
+    newp = np.r_[True, (d[1:] != d[:-1]) | (lb[1:] != lb[:-1])]
+    st = np.flatnonzero(newp)
+    return _lpa_seg2(pa.table({
+        "vdst": pa.array(d[st].astype(np.int64)),
+        "vlabel": pa.array(lb[st].astype(np.int64)),
+        "sum(vw)": pa.array(np.add.reduceat(w, st))}))
 
 
 def _lpa_seg2(b: pa.Table) -> pa.Table:

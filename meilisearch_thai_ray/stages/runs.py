@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data
 
 _MEMO: dict[str, object] = {}
 _MEMO_CAP = 8  # a stage uses ONE broadcast object; don't pin old ones
@@ -347,3 +348,58 @@ def merge_run_reductions(rows: list[dict], combine):
     if open_key is not _NO_KEY:
         close()
     return {t: (first_total[t], last_total[t]) for t in first_total}
+
+
+def sum_by_int_key(ds, key_col: str, val_col: str,
+                   out_col: str | None = None):
+    """`ds.groupby(key_col).sum(val_col)` for an int64-ish key as ONE
+    sort + vectorized per-block run sums (np.add.reduceat) — measured ~5x
+    faster than the Aggregate operator on this box for 100k-1M-row
+    combines (BASELINE.md round 4). Interior runs complete inside their
+    block; only each block's FIRST and LAST runs (the only runs that can
+    straddle) collect on the driver — O(blocks) rows — where same-key
+    partials merge and re-enter as one tiny block. Sum dtype follows the
+    value column (int64 stays exact — the money-sum convention).
+
+    Output columns: (key_col, out_col or f"sum({val_col})")."""
+    out_col = out_col or f"sum({val_col})"
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.from_numpy_dtype(v.dtype)),
+                "partial": pa.array([], pa.bool_())})
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(v, starts)
+        n_runs = starts.size
+        partial = np.zeros(n_runs, bool)
+        partial[0] = partial[-1] = True
+        return pa.table({
+            key_col: pa.array(k[starts].astype(np.int64)),
+            out_col: pa.array(sums),
+            "partial": pa.array(partial)})
+
+    seg = (ds.sort(key_col)
+           .map_batches(_scan, batch_format="pyarrow", batch_size=None)
+           .materialize())
+    done = seg.filter(expr="partial == False").select_columns(
+        [key_col, out_col])
+    raws = [b for b in seg.filter(expr="partial == True")
+            .iter_batches(batch_format="pyarrow")]
+    if not raws:
+        return done
+    bt = pa.concat_tables(raws)
+    k = bt[key_col].to_numpy(zero_copy_only=False)
+    v = bt[out_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    new = np.r_[True, k[1:] != k[:-1]]
+    starts = np.flatnonzero(new)
+    merged = ray.data.from_arrow(pa.table({
+        key_col: pa.array(k[starts].astype(np.int64)),
+        out_col: pa.array(np.add.reduceat(v, starts))}))
+    return done.union(merged)

@@ -127,7 +127,16 @@ def dedup_canonical_urls(pages, rules: HostRules | None = None):
     The exchange is keys-only: (canon_url, url) rows sort once and a
     keep-first run-scan picks winners; the html column never shuffles —
     winners re-select their full rows via the broadcast/side-parquet
-    semi-filter idiom (stages/runs.py)."""
+    semi-filter idiom (stages/runs.py).
+
+    Collision contract (probabilistic, shared engine-wide): the winner
+    re-selection keys on url_h = the 63-bit FNV-1a url hash — the SAME
+    `doc_ids_from_urls` convention that keys every document in the index,
+    so a colliding url pair is already one doc_id everywhere downstream;
+    this stage adds no new collision class. P(any collision) ~ n^2/2^64
+    (~3e-7 at a 10^9-url crawl). A collision here keeps a loser row
+    (false keep, removed later by content-hash dedup), never drops a
+    winner."""
     from .runs import keep_first_per_run, semi_id_filter
 
     rules_ref = ray.put(rules or HostRules())

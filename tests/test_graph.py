@@ -501,3 +501,108 @@ def test_label_propagation_isolated_and_skew(ray_session):
     exp = _np_lpa(edges, n_iter=3)
     assert got == exp
     assert got[9999] == 9999  # kept its own label (never receives votes)
+
+
+def test_push_presorted_equals_sorted_union_oracle(ray_session):
+    """The sort-once exchange (SortedFacts + push_scores_presorted) must
+    reproduce push_scores (the sorted-union semantic oracle) exactly, in
+    BOTH strength modes, on a deterministic random graph with hubs, under
+    tiny blocks (forcing straddling runs, continuation blocks, and
+    score-only runs for keys with no out-edges)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import (
+        SortedFacts, _fact_rows_ds, _pr_union_schema, push_scores,
+        push_scores_presorted)
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 120, 900
+    src = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    src[:300] = 3  # hub whose run spans many 2 KiB blocks
+    w = (rng.rand(n_edges) * 4 + 0.5).round(3)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "w": pa.array(w, pa.float64())}))
+    # scores for every node PLUS keys with no out-edges at all
+    keys = np.arange(-3, n_nodes + 5, dtype=np.int64)
+    scores_tab = _pr_union_schema(
+        keys.size, keys, 1, np.zeros(keys.size, np.int64),
+        (np.abs(np.sin(keys.astype(np.float64))) + 0.01))
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        scores = ray.data.from_arrow(scores_tab)
+        facts = _fact_rows_ds(edges)
+        sf = SortedFacts(_fact_rows_ds(edges))
+        for divide in (True, False):
+            exp = {r["cdst"]: r["sum(cval)"]
+                   for r in push_scores(scores, facts,
+                                        divide_strength=divide).take_all()}
+            got = {r["cdst"]: r["sum(cval)"]
+                   for r in push_scores_presorted(
+                       scores, sf, divide_strength=divide).take_all()}
+            assert set(got) == set(exp)
+            for k in exp:
+                assert abs(got[k] - exp[k]) < 1e-9, (divide, k)
+    finally:
+        ctx.target_max_block_size = saved
+
+
+def _np_pagerank_general(edges, nodes, n_iter=5, d=0.85):
+    """Power iteration over a GENERAL digraph: zero-in-degree nodes keep
+    their teleport mass; dangling nodes contribute nothing (leaky
+    simplified-PageRank convention, matching stages.graph.pagerank)."""
+    import numpy as np
+
+    nodes = sorted(nodes)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    out_s = np.zeros(n)
+    for s, t, w in edges:
+        out_s[idx[s]] += w
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for s, t, w in edges:
+            if out_s[idx[s]] > 0:
+                c[idx[t]] += r[idx[s]] * w / out_s[idx[s]]
+        r = (1 - d) / n + d * c
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_general_digraph_keeps_teleport_mass(ray_session):
+    """r3 advice: on a general DIRECTED graph (no both-orientations
+    precondition) a zero-in-degree source must keep its teleport mass
+    every iteration instead of vanishing after round 1, and a dangling
+    sink (no out-edges) must appear in the output with base+damped rank.
+    Exact numpy parity over src UNION dst."""
+    import pyarrow as pa
+
+    import ray.data
+    from meilisearch_thai_ray.stages.graph import pagerank
+
+    edges = [
+        (1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0),   # cycle
+        (10, 2, 1.0),                             # 10: zero in-degree
+        (11, 12, 1.0),                            # 12: dangling sink
+        (2, 12, 0.5),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array([e[2] for e in edges], pa.float64()),
+    }))
+    got = {r["node"]: r["rank"] for r in pagerank(ds, n_iter=5).take_all()}
+    nodes = {e[0] for e in edges} | {e[1] for e in edges}
+    exp = _np_pagerank_general(edges, nodes, n_iter=5)
+    assert set(got) == nodes
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9, n
+    # the zero-in-degree sources held their teleport floor, every round
+    base = (1 - 0.85) / len(nodes)
+    assert abs(got[10] - base) < 1e-12
+    assert abs(got[11] - base) < 1e-12

@@ -883,3 +883,38 @@ def test_wet_source_reads_conversion_records(ray_session, tmp_path):
     # the same archive read as WARC sees only the response record
     warc_pages = read_warc_pages(str(d)).to_pandas()
     assert set(warc_pages["url"]) == {"http://a.example/3"}
+
+
+def test_wet_payload_starting_with_http_is_not_truncated(ray_session,
+                                                         tmp_path):
+    """A WET conversion payload is extracted TEXT, not an HTTP message — a
+    page about HTTP whose extracted text begins with 'HTTP/' and contains
+    a blank line must pass through verbatim (header stripping applies only
+    to response records, decided per record). Regression test for the
+    round-3 advice finding on sources/warc.py."""
+    import gzip
+
+    from meilisearch_thai_ray.sources.warc import read_wet_pages
+
+    tricky = (b"HTTP/1.1 is a protocol revision.\r\n"
+              b"Headers end at a blank line:\r\n\r\n"
+              b"this tail must survive in the WET payload")
+    recs = [
+        ("conversion", "http://h.example/doc", tricky),
+        # a response record in the same archive still gets stripped when
+        # both types are accepted (_warc_bytes adds the HTTP header block)
+        ("response", "http://h.example/page", b"<p>body</p>"),
+    ]
+    d = tmp_path / "wet_http"
+    d.mkdir()
+    (d / "c.warc.wet.gz").write_bytes(gzip.compress(_warc_bytes(recs)))
+
+    wet = read_wet_pages(str(d)).to_pandas().set_index("url")
+    assert wet.loc["http://h.example/doc", "html"] == tricky
+
+    from meilisearch_thai_ray.sources.warc import read_warc_pages
+    both = read_warc_pages(
+        str(d), record_types=("response", "conversion")).to_pandas()
+    by_url = both.set_index("url")
+    assert by_url.loc["http://h.example/doc", "html"] == tricky
+    assert by_url.loc["http://h.example/page", "html"] == b"<p>body</p>"
