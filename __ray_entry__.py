@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors, ride the scan; recall@10 vs the brute-force oracle is
         # pytest-asserted)
         "ann_pq_topk": st.ann_pq_topk,
+        "ann_ivfpq_topk": st.ann_ivfpq_topk,
         # rows-only: SemDeDup (k-means + within-cluster cosine — clustering
         # is not SQL-expressible; planted-dup drop identity + cluster-cap
         # behavior are pytest-asserted)

@@ -43,6 +43,14 @@ MIN_WORDS = 20
 MAX_DUP_FRAC = 0.7
 JACCARD_THR = 0.6
 
+# near_dup="auto" switch point: the exact blocked all-pairs join compares
+# O(P(P+1)/2) block pairs — zero recall loss and FASTER than the sketch up
+# to a few tens of thousands of docs (BASELINE.md round-2: 5k docs exact
+# 8-10s vs minhash verify 14-18s on the self-similar bench corpus), but
+# quadratic beyond. Above this many survivors, auto swaps to MinHash-LSH
+# (linear sketch + one sort, same drop rule over verified pairs).
+EXACT_NEAR_DUP_MAX_DOCS = 20_000
+
 _WORD_RE = f"[^{WS_REGEX[1:-2]}]+"
 
 
@@ -91,7 +99,7 @@ def _hash_keys(batch: pa.Table) -> pa.Table:
 
 
 def curated_docs(sf_dir: str, n_blocks: int | None = None,
-                 mode: str = "pairwise_b", near_dup: str = "exact",
+                 mode: str = "pairwise_b", near_dup: str = "auto",
                  quality: str = "simple"):
     """D7: the curated corpus — (doc_id, lang, n_chars) after the quality
     gate, exact dedup, and near-dup drop. See module docstring for the
@@ -103,6 +111,11 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
 
     near_dup picks the pair stage — this is the 100-TB swap point, LIVE,
     not just documented:
+      "auto" (default): scale-aware — "exact" while the survivor count is
+                 <= EXACT_NEAR_DUP_MAX_DOCS (the driver-gate corpus sizes,
+                 zero recall loss), "minhash" above it (the O(n^2) join
+                 must never be the silent default at corpus scale; r3
+                 verdict #6). The decision is logged.
       "exact":   blocked all-pairs word-3-gram Jaccard join (zero recall
                  loss, O(n^2/blocks) compare work — the driver-gate /
                  verification path; what SQL["d7_curate"] states).
@@ -142,6 +155,15 @@ def curated_docs(sf_dir: str, n_blocks: int | None = None,
                                 invert=True).select_columns(["doc_id"])
     survivors = anti_id_filter(filtered, losers).materialize()
     # materialized: reused twice (pair join input + final filter)
+    if near_dup == "auto":
+        n_surv = survivors.count()
+        near_dup = ("exact" if n_surv <= EXACT_NEAR_DUP_MAX_DOCS
+                    else "minhash")
+        import logging
+
+        logging.getLogger(__name__).info(
+            "curated_docs near_dup=auto: %d survivors -> %s "
+            "(threshold %d)", n_surv, near_dup, EXACT_NEAR_DUP_MAX_DOCS)
     if near_dup == "minhash":
         import tempfile
 

@@ -133,6 +133,19 @@ def test_curate_minhash_mode_matches_exact_on_planted_dups(ray_session,
     with pytest.raises(ValueError):
         curated_docs(str(tmp_path), near_dup="nope")
 
+    # near_dup="auto" (the default): exact at driver-gate sizes, minhash
+    # above EXACT_NEAR_DUP_MAX_DOCS survivors — same curated set either way
+    from meilisearch_thai_ray.pipelines import curate as C
+
+    saved = C.EXACT_NEAR_DUP_MAX_DOCS
+    try:
+        C.EXACT_NEAR_DUP_MAX_DOCS = 1  # force the minhash branch
+        auto_mh = sorted(
+            curated_docs(str(tmp_path)).to_pandas()["doc_id"])
+    finally:
+        C.EXACT_NEAR_DUP_MAX_DOCS = saved
+    assert auto_mh == exact
+
 
 def test_star_scan_matches_group_oracle(ray_session):
     """_star_round (sort + per-block scan) emits the SAME edge multiset
