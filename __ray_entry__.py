@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_fingerprint": st.doc_fingerprint,
         "m8_quality_score": st.doc_quality,
         "m17_filter_dsl": st.filter_docs,
+        "m28_field_weighted_topk": st.field_weighted_topk,
         "k11_facet_counts": st.facet_counts,
         "k16_facet_search": st.facet_search,
         "k1_topk_docs": st.topk_docs,

@@ -725,6 +725,16 @@ class SearchEngine:
             return nm, 0
         return nm, _min_window_cost(plists)
 
+    def doc_term_positions(self, doc_id: int,
+                           term: str) -> "np.ndarray | None":
+        """Occurrence positions of `term` in `doc_id` (None when absent or
+        the index stores no positions) — the probe the proxy's ranking
+        rules chain (words/typo/attribute/exactness buckets) is built
+        from. One segment searchsorted per call; segments are decode-
+        cached, so a k-candidate rerank touches each term's postings
+        once."""
+        return self._doc_positions(term, doc_id)
+
     # ------------- prefix expansion -------------
 
     def warm(self) -> int:

@@ -25,7 +25,8 @@ from __future__ import annotations
 import html as _html
 import re
 
-EXTRACTOR_VERSION = "4"  # v4: term_positions column (positional postings)
+EXTRACTOR_VERSION = "5"  # v5: title_tc column (attribute ranking rule)
+# v4: term_positions column (positional postings)
 # v3: per-doc status/error columns (dead-letter rows)
 # v2: tags with '>' inside quoted attribute values
 
@@ -41,6 +42,35 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _BLOCK_RE = re.compile(rf"</?(?:{_BLOCK_TAGS})\b{_TAG_BODY}>", re.I)
 _TAG_RE = re.compile(rf"<{_TAG_BODY}>")
 _SPACE_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+_TITLE_RE = re.compile(rf"<title\b{_TAG_BODY}>(.*?)</title\s*>", re.S | re.I)
+
+
+def html_title(html_bytes: bytes | str) -> str:
+    """Extract the document's <title> field, normalized with the SAME
+    whitespace rules as html_to_text — so for ordinary HTML (where the
+    title block renders first) the extracted text string STARTS WITH this
+    value, which is what lets the attribute ranking rule locate the title
+    field as a token-position prefix without changing the index format.
+    Empty string when the document has no title.
+
+    Separate function on purpose: html_to_text's output is the per-url
+    byte-identity invariant vs the reference extractor and must not
+    change. Reference analog: documents carry an explicit title field
+    joined as f"{title} {content}" (document_processor.py:193); the
+    attribute rule ranks title matches first (settings_manager.py:74-89
+    searchableAttributes order)."""
+    if isinstance(html_bytes, bytes):
+        raw = html_bytes.decode("utf-8", errors="replace")
+    else:
+        raw = html_bytes
+    m = _TITLE_RE.search(_COMMENT_RE.sub("", raw))
+    if not m:
+        return ""
+    s = _TAG_RE.sub("", m.group(1))
+    s = _html.unescape(s)
+    return _SPACE_RE.sub(" ", s.replace("\n", " ")).strip()
 
 
 def html_to_text(html_bytes: bytes | str) -> str:

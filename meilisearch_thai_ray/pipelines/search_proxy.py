@@ -111,6 +111,25 @@ class SearchOptions:
     # per-request `sort` is set (explicit sort outranks proximity in the
     # rules chain)
     proximity_ranking: bool = False
+    # FULL Meilisearch rules chain (settings_manager.py:140 order:
+    # words -> typo -> proximity -> attribute -> sort -> exactness),
+    # bucket-ordered from the positional index:
+    #   words      more matched query words first
+    #   typo       hits reached only via typo expansion rank below exact-
+    #              term hits (1-typo below 0, 2 below 1; summed per word)
+    #   proximity  minimal covering token window of the direct matches
+    #   attribute  matches in the TITLE field (token positions < the doc's
+    #              title_tc boundary) outrank content-only matches,
+    #              per searchableAttributes order [title, content]
+    #   exactness  exact in-order phrase occurrence first, then all-words-
+    #              exact, then the rest
+    # The proxy's boosted ranking is the final tie-break. Supersedes
+    # proximity_ranking (a two-rule prefix of this chain); ignored when a
+    # per-request `sort` is set (sort outranks the trailing rules here, as
+    # the reference's chain places it, and Meilisearch applies it hard).
+    # Needs store_positions=True; attribute needs docs_path with the v5
+    # title_tc column (older docs tables rank everything as content).
+    ranking_rules: bool = False
 
     def __post_init__(self):
         if self.distinct is not None and self.distinct not in SORTABLE_FIELDS:
@@ -566,10 +585,15 @@ class SearchProxy:
                 [c[0]["doc_id"] for c in ranked], [distinct])
         # with sort, pagination applies AFTER the criteria ordering: keep
         # every passing hit (bounded by the per-variant candidate caps)
-        prox_rank = bool(options and options.proximity_ranking
-                         and not sort_crit
-                         and getattr(self.engine, "has_positions", False))
-        target = (1 << 62) if (sort_crit or prox_rank) else offset + k
+        rules_rank = bool(options and options.ranking_rules
+                          and not sort_crit
+                          and getattr(self.engine, "has_positions", False))
+        prox_rank = not rules_rank and bool(
+            options and options.proximity_ranking
+            and not sort_crit
+            and getattr(self.engine, "has_positions", False))
+        target = ((1 << 62) if (sort_crit or prox_rank or rules_rank)
+                  else offset + k)
         allowed = None
         if options and options.filters:
             allowed = self._filter_allowed(
@@ -634,6 +658,8 @@ class SearchProxy:
                 break
         if sort_crit:
             out = self._apply_sort(out, sort_crit)[offset:offset + k]
+        elif rules_rank:
+            out = self._rules_chain_order(query, out)[offset:offset + k]
         elif prox_rank:
             # Meilisearch rules chain: words (matched-term count) then
             # proximity (min covering window), proxy ranking as tie-break
@@ -696,6 +722,97 @@ class SearchProxy:
                 if tokens else 0.0,
             },
         }
+
+    def _rules_chain_order(self, query: str, hits: list[dict]) -> list[dict]:
+        """Order hits by the Meilisearch ranking-rules chain (reference
+        settings_manager.py:140: words, typo, proximity, attribute,
+        exactness), each rule a bucket inside the previous one; the
+        incoming (proxy-boosted) order is the final tie-break.
+
+        All buckets derive from the positional index — document text is
+        never read: per-word direct/typo presence via doc_term_positions,
+        proximity via the min covering window of the direct matches,
+        attribute (searchableAttributes order [title, content],
+        settings_manager.py:81-86) via the per-doc title_tc token-prefix
+        boundary, exactness via in-order adjacent occurrence of the
+        query's primary-term sequence."""
+        from ..kernel.typo import typo_matches
+
+        eng = self.engine
+        seq = eng.phrase_seq(query)
+        uniq = list(dict.fromkeys(seq))
+        if not uniq or not hits:
+            return hits
+        ttc: dict[int, int] = {}
+        if self.docs_path:
+            try:
+                fields = self._doc_fields([h["doc_id"] for h in hits],
+                                          ["title_tc"])
+                ttc = {d: int(v.get("title_tc") or 0)
+                       for d, v in fields.items()}
+            except Exception:  # pre-v5 docs table: no title boundary
+                ttc = {}
+        expand = getattr(eng, "expand_typo", None)
+        exp_cache: dict[str, list[tuple[str, int]]] = {}
+        keyed = []
+        for i, h in enumerate(hits):
+            d = h["doc_id"]
+            boundary = ttc.get(d, 0)
+            words = typo = attr = 0
+            direct: list[str] = []
+            for t in uniq:
+                pos = eng.doc_term_positions(d, t)
+                if pos is not None and len(pos):
+                    words += 1
+                    direct.append(t)
+                    attr += 0 if int(pos.min()) < boundary else 1
+                    continue
+                if expand is None:
+                    continue
+                if t not in exp_cache:
+                    cands = []
+                    for x in expand(t, 8):
+                        nt = typo_matches(t, x)
+                        if nt:
+                            cands.append((x, nt))
+                    exp_cache[t] = cands
+                best = None
+                best_min = 0
+                for x, nt in exp_cache[t]:
+                    px = eng.doc_term_positions(d, x)
+                    if px is not None and len(px) and (
+                            best is None or nt < best):
+                        best, best_min = nt, int(px.min())
+                if best is not None:
+                    words += 1
+                    typo += best
+                    attr += 0 if best_min < boundary else 1
+            if len(direct) >= 2:
+                _, pcost = eng.proximity_cost(d, direct)
+            else:
+                pcost = 0
+            exact = 2
+            if len(direct) == len(uniq):
+                exact = 1
+                if len(seq) == 1 or self._adjacent_in_order(d, seq):
+                    exact = 0
+            keyed.append(((-words, typo, pcost, attr, exact, i), h))
+        keyed.sort(key=lambda kh: kh[0])
+        return [h for _, h in keyed]
+
+    def _adjacent_in_order(self, doc_id: int, seq: list[str]) -> bool:
+        """True when the primary-term sequence occurs at consecutive token
+        positions, in order (the exactness rule's phrase bucket)."""
+        shifted: set[int] | None = None
+        for i, t in enumerate(seq):
+            pos = self.engine.doc_term_positions(doc_id, t)
+            if pos is None or not len(pos):
+                return False
+            s = {int(p) - i for p in pos}
+            shifted = s if shifted is None else (shifted & s)
+            if not shifted:
+                return False
+        return True
 
     def _doc_fields(self, doc_ids: list[int],
                     fields: list[str]) -> dict[int, dict]:

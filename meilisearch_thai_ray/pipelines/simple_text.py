@@ -520,6 +520,86 @@ ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 5
 """
 
 
+# -------------------------------------- m28: field-weighted (BM25F-style)
+
+FW_TERM = "spark"
+FW_TITLE_WORDS = 5   # field boundary: first 5 words act as the title field
+FW_TITLE_WEIGHT = 3  # searchableAttributes order as weights: title 3x body
+
+
+def field_weighted_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """M28 — field-weighted term scoring (the attribute ranking rule's
+    scoring-level counterpart, reference settings_manager.py:74-89
+    searchableAttributes order; SQL-verifiable unlike the proxy's bucket
+    chain): documents has no separate title column, so the first
+    FW_TITLE_WORDS words act as the title field; score = 3 * title hits +
+    1 * body hits of FW_TERM, top-k by (score DESC, doc_id).
+
+    Scale shape: per-batch vectorized polars list ops + partial top-k —
+    <= k rows leave each task, no shuffle (the K1 pattern)."""
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(batch)
+              .with_columns(w=pl.col("text").str.split(" "))
+              .with_columns(
+                  title_hits=pl.col("w").list.slice(0, FW_TITLE_WORDS)
+                  .list.count_matches(FW_TERM).cast(pl.Int64),
+                  body_hits=pl.col("w").list.slice(FW_TITLE_WORDS)
+                  .list.count_matches(FW_TERM).cast(pl.Int64))
+              .with_columns(score=(FW_TITLE_WEIGHT * pl.col("title_hits")
+                                   + pl.col("body_hits")))
+              .filter(pl.col("score") > 0)
+              .select(["doc_id", "title_hits", "body_hits", "score"]))
+        t = df.to_arrow()
+        if t.num_rows > k:
+            sc = t["score"].to_numpy(zero_copy_only=False)
+            di = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.take(pa.array(np.lexsort((di, -sc))[:k]))
+        return t.cast(pa.schema([("doc_id", pa.int64()),
+                                 ("title_hits", pa.int64()),
+                                 ("body_hits", pa.int64()),
+                                 ("score", pa.int64())]))
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "title_hits": pa.array([], pa.int64()),
+                      "body_hits": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if not rows:
+        return empty
+    t = pa.Table.from_pylist(rows)
+    sc = t["score"].to_numpy(zero_copy_only=False)
+    di = t["doc_id"].to_numpy(zero_copy_only=False)
+    return t.take(pa.array(np.lexsort((di, -sc))[:k])).cast(empty.schema)
+
+
+SQL["m28_field_weighted_topk"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ws[1:{FW_TITLE_WORDS}],
+                              x -> x = '{FW_TERM}')) AS BIGINT)
+             AS title_hits,
+         CAST(len(list_filter(ws[{FW_TITLE_WORDS + 1}:],
+                              x -> x = '{FW_TERM}')) AS BIGINT)
+             AS body_hits
+  FROM w
+)
+SELECT doc_id, title_hits, body_hits,
+       {FW_TITLE_WEIGHT} * title_hits + body_hits AS score
+FROM s
+WHERE {FW_TITLE_WEIGHT} * title_hits + body_hits > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- lang stats
 
 def lang_stats(sf_dir: str):

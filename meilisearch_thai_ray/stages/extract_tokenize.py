@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ..config import EngineConfig
 from ..functions.hashing import doc_ids_from_urls
-from ..kernel.extract import html_to_text
+from ..kernel.extract import html_title, html_to_text
 from ..kernel.tokenize import DocumentTokenizer
 
 _PROCESS_CACHE: dict = {}
@@ -45,6 +45,12 @@ DOCS_SCHEMA = pa.schema(
         # terms count up; compound parts share the parent position) — feeds
         # the positional posting path (store_positions)
         ("term_positions", pa.list_(pa.int32())),
+        # token positions [0, title_tc) belong to the TITLE field (the
+        # attribute ranking rule's field boundary): the <title> text
+        # renders first in html_to_text output, so its tokenization is the
+        # text's token prefix. 0 = no title / title not a text prefix
+        # (everything is content) — verified per doc, never assumed
+        ("title_tc", pa.int32()),
         # per-doc processing status (reference semantics:
         # document_processor.py:25-57 ProcessingStatus + error_message):
         # "completed" | "skipped" (no Thai content; still indexed) |
@@ -94,12 +100,23 @@ class ExtractTokenize:
         statuses: list[str] = []
         errors: list[str] = []
         analyze = self.tokenizer.analyze
+        title_tcs: list[int] = []
         for h in htmls:
             # one corrupt page must become a status row, not a task retry
             # storm: at 100 TB a raised batch re-runs every doc in it
             try:
                 text = html_to_text(h)
                 a = analyze(text)
+                # title-field boundary (attribute ranking rule): only when
+                # the title tokenization is verifiably the text's token
+                # prefix — else 0 (whole doc is content field)
+                title = html_title(h)
+                title_tc = 0
+                if title and text.startswith(title):
+                    # positions index PRIMARY tokens (compound parts share
+                    # the parent position), so the boundary is the title's
+                    # primary-token count, not its term count
+                    title_tc = len(analyze(title)["tokens"])
             except Exception as exc:  # dead-letter row
                 texts.append("")
                 terms.append([])
@@ -107,9 +124,11 @@ class ExtractTokenize:
                 counts.append(0)
                 ratios.append(0.0)
                 mixed.append(False)
+                title_tcs.append(0)
                 statuses.append(STATUS_FAILED)
                 errors.append(f"{type(exc).__name__}: {exc}"[:500])
                 continue
+            title_tcs.append(title_tc)
             texts.append(text)
             terms.append(a["terms"])
             positions.append(a["term_positions"])
@@ -132,6 +151,7 @@ class ExtractTokenize:
                 "mixed": pa.array(mixed, pa.bool_()),
                 "lang": pa.array(langs, pa.string()),
                 "term_positions": pa.array(positions, pa.list_(pa.int32())),
+                "title_tc": pa.array(title_tcs, pa.int32()),
                 "status": pa.array(statuses, pa.string()),
                 "error": pa.array(errors, pa.string()),
             },
