@@ -28,6 +28,13 @@ def entry() -> Any:
     return flagship_search("/root/testdata/sf0.001")
 
 
+def _crawl_refresh_demo(sf_dir: str) -> Any:
+    from meilisearch_thai_ray.pipelines.crawl_refresh import (
+        crawl_refresh_demo)
+
+    return crawl_refresh_demo(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import corpus_stats as cs
     from meilisearch_thai_ray.pipelines import curate as cur
@@ -146,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MinHash index (only the new side is sketched); pytest asserts
         # pair-set identity with a from-scratch sketch of the union
         "d13_incremental_minhash": dp.incremental_minhash,
+        # rows-only: the e2e continuous-crawl composite (archive -> url
+        # dedup -> extract -> near-dup vs the persisted sketch -> delta
+        # generation); index mutation is not SQL-expressible, the
+        # drop/serve behavior is pytest-verified (test_crawl_refresh.py)
+        "s8_crawl_refresh": _crawl_refresh_demo,
         "m23_lm_score": td.lm_score,
         "k8_global_shuffle": td.global_shuffle,
         "k9_budget_select": td.budget_select,

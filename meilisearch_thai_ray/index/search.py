@@ -725,6 +725,79 @@ class SearchEngine:
             return nm, 0
         return nm, _min_window_cost(plists)
 
+    def _doc_meta(self, doc_ids: list[int]) -> dict[int, tuple[int, int]]:
+        """{doc_id: (title_tc, token_count)} for a candidate set via one
+        pruned read of the index's docs table (title_tc falls back to 0 on
+        pre-v5 docs tables — every occurrence then counts as content)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        docs_dir = os.path.join(self.index_dir, "docs")
+        if not os.path.isdir(docs_dir) or not doc_ids:
+            return {}
+        dset = pads.dataset(docs_dir)
+        cols = ["doc_id", "token_count"]
+        has_ttc = "title_tc" in dset.schema.names
+        if has_ttc:
+            cols.append("title_tc")
+        t = dset.to_table(columns=cols,
+                          filter=pc.field("doc_id").isin(doc_ids))
+        ttc = (t["title_tc"].to_pylist() if has_ttc
+               else [0] * t.num_rows)
+        return {d: (int(b or 0), int(c or 0)) for d, b, c in
+                zip(t["doc_id"].to_pylist(), ttc,
+                    t["token_count"].to_pylist())}
+
+    def bm25f_topk(self, terms: list[str], k: int = 10,
+                   title_weight: float = 2.0,
+                   pool: int | None = None) -> list[tuple[int, float]]:
+        """Field-boosted BM25 (simplified BM25F, Robertson & Zaragoza 2009
+        §7: the weighted term frequency tf' = tf_content + title_weight *
+        tf_title fed through the standard saturation) — the SCORING form of
+        the attribute ranking rule: a title occurrence counts title_weight
+        times before saturation, so title matches win without hard bucket
+        ordering. The field of an occurrence is one position compare
+        against the doc's title_tc boundary (needs store_positions=True).
+
+        Rerank shape: candidates come from the plain BM25 top-pool (the
+        distributed/pruned path), the field-weighted score recomputes only
+        for those k-scale candidates from positions + one pruned docs-table
+        read — no second index pass. title_weight=1.0 reproduces
+        score_topk's scores exactly (pytest-asserted identity)."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; the field "
+                "of an occurrence is a position compare")
+        from collections import Counter
+
+        weights = Counter(terms)
+        cand = self.score_topk(terms, k=pool or max(10 * k, 100))
+        if not cand:
+            return []
+        meta = self._doc_meta([d for d, _ in cand])
+        loaded = []
+        for t in sorted(weights):
+            segs = self.segments(t)
+            if not segs:
+                continue
+            df = sum(s.n for s in segs)
+            loaded.append((t, float(weights[t]), _idf(self.n_docs, df)))
+        out = []
+        for d, _ in cand:
+            boundary, dl = meta.get(d, (0, 0))
+            knorm = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            s = 0.0
+            for t, w, idf_t in loaded:
+                pos = self._doc_positions(t, d)
+                if pos is None or not len(pos):
+                    continue
+                tf_title = int((np.asarray(pos) < boundary).sum())
+                tfw = (len(pos) - tf_title) + title_weight * tf_title
+                s += w * idf_t * tfw * (self.k1 + 1.0) / (tfw + knorm)
+            out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def doc_term_positions(self, doc_id: int,
                            term: str) -> "np.ndarray | None":
         """Occurrence positions of `term` in `doc_id` (None when absent or

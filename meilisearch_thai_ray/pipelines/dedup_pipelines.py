@@ -969,19 +969,28 @@ def write_minhash_index(ds: ray.data.Dataset, out_dir: str,
 
 
 def incremental_minhash_pairs(new_ds: ray.data.Dataset, index_dir: str,
-                              docs_paths, new_id_min: int,
+                              docs_paths, new_id_min: int | None = None,
                               threshold: float = 0.6,
                               max_verify: int = 100_000,
-                              preset: str = "strict") -> pa.Table:
+                              preset: str = "strict",
+                              new_ids: "np.ndarray | None" = None
+                              ) -> pa.Table:
     """Near-dup pairs (a, b, jaccard) of a NEW crawl against an existing
     corpus via its persisted sketch index: only the new side is sketched,
     the corpus contributes pre-computed band rows read straight from
     parquet. Candidate generation is the shared _band_candidates sort-scan
     over the UNION of index rows and new band rows; (old, old) pairs are
-    excluded by the id contract (every new doc_id >= new_id_min > every
-    corpus doc_id — the d10 re-crawl convention), so surviving pairs are
-    exactly (corpus, new) and (new, new). Verification reads texts from
-    docs_paths (list: [corpus_parquet, new_crawl_parquet])."""
+    excluded by ONE of two contracts, so surviving pairs are exactly
+    (corpus, new) and (new, new):
+      new_id_min — every new doc_id >= new_id_min > every corpus doc_id
+                   (the d10 re-crawl convention; cheapest filter), or
+      new_ids    — an explicit sorted id set of the new crawl (the crawl-
+                   refresh path, where url-hash doc_ids carry no ordering;
+                   broadcast once, searchsorted probe per batch).
+    Verification reads texts from docs_paths (list: [corpus_parquet,
+    new_crawl_parquet])."""
+    if (new_id_min is None) == (new_ids is None):
+        raise ValueError("pass exactly one of new_id_min / new_ids")
     num_perm, bands = BAND_PRESETS[preset]  # must match the index's preset
     corpus_bands = ray.data.read_parquet(index_dir)
     new_bands = new_ds.map_batches(
@@ -990,9 +999,24 @@ def incremental_minhash_pairs(new_ds: ray.data.Dataset, index_dir: str,
         concurrency=(1, pool_cap(8)))
     cand = _band_candidates(corpus_bands.union(new_bands))
 
-    def _touching_new(batch: pa.Table) -> pa.Table:
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(b >= new_id_min))
+    if new_id_min is not None:
+        def _touching_new(batch: pa.Table) -> pa.Table:
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(b >= new_id_min))
+    else:
+        ids_ref = ray.put(np.sort(np.asarray(new_ids, dtype=np.int64)))
+
+        def _touching_new(batch: pa.Table) -> pa.Table:
+            from ..stages.runs import fetch
+
+            ids = fetch(ids_ref)
+            hit = np.zeros(batch.num_rows, bool)
+            for col in ("a", "b"):
+                v = batch[col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ids, v)
+                pos[pos == ids.size] = 0
+                hit |= ids[pos] == v
+            return batch.filter(pa.array(hit))
 
     cand = cand.map_batches(_touching_new, batch_format="pyarrow")
     return _verify_pairs(cand, docs_paths, threshold, max_verify)

@@ -146,3 +146,30 @@ def test_rules_chain_off_by_default(rules_index):
     b = [h["doc_id"] for h in proxy.search(
         "salmon", options=SearchOptions(limit=10))]
     assert a == b  # default options leave the boosted ranking untouched
+
+
+def test_bm25f_weight_one_reproduces_bm25(rules_index):
+    """title_weight=1.0 collapses the field weighting: bm25f_topk must
+    reproduce score_topk's scores and order exactly."""
+    import numpy as np
+
+    out, urls = rules_index
+    eng = SearchEngine(out)
+    plain = eng.score_topk(["salmon"], k=10)
+    f1 = eng.bm25f_topk(["salmon"], k=10, title_weight=1.0)
+    assert [d for d, _ in f1] == [d for d, _ in plain]
+    for (d1, s1), (d2, s2) in zip(f1, plain):
+        assert np.isclose(s1, s2, rtol=1e-6), (d1, s1, s2)
+
+
+def test_bm25f_title_weight_lifts_title_hits(rules_index):
+    out, urls = rules_index
+    eng = SearchEngine(out)
+    title_doc = _doc_of("https://rules.ex/0")
+    body_doc = _doc_of("https://rules.ex/1")
+    base = [d for d, _ in eng.bm25f_topk(["salmon"], k=10,
+                                         title_weight=1.0)]
+    assert base.index(body_doc) < base.index(title_doc)  # 5x body tf wins
+    boosted = [d for d, _ in eng.bm25f_topk(["salmon"], k=10,
+                                            title_weight=8.0)]
+    assert boosted.index(title_doc) < boosted.index(body_doc)
