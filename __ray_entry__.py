@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # drop/serve behavior is pytest-verified (test_crawl_refresh.py)
         "s8_crawl_refresh": _crawl_refresh_demo,
         "m23_lm_score": td.lm_score,
+        "m30_nb_quality": td.nb_quality,
         "k8_global_shuffle": td.global_shuffle,
         "k9_budget_select": td.budget_select,
         "k10_source_balance": td.source_balance,

@@ -1350,3 +1350,209 @@ FROM n, unnest(range(0, (n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}))
      AS u(k)
 ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------- Naive-Bayes quality classifier (m30)
+
+# The classifier-based quality filter webtext pipelines train on a cheap
+# rule label and apply corpus-wide (the CCNet / GPT-3 "quality classifier"
+# stage, there a fastText/LR model; here multinomial Naive Bayes, whose
+# training IS a count aggregate and is therefore SQL-verifiable end to
+# end). Labels come from the shared Gopher rule set (corpus_stats.
+# gopher_with_verdict — the ONE implementation m26 and curate use), so
+# the model learns to imitate the rules from token evidence alone; its
+# log-odds is a graded quality score where the rules only gave a verdict.
+NB_MIN_COUNT = 5  # kept-vocab bound, same convention as LM_MIN_COUNT
+
+# sentinel word for per-batch doc-class counts: _WORD_RE tokens are
+# non-empty, so "" can never collide with a real word
+_NB_DOCROW = ""
+
+
+def _nb_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: gopher-label the batch, explode words, emit
+    (word, cp, cf) partial counts plus one sentinel row carrying the
+    batch's (docs_pass, docs_fail). The downstream groupby is vocab-sized,
+    never corpus-sized."""
+    import polars as pl
+
+    from .corpus_stats import gopher_with_verdict
+
+    df = gopher_with_verdict(pl.from_arrow(batch))
+    lab = df["passes_gopher"].to_numpy()
+    e = (df.select(["ws", "passes_gopher"]).explode("ws")
+         .filter(pl.col("ws").is_not_null()))
+    words = e["ws"].to_numpy()
+    wlab = e["passes_gopher"].to_numpy()
+    u, inv = np.unique(words, return_inverse=True)
+    cp = np.zeros(u.size, np.int64)
+    cf = np.zeros(u.size, np.int64)
+    np.add.at(cp, inv[wlab], 1)
+    np.add.at(cf, inv[~wlab], 1)
+    return pa.table({
+        "word": pa.array(np.concatenate([u, [_NB_DOCROW]]), pa.string()),
+        "cp": pa.array(np.concatenate(
+            [cp, [int(lab.sum())]]), pa.int64()),
+        "cf": pa.array(np.concatenate(
+            [cf, [int((~lab).sum())]]), pa.int64()),
+    })
+
+
+def _nb_model(sf_dir: str, min_count: int):
+    """Distributed (word, class) counts -> the bounded broadcast model:
+    kept vocab (cp+cf >= min_count) with per-word log-odds deltas, one
+    aggregate OOV pseudo-word per class for the tail (m23's bounded-vocab
+    shape: the broadcast table is capped regardless of corpus size), the
+    per-token length penalty and the add-1-smoothed class prior."""
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(_nb_count_partial, batch_format="pyarrow",
+                     batch_size=4096)
+        .groupby("word").sum(["cp", "cf"])
+        .materialize()  # consumed twice: totals + kept filter
+    )
+    n_pass = int(counts.sum("sum(cp)") or 0)
+    n_fail = int(counts.sum("sum(cf)") or 0)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        cp = batch["sum(cp)"].to_numpy(zero_copy_only=False)
+        cf = batch["sum(cf)"].to_numpy(zero_copy_only=False)
+        w = batch["word"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(
+            (cp + cf >= min_count) | (w == _NB_DOCROW)))
+
+    kept = [(r["word"], int(r["sum(cp)"]), int(r["sum(cf)"]))
+            for r in counts.map_batches(
+                _keep, batch_format="pyarrow").take_all()]
+    kept.sort()
+    d_pass = d_fail = 0
+    if kept and kept[0][0] == _NB_DOCROW:  # sentinel sorts first
+        _, d_pass, d_fail = kept.pop(0)
+    n_pass -= d_pass  # sentinel rows rode the same groupby
+    n_fail -= d_fail
+    vocab = np.array([w for w, _, _ in kept], dtype=object)
+    cp = np.array([a for _, a, _ in kept], dtype=np.int64)
+    cf = np.array([b for _, _, b in kept], dtype=np.int64)
+    v = vocab.size + 1  # + the OOV pseudo-word
+    o_pass = n_pass - int(cp.sum())
+    o_fail = n_fail - int(cf.sum())
+    delta = np.log(cp + 1.0) - np.log(cf + 1.0)
+    oov_delta = float(np.log(o_pass + 1.0) - np.log(o_fail + 1.0))
+    per_tok = float(np.log(n_fail + v) - np.log(n_pass + v))
+    prior = float(np.log(d_pass + 1.0) - np.log(d_fail + 1.0))
+    return vocab, delta, oov_delta, per_tok, prior
+
+
+class _NbScore:
+    """Per-batch local scorer: explode -> sorted-vocab searchsorted ->
+    per-doc log-odds sum. No shuffle; model via ray.put."""
+
+    def __init__(self, model_ref):
+        (self.vocab, self.delta, self.oov_delta, self.per_tok,
+         self.prior) = (ray.get(model_ref)
+                        if isinstance(model_ref, ray.ObjectRef)
+                        else model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        e = (pl.from_arrow(batch)
+             .with_columns(wd=pl.col("text").str.extract_all(_WORD_RE))
+             .select(["doc_id", "wd"]).explode("wd")
+             .filter(pl.col("wd").is_not_null()))
+        if e.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "log_odds": pa.array([], pa.float64()),
+                             "nb_pass": pa.array([], pa.bool_())})
+        words = e["wd"].to_numpy()
+        doc_ids = e["doc_id"].to_numpy()
+        if self.vocab.size:
+            idx = np.searchsorted(self.vocab, words)
+            idx_c = np.minimum(idx, self.vocab.size - 1)
+            match = self.vocab[idx_c] == words
+            d = np.where(match, self.delta[idx_c], self.oov_delta)
+        else:
+            d = np.full(words.size, self.oov_delta, dtype=np.float64)
+        uniq, inv = np.unique(doc_ids, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, d)
+        n_tok = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        lo = np.round(sums + n_tok * self.per_tok + self.prior, 6)
+        return pa.table({
+            "doc_id": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "log_odds": pa.array(lo, pa.float64()),
+            # decided on the ROUNDED value so Ray and SQL agree exactly
+            "nb_pass": pa.array(lo > 0.0),
+        })
+
+
+def nb_quality(sf_dir: str,
+               min_count: int = NB_MIN_COUNT) -> ray.data.Dataset:
+    """M30 -> (doc_id, n_tokens, log_odds, nb_pass): multinomial
+    Naive-Bayes quality score per document, trained on the corpus's own
+    Gopher verdicts. p(w|c) = (c(w,c)+1)/(N_c+V) over the kept vocab + one
+    OOV pseudo-word per class; log_odds = sum_w [ln(c_p+1)-ln(c_f+1)]
+    + n_d*(ln(N_f+V)-ln(N_p+V)) + ln((D_p+1)/(D_f+1)). Train is ONE
+    vocab-sized groupby over per-batch combiner partials; score is a
+    broadcast-model local pass (zero shuffle). Docs with zero words emit
+    no row (matches the SQL join)."""
+    model_ref = ray.put(_nb_model(sf_dir, min_count))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _NbScore, fn_constructor_args=(model_ref,),
+        batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, pool_cap(8)),
+    )
+
+
+from .corpus_stats import SQL as _STATS_SQL  # noqa: E402 (m26 label CTE)
+
+SQL["m30_nb_quality"] = f"""
+WITH lab AS (
+  SELECT doc_id, passes_gopher FROM ({_STATS_SQL["m26_gopher_rules"]})
+), w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '{WS_REGEX}'),
+                            x -> x <> '')) AS wd
+  FROM documents
+), lw AS (
+  SELECT w.doc_id, wd, passes_gopher FROM w JOIN lab USING (doc_id)
+), uc AS (
+  SELECT wd,
+         CAST(sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) AS BIGINT)
+             AS cp,
+         CAST(sum(CASE WHEN passes_gopher THEN 0 ELSE 1 END) AS BIGINT)
+             AS cf
+  FROM lw GROUP BY wd
+), tot AS (
+  SELECT sum(cp) AS npass, sum(cf) AS nfail FROM uc
+), kept AS (
+  SELECT wd, cp, cf FROM uc WHERE cp + cf >= {NB_MIN_COUNT}
+), kv AS (
+  SELECT count(*) + 1 AS v,
+         COALESCE(sum(cp), 0) AS kpass,
+         COALESCE(sum(cf), 0) AS kfail
+  FROM kept
+), oov AS (
+  SELECT tot.npass - kv.kpass AS opass, tot.nfail - kv.kfail AS ofail
+  FROM tot, kv
+), dc AS (
+  SELECT sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) AS dpass,
+         sum(CASE WHEN passes_gopher THEN 0 ELSE 1 END) AS dfail
+  FROM lab
+)
+SELECT lw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(COALESCE(kept.cp, oov.opass) + 1.0)
+                 - ln(COALESCE(kept.cf, oov.ofail) + 1.0))
+             + count(*) * (ln(tot.nfail + kv.v) - ln(tot.npass + kv.v))
+             + ln(dc.dpass + 1.0) - ln(dc.dfail + 1.0), 6) AS log_odds,
+       round(sum(ln(COALESCE(kept.cp, oov.opass) + 1.0)
+                 - ln(COALESCE(kept.cf, oov.ofail) + 1.0))
+             + count(*) * (ln(tot.nfail + kv.v) - ln(tot.npass + kv.v))
+             + ln(dc.dpass + 1.0) - ln(dc.dfail + 1.0), 6) > 0.0
+           AS nb_pass
+FROM lw LEFT JOIN kept USING (wd), tot, kv, oov, dc
+GROUP BY lw.doc_id, tot.npass, tot.nfail, kv.v, dc.dpass, dc.dfail
+"""

@@ -514,3 +514,82 @@ def test_zorder_export_prunes_both_dimensions(ray_session, tmp_path):
 
     man2 = export_zorder(None, zdir, ["user_id", "value"])  # no-op resume
     assert man2 == man
+
+
+def test_nb_quality_matches_naive(ray_session):
+    """Distributed NB train+score == naive in-memory computation (same
+    gopher labels, same bounded vocab + OOV pooling, same smoothing)."""
+    import polars as pl
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        _WORD_RE, gopher_with_verdict)
+    from meilisearch_thai_ray.pipelines.training_data import (
+        NB_MIN_COUNT, nb_quality)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    lab = dict(zip(
+        docs["doc_id"],
+        gopher_with_verdict(pl.from_pandas(docs))["passes_gopher"],
+    ))
+    rx = re.compile(_WORD_RE)
+    cp, cf = collections.Counter(), collections.Counter()
+    toks = {}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        toks[d] = rx.findall(r.text)
+        (cp if lab[d] else cf).update(toks[d])
+    n_pass, n_fail = sum(cp.values()), sum(cf.values())
+    vocab = {w for w in (cp | cf)
+             if cp.get(w, 0) + cf.get(w, 0) >= NB_MIN_COUNT}
+    v = len(vocab) + 1
+    o_pass = n_pass - sum(cp[w] for w in vocab if w in cp)
+    o_fail = n_fail - sum(cf[w] for w in vocab if w in cf)
+    d_pass = sum(lab.values())
+    d_fail = len(lab) - d_pass
+    prior = np.log(d_pass + 1.0) - np.log(d_fail + 1.0)
+    per_tok = np.log(n_fail + v) - np.log(n_pass + v)
+    expect = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        s = sum(
+            np.log((cp.get(w, 0) if w in vocab else o_pass) + 1.0)
+            - np.log((cf.get(w, 0) if w in vocab else o_fail) + 1.0)
+            for w in ws)
+        expect[d] = (len(ws), round(float(s + len(ws) * per_tok + prior), 6))
+
+    out = nb_quality(SF).to_pandas()
+    got = {int(r.doc_id): (int(r.n_tokens), float(r.log_odds), bool(r.nb_pass))
+           for r in out.itertuples()}
+    assert got.keys() == expect.keys()
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
+        assert got[d][2] == (got[d][1] > 0)
+
+
+def test_nb_quality_learns_separable_labels(ray_session, tmp_path):
+    """On a corpus whose gopher verdict correlates with vocabulary, the
+    trained model reproduces the labels from token evidence alone."""
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        gopher_with_verdict)
+    from meilisearch_thai_ray.pipelines.training_data import nb_quality
+
+    stops = "the and of to be that have with"          # 8 stop words
+    good = [f"{stops} alpha beta gamma delta data value quality " * 5
+            + f"signal{i % 3}" for i in range(12)]     # ~54 words, passes
+    bad = [f"zz{i % 3} spamjunk noise blob" * 4 for i in range(12)]
+    sf = _write_docs(tmp_path, good + bad)
+
+    import polars as pl
+    lab = gopher_with_verdict(
+        pl.from_pandas(pd.read_parquet(f"{sf}/documents.parquet",
+                                       columns=["doc_id", "text"]))
+    )["passes_gopher"].to_list()
+    assert sum(lab[:12]) == 12 and sum(lab[12:]) == 0  # planted split holds
+
+    out = nb_quality(sf).to_pandas().sort_values("doc_id")
+    assert list(out["nb_pass"]) == lab                 # perfect imitation
+    # graded score: every good doc strictly above every bad doc
+    assert out["log_odds"][:12].min() > out["log_odds"][12:].max()
