@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
     from meilisearch_thai_ray.pipelines import training_data as td
+    from meilisearch_thai_ray.pipelines import web_graph as webg
     from meilisearch_thai_ray.pipelines import window_ops as wo
 
     return {
@@ -168,6 +169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k17_dsir_weights": td.dsir_weights,
         "k18_temperature_mix": td.temperature_mix,
         "m27_text_chunks": td.text_chunks,
+        # web link graph: planted integer-arithmetic links rendered into
+        # HTML -> kernel <a href> extraction -> host aggregation; the SQL
+        # oracle regenerates the planted structure arithmetically, so a
+        # hash match verifies the render -> extract round trip is exact
+        "w1_host_edges": webg.host_edges_query,
+        "w2_anchor_host_terms": webg.anchor_host_terms,
+        "w3_doc_authority": webg.doc_authority,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,
@@ -182,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: HITS hubs/authorities (iterative; numpy parity
         # pytest-asserted)
         "g2_purchase_hits": olap2.purchase_hits,
+        # rows-only: PageRank over the planted host link graph (iterative;
+        # numpy parity pytest-asserted — the host-edge INPUT is w1's
+        # SQL-verified table)
+        "g3_host_pagerank": webg.host_pagerank_query,
         "a10b_quantiles_approx": cs.quantiles_approx,
         # rows-only: KLL sketch quantiles (approximate; rank-error bound
         # vs exact numpy quantiles is pytest-asserted)
@@ -238,7 +250,8 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
     from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
+    from meilisearch_thai_ray.pipelines.web_graph import SQL as WEB_SQL
     from meilisearch_thai_ray.pipelines.window_ops import SQL as WINDOW_SQL
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
-            **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **WINDOW_SQL}
+            **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **WINDOW_SQL, **WEB_SQL}

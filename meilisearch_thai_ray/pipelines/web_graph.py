@@ -1,0 +1,231 @@
+"""Web link-graph queries: planted-link pages -> kernel extraction ->
+host edges / anchor aggregation / host PageRank / doc authority prior.
+
+The reference has no link analysis (its pages arrive as pre-extracted
+title/content — src/tokenizer/*); a web-scale engine needs the hyperlink
+family, so this module plants a DETERMINISTIC, integer-arithmetic link
+structure into rendered HTML (no RNG — every target derives from doc_id
+with *, +, % only) and verifies the full round trip against DuckDB: the
+SQL oracle recomputes the planted structure arithmetically, so a hash
+match proves render -> kernel extraction -> host aggregation is exact.
+
+Planted-link rules (shared verbatim by the SQL strings below):
+  page url    https://site{doc_id % 101}.example.th/p/{doc_id:08d}
+  out-degree  k = 2 + (doc_id * 7919) % 5              (2..6 links)
+  target      t_j = (doc_id * 1000003 + j * 524287) % 100000, j in [0,k)
+  dst host    site{t % 11} if j odd else site{t % 101}  (odd j skews
+              mass onto hosts 0..10 -> differentiated PageRank)
+  link path   /l/{t:08d}  (disjoint from /p/ -> a planted link can never
+              be a self-URL, so the kernel's self-link drop is inert here
+              and the SQL needs no equality carve-out)
+  anchor      w{t % 997}
+  href form   j%3==0 absolute+#fragment, j%3==1 absolute,
+              j%3==2 scheme-relative (//host/path)
+Each page also carries a mailto: link, an href-less <a name=...>, and a
+commented-out <a> — all dropped by kernel/links.py rules, all absent
+from the SQL, so the decoys are part of what the hash verifies.
+
+Scale shapes: link planting + extraction are per-page map_batches (HTML
+work is inherently per-doc); host edges and anchor counts combine per
+batch before ONE bounded groupby (hosts and anchors are categorical —
+the shuffle moves count rows, never HTML); PageRank runs on the
+sort-once exchange (stages/graph.py) at host cardinality.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..sources.documents import read_parquet_clean
+from ..stages.link_graph import (host_edges, host_pagerank, pages_to_links)
+
+N_HOSTS = 101  # page hosts site0..site100; odd-j links target site0..10
+
+
+def _planted_links(doc_id: int) -> list[tuple[int, int, int]]:
+    """[(j, t, dst_host_idx)] for one page — the ONE rule set (module
+    docstring); the SQL oracles restate it arithmetically."""
+    k = 2 + (doc_id * 7919) % 5
+    out = []
+    for j in range(k):
+        t = (doc_id * 1000003 + j * 524287) % 100000
+        dst = t % 11 if j % 2 == 1 else t % N_HOSTS
+        out.append((j, t, dst))
+    return out
+
+
+def _page_html(doc_id: int, title: str) -> bytes:
+    parts = [f"<html><head><title>{_html.escape(title)}</title></head>",
+             "<body><!-- <a href=\"https://decoy.example.th/x\">spam</a> -->",
+             f"<h1>{_html.escape(title)}</h1><p class=\"links\">"]
+    for j, t, dst in _planted_links(doc_id):
+        if j % 3 == 0:
+            href = f"https://site{dst}.example.th/l/{t:08d}#sec{j}"
+        elif j % 3 == 1:
+            href = f"https://site{dst}.example.th/l/{t:08d}"
+        else:
+            href = f"//site{dst}.example.th/l/{t:08d}"
+        parts.append(f"<a href=\"{href}\">w{t % 997}</a> ")
+    parts.append("<a href=\"mailto:ops@example.th\">mail</a>"
+                 "<a name=\"top\">anchorless</a></p></body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def _docs_to_linked_pages(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    return pa.table({
+        "url": pa.array(
+            [f"https://site{d % N_HOSTS}.example.th/p/{d:08d}"
+             for d in ids], pa.string()),
+        "html": pa.array([_page_html(d, f"doc {d}") for d in ids],
+                         pa.binary()),
+        "doc_id": batch["doc_id"],
+    })
+
+
+def _linked_pages(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(_docs_to_linked_pages, batch_format="pyarrow",
+                  batch_size=1024)
+
+
+def _links(sf_dir: str) -> ray.data.Dataset:
+    return _linked_pages(sf_dir).map_batches(
+        pages_to_links, batch_format="pyarrow", batch_size=256)
+
+
+def host_edges_query(sf_dir: str) -> ray.data.Dataset:
+    """W1 — weighted host-level link graph from planted-link pages
+    (render -> kernel extraction -> combiner partials -> ONE bounded
+    groupby). SQL-verified: the oracle regenerates the planted edges
+    arithmetically from the documents view."""
+    return host_edges(_links(sf_dir))
+
+
+def anchor_host_terms(sf_dir: str) -> ray.data.Dataset:
+    """W2 — anchor-text aggregation per destination host: (dst_host,
+    anchor, cnt) — the signal web search folds into the target page's
+    searchable fields (anchor text describes the TARGET). Combiner
+    partials + ONE bounded groupby; anchors never ride a shuffle as part
+    of HTML."""
+    from ..stages.url_filter import url_host
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = np.array([url_host(u) for u in batch["dst_url"].to_pylist()],
+                         dtype=object)
+        anchors = np.array(batch["anchor"].to_pylist(), dtype=object)
+        if not hosts.size:
+            return pa.table({"dst_host": pa.array([], pa.string()),
+                             "anchor": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        # a hostname cannot contain a space -> the joined key is an
+        # unambiguous (host, anchor) encoding; return_index points back
+        # at the original columns, so anchors are never re-parsed
+        pair = np.array([h + " " + a for h, a in zip(hosts, anchors)])
+        u, idx, c = np.unique(pair, return_index=True, return_counts=True)
+        return pa.table({
+            "dst_host": pa.array(hosts[idx], pa.string()),
+            "anchor": pa.array(anchors[idx], pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    return (_links(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["dst_host", "anchor"]).sum("cnt")
+            .map_batches(lambda b: pa.table({
+                "dst_host": b["dst_host"], "anchor": b["anchor"],
+                "cnt": b["sum(cnt)"]}), batch_format="pyarrow"))
+
+
+def doc_authority(sf_dir: str) -> ray.data.Dataset:
+    """W3 — in-link authority prior joined back onto documents: each
+    doc carries its host's total in-link weight (the non-iterative
+    authority signal; g3 is the PageRank refinement). The host->weight
+    map is host-cardinality and broadcast ONCE (ray.put), never
+    re-shipped per batch."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    in_w = (host_edges_query(sf_dir)
+            .groupby("dst_host").aggregate(Sum("w", alias_name="in_w")))
+    wmap_ref = _ray.put({r["dst_host"]: int(r["in_w"])
+                         for r in in_w.take_all()})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        wmap = _ray.get(wmap_ref)
+        ids = batch["doc_id"].to_pylist()
+        hosts = [f"site{d % N_HOSTS}.example.th" for d in ids]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "host": pa.array(hosts, pa.string()),
+            "in_w": pa.array([wmap.get(h, 0) for h in hosts], pa.int64()),
+        })
+
+    import os
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(attach, batch_format="pyarrow", batch_size=65536)
+
+
+def host_pagerank_query(sf_dir: str, n_iter: int = 5,
+                        damping: float = 0.85) -> ray.data.Dataset:
+    """G3 — PageRank over the planted host link graph (rows-only:
+    iterative, not SQL-expressible; numpy power-iteration parity is
+    pytest-asserted in test_link_graph.py). Hosts 0..10 absorb the odd-j
+    link mass, so the rank separates rather than collapsing to 1/n."""
+    return host_pagerank(host_edges_query(sf_dir), n_iter=n_iter,
+                         damping=damping)
+
+
+# The shared planted-link CTE: j unrolled via range(6) with the same
+# out-degree gate; every arithmetic term mirrors _planted_links verbatim.
+_LINKS_CTE = """
+WITH l AS (
+  SELECT d.doc_id,
+         r.j,
+         (d.doc_id * 1000003 + r.j * 524287) % 100000 AS t
+  FROM documents d, range(0, 6) r(j)
+  WHERE r.j < 2 + (d.doc_id * 7919) % 5
+), e AS (
+  SELECT 'site' || (doc_id % 101) || '.example.th' AS src_host,
+         'site' || (CASE WHEN j % 2 = 1 THEN t % 11
+                         ELSE t % 101 END) || '.example.th' AS dst_host,
+         'w' || (t % 997) AS anchor
+  FROM l
+)
+"""
+
+SQL: dict[str, str] = {
+    "w1_host_edges": _LINKS_CTE + """
+SELECT src_host, dst_host, count(*) AS w
+FROM e WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+""",
+    "w2_anchor_host_terms": _LINKS_CTE + """
+SELECT dst_host, anchor, count(*) AS cnt
+FROM e GROUP BY dst_host, anchor
+ORDER BY dst_host, anchor
+""",
+    "w3_doc_authority": _LINKS_CTE + """
+SELECT d.doc_id,
+       'site' || (d.doc_id % 101) || '.example.th' AS host,
+       coalesce(iw.in_w, 0) AS in_w
+FROM documents d
+LEFT JOIN (SELECT dst_host, count(*) AS in_w
+           FROM e WHERE src_host <> dst_host
+           GROUP BY dst_host) iw
+  ON iw.dst_host = 'site' || (d.doc_id % 101) || '.example.th'
+ORDER BY d.doc_id
+""",
+}
