@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import flagship
     from meilisearch_thai_ray.pipelines import olap
     from meilisearch_thai_ray.pipelines import olap2
+    from meilisearch_thai_ray.pipelines import olap3
     from meilisearch_thai_ray.pipelines import packing as pk
     from meilisearch_thai_ray.pipelines import simple_text as st
     from meilisearch_thai_ray.pipelines import training_data as td
@@ -99,6 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": olap.nation_volume,
         "q15_top_supplier": olap.top_supplier,
         "q17_small_qty_revenue": olap.small_qty_revenue,
+        # Q2/Q11/Q20 adapted: no partsupp table in the testdata, so the
+        # part<->supplier relation derives from lineitem (same derivation
+        # in the SQL oracle — the join/aggregate SHAPES are the TPC-H ones)
+        "q2_min_cost_supplier": olap3.min_cost_supplier,
+        "q11_important_parts": olap3.important_parts,
+        "q20_promo_suppliers": olap3.promo_suppliers,
         "q8_market_share": olap2.market_share,
         "q9_profit_by_nation": olap2.profit_by_nation,
         "q12_priority_by_status": olap2.priority_by_status,
@@ -247,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.olap import SQL as OLAP_SQL
     from meilisearch_thai_ray.pipelines.olap2 import SQL as OLAP2_SQL
+    from meilisearch_thai_ray.pipelines.olap3 import SQL as OLAP3_SQL
     from meilisearch_thai_ray.pipelines.packing import SQL as PACK_SQL
     from meilisearch_thai_ray.pipelines.simple_text import SQL
     from meilisearch_thai_ray.pipelines.training_data import SQL as TRAIN_SQL
@@ -254,4 +262,5 @@ def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.window_ops import SQL as WINDOW_SQL
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
-            **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **WINDOW_SQL, **WEB_SQL}
+            **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **OLAP3_SQL,
+            **WINDOW_SQL, **WEB_SQL}
