@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_host_edges": webg.host_edges_query,
         "w2_anchor_host_terms": webg.anchor_host_terms,
         "w3_doc_authority": webg.doc_authority,
+        "w4_robots_filter": webg.robots_filter,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

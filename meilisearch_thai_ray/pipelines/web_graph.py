@@ -187,6 +187,78 @@ def host_pagerank_query(sf_dir: str, n_iter: int = 5,
                          damping=damping)
 
 
+ROBOTS_AGENT = "graftbot"
+
+
+def _planted_robots(h: int) -> str:
+    """robots.txt text for host index h — four arithmetic rule families
+    chosen to exercise every REP decision path (agent-group precedence,
+    longest-match, Allow-wins-ties, * and $ wildcards), plus decoys
+    (comments, an otherbot group, Crawl-delay/Sitemap directives) the
+    parser must ignore. The SQL oracle restates the resulting
+    ALLOW/DENY decision for /p/ paths as a CASE over the same
+    arithmetic (module docstring rules; decision table in the w4 SQL)."""
+    parts = ["# planted robots for site%d\n" % h,
+             "User-agent: otherbot\nDisallow: /\n\n",
+             "Sitemap: https://site%d.example.th/sitemap.xml\n" % h]
+    if h % 5 == 2:
+        parts.append(f"User-agent: {ROBOTS_AGENT}\nAllow: /\n\n")
+    if h % 3 == 0:
+        parts.append("User-agent: *\nDisallow: /p/\nCrawl-delay: 2\n\n")
+    if h % 4 == 1:
+        parts.append("User-agent: *\nDisallow: /\nAllow: /p/\n\n")
+    if h % 7 == 3:
+        parts.append("User-agent: *\nDisallow: /p/*4$\n\n")
+    return "".join(parts)
+
+
+def robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """W4 — robots-gated page set: planted per-host robots.txt rendered
+    as REAL text, parsed by kernel/robots.py (RFC 9309 longest-match
+    semantics), applied by the broadcast `RobotsGate` stage; the SQL
+    oracle recomputes the planted decisions arithmetically, so a hash
+    match verifies the render -> parse -> decide round trip.
+
+    Scale shape: the robots map is host-cardinality (broadcast ONCE,
+    parsed once per worker in RobotsGate.__init__); the page scan is a
+    streaming filter — no shuffle at all."""
+    import ray as _ray
+
+    from ..stages.url_filter import RobotsGate, url_host
+
+    robots_ref = _ray.put({f"site{h}.example.th": _planted_robots(h)
+                           for h in range(N_HOSTS)})
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "host": pa.array([url_host(u)
+                              for u in batch["url"].to_pylist()],
+                             pa.string()),
+        })
+
+    import os
+
+    def urls_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"https://site{d % N_HOSTS}.example.th/p/{d:08d}"
+                 for d in ids], pa.string()),
+            "doc_id": batch["doc_id"],
+        })
+
+    return (read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+            .map_batches(urls_only, batch_format="pyarrow",
+                         batch_size=65536)
+            .map_batches(RobotsGate, batch_format="pyarrow",
+                         batch_size=4096,
+                         fn_constructor_args=(robots_ref, ROBOTS_AGENT),
+                         concurrency=4)
+            .map_batches(emit, batch_format="pyarrow", batch_size=65536))
+
+
 # The shared planted-link CTE: j unrolled via range(6) with the same
 # out-degree gate; every arithmetic term mirrors _planted_links verbatim.
 _LINKS_CTE = """
@@ -216,6 +288,22 @@ ORDER BY src_host, dst_host
 SELECT dst_host, anchor, count(*) AS cnt
 FROM e GROUP BY dst_host, anchor
 ORDER BY dst_host, anchor
+""",
+    # the REP decision table for /p/ paths under _planted_robots, in
+    # kernel precedence order: agent-specific group wins outright; then
+    # the longest star rule ('/p/*4$', len 7) -> deny; then Allow '/p/'
+    # (len 3, ties-and-beats Disallow '/p/' and beats Disallow '/');
+    # then Disallow '/p/'; default allow
+    "w4_robots_filter": """
+SELECT doc_id,
+       'site' || (doc_id % 101) || '.example.th' AS host
+FROM documents
+WHERE CASE WHEN (doc_id % 101) % 5 = 2 THEN TRUE
+           WHEN (doc_id % 101) % 7 = 3 AND doc_id % 10 = 4 THEN FALSE
+           WHEN (doc_id % 101) % 4 = 1 THEN TRUE
+           WHEN (doc_id % 101) % 3 = 0 THEN FALSE
+           ELSE TRUE END
+ORDER BY doc_id
 """,
     "w3_doc_authority": _LINKS_CTE + """
 SELECT d.doc_id,

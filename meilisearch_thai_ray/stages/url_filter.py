@@ -160,3 +160,28 @@ def dedup_canonical_urls(pages, rules: HostRules | None = None):
     return semi_id_filter(
         cleaned, winners.map_batches(id_col, batch_format="pyarrow"),
         id_col="url_h")
+
+
+class RobotsGate:
+    """map_batches stage: drop page rows whose path the host's robots.txt
+    disallows for `agent` (kernel/robots.py, RFC 9309 longest-match
+    semantics). The host -> robots.txt text map is host-cardinality and
+    rides ONE ray.put broadcast; each actor/worker process parses and
+    compiles the rules ONCE in __init__ — batches only pay a dict lookup
+    plus compiled-regex matches. Hosts absent from the map are allowed
+    (the fetch-failed convention RFC 9309 §2.3.1.4 prescribes for 4xx)."""
+
+    def __init__(self, robots_ref, agent: str):
+        from ..kernel.robots import parse_robots
+
+        robots = (ray.get(robots_ref)
+                  if isinstance(robots_ref, ray.ObjectRef) else robots_ref)
+        self.rules = {h: parse_robots(t, agent) for h, t in robots.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        keep = np.zeros(len(urls), bool)
+        for i, u in enumerate(urls):
+            r = self.rules.get(url_host(u))
+            keep[i] = r is None or r.allowed(urlsplit(u).path or "/")
+        return batch.filter(pa.array(keep))
