@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_anchor_host_terms": webg.anchor_host_terms,
         "w3_doc_authority": webg.doc_authority,
         "w4_robots_filter": webg.robots_filter,
+        "w5_sitemap_urls": webg.sitemap_urls,
+        "w6_crawl_frontier": webg.crawl_frontier,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

@@ -187,6 +187,131 @@ def host_pagerank_query(sf_dir: str, n_iter: int = 5,
                          damping=damping)
 
 
+FRONTIER_PER_HOST = 3  # binds at the test scales (~5 docs/host)
+
+
+def crawl_frontier(sf_dir: str, per_host: int = FRONTIER_PER_HOST
+                   ) -> pa.Table:
+    """W6 — politeness-aware crawl-frontier schedule: cap each host at
+    `per_host` candidates (top priority), then interleave hosts
+    round-robin by within-host rank so no host is fetched twice before
+    every host's next-best candidate (the standard frontier shape —
+    per-host queues drained breadth-first).
+
+    Scale shape: a per-batch vectorized partial top-B per host (lexsort
+    + run-position scan keeps <= B rows per host PER BATCH — the only
+    rows that can survive the final cut) -> ONE groupby(host) over
+    host-cardinality-bounded survivors -> the interleave runs on the
+    driver over <= hosts x B rows. Priority is planted arithmetically
+    ((doc_id * 31) % 100) so the schedule is SQL-expressible as two
+    window functions."""
+    import os
+
+    def partial_topb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        host = ids % N_HOSTS
+        prio = (ids * 31) % 100
+        order = np.lexsort((ids, -prio, host))
+        h = host[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        pos = np.arange(h.size) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [h.size]))))
+        keep = order[pos < per_host]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "host_idx": pa.array(host[keep], pa.int64()),
+            "priority": pa.array(prio[keep], pa.int64()),
+        })
+
+    def final_topb(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        prio = group["priority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -prio))[:per_host]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "host_idx": group["host_idx"].take(pa.array(order)),
+            "priority": pa.array(prio[order], pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        })
+
+    rows = (read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(partial_topb, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("host_idx")
+        .map_groups(final_topb, batch_format="pyarrow")
+        .take_all())
+    rows.sort(key=lambda r: (r["rank"], -r["priority"], r["doc_id"]))
+    return pa.table({
+        "fetch_pos": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "host": pa.array([f"site{r['host_idx']}.example.th" for r in rows],
+                         pa.string()),
+        "priority": pa.array([r["priority"] for r in rows], pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+    })
+
+
+def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
+    """W5 — distributed sitemap render -> parse round trip: each host's
+    page list renders as a REAL sitemaps.org <urlset> XML (lastmod and
+    priority planted arithmetically from doc_id), then kernel/sitemap.py
+    parses the XML back to (url, lastmod, priority) rows; the SQL oracle
+    regenerates the same rows arithmetically, so a hash match proves the
+    render -> parse cycle is lossless.
+
+    Scale shape: ONE groupby(host) whose groups are bounded BY PROTOCOL
+    (a sitemap file caps at 50k urls — oversized hosts must shard into a
+    sitemapindex, which parse_sitemap also reads); parsing is a
+    stateless per-batch flat map."""
+    import datetime
+    import os
+
+    from ..kernel.sitemap import parse_sitemap, render_sitemap
+
+    epoch = datetime.date(1995, 1, 1)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "host_idx": pa.array([d % N_HOSTS for d in ids], pa.int64()),
+            "doc_id": batch["doc_id"],
+        })
+
+    def render_group(group: pa.Table) -> pa.Table:
+        h = group["host_idx"][0].as_py()
+        ids = sorted(group["doc_id"].to_pylist())
+        entries = [
+            (f"https://site{h}.example.th/p/{d:08d}",
+             (epoch + datetime.timedelta(days=d % 1000)).isoformat(),
+             (d % 10 + 1) / 10.0)
+            for d in ids]
+        return pa.table({"xml": pa.array([render_sitemap(entries)],
+                                         pa.string())})
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        urls, mods, prios = [], [], []
+        for xml in batch["xml"].to_pylist():
+            kind, rows = parse_sitemap(xml)
+            assert kind == "urlset"
+            for loc, lastmod, prio in rows:
+                urls.append(loc)
+                mods.append(lastmod)
+                prios.append(prio)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "lastmod": pa.array(mods, pa.string()),
+            "priority": pa.array(prios, pa.float64()),
+        })
+
+    return (read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+        .groupby("host_idx")
+        .map_groups(render_group, batch_format="pyarrow")
+        .map_batches(parse_batch, batch_format="pyarrow", batch_size=32))
+
+
 ROBOTS_AGENT = "graftbot"
 
 
@@ -288,6 +413,33 @@ ORDER BY src_host, dst_host
 SELECT dst_host, anchor, count(*) AS cnt
 FROM e GROUP BY dst_host, anchor
 ORDER BY dst_host, anchor
+""",
+    "w6_crawl_frontier": f"""
+WITH c AS (
+  SELECT doc_id,
+         'site' || (doc_id % 101) || '.example.th' AS host,
+         (doc_id * 31) % 100 AS priority
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, doc_id) AS rank
+  FROM c
+)
+SELECT CAST(row_number() OVER (ORDER BY rank, priority DESC, doc_id)
+            AS BIGINT) AS fetch_pos,
+       doc_id, host, CAST(priority AS BIGINT) AS priority,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {FRONTIER_PER_HOST}
+ORDER BY fetch_pos
+""",
+    "w5_sitemap_urls": """
+SELECT 'https://site' || (doc_id % 101) || '.example.th/p/' ||
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       strftime(CAST(DATE '1995-01-01' + (doc_id % 1000) * INTERVAL 1 DAY
+                     AS DATE), '%Y-%m-%d') AS lastmod,
+       (doc_id % 10 + 1) / 10.0 AS priority
+FROM documents
+ORDER BY url
 """,
     # the REP decision table for /p/ paths under _planted_robots, in
     # kernel precedence order: agent-specific group wins outright; then

@@ -1,0 +1,82 @@
+"""Sitemap XML parsing (kernel/sitemap.py) and the crawl-frontier
+schedule (pipelines/web_graph.py w5/w6)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from meilisearch_thai_ray.kernel.sitemap import parse_sitemap, render_sitemap
+from meilisearch_thai_ray.pipelines import web_graph as wg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_urlset_round_trip():
+    entries = [("https://a.th/p?x=1&y=2", "1999-02-03", 0.5),
+               ("https://a.th/q", "", float("nan")),
+               ("https://a.th/r", "2001-12-31", 1.0)]
+    kind, got = parse_sitemap(render_sitemap(entries))
+    assert kind == "urlset"
+    assert [(u, m) for u, m, _ in got] == [(u, m) for u, m, _ in entries]
+    assert got[0][2] == 0.5 and math.isnan(got[1][2]) and got[2][2] == 1.0
+
+
+def test_entities_cdata_and_missing_loc():
+    xml = ("""<urlset><url><loc>https://a.th/p?a=1&amp;b=2</loc></url>
+    <url><loc><![CDATA[https://a.th/raw?c=1&d=2]]></loc></url>
+    <url><lastmod>2000-01-01</lastmod></url>
+    <url><loc>  https://a.th/ws  </loc><priority>bogus</priority></url>
+    </urlset>""")
+    kind, rows = parse_sitemap(xml)
+    assert kind == "urlset"
+    assert [r[0] for r in rows] == ["https://a.th/p?a=1&b=2",
+                                    "https://a.th/raw?c=1&d=2",
+                                    "https://a.th/ws"]
+    assert math.isnan(rows[2][2])
+
+
+def test_sitemapindex():
+    xml = ("""<sitemapindex xmlns="http://x">
+    <sitemap><loc>https://a.th/s1.xml</loc><lastmod>2001-01-01</lastmod></sitemap>
+    <sitemap><loc>https://a.th/s2.xml</loc></sitemap></sitemapindex>""")
+    kind, rows = parse_sitemap(xml.encode())
+    assert kind == "index"
+    assert [r[0] for r in rows] == ["https://a.th/s1.xml",
+                                    "https://a.th/s2.xml"]
+
+
+def test_frontier_politeness_invariants(ray_session):
+    out = wg.crawl_frontier(SF).to_pandas()
+    # per-host cap holds
+    assert out.groupby("host").size().max() <= wg.FRONTIER_PER_HOST
+    # within a host, ranks are 1..n with strictly falling (priority, -doc)
+    for _, g in out.groupby("host"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        keys = list(zip(-g["priority"], g["doc_id"]))
+        assert keys == sorted(keys)
+    # round-robin: every rank-1 fetch precedes every rank-3 fetch of
+    # hosts that have 3 candidates... globally ranks are non-decreasing
+    assert list(out.sort_values("fetch_pos")["rank"]) == \
+        sorted(out["rank"].tolist())
+
+
+def test_frontier_matches_python_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    per_host: dict[int, list[tuple[int, int]]] = {}
+    for d in ids:
+        per_host.setdefault(d % wg.N_HOSTS, []).append(((d * 31) % 100, d))
+    sched = []
+    for h, cands in per_host.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (p, d) in enumerate(cands[:wg.FRONTIER_PER_HOST], 1):
+            sched.append((rank, -p, d, h))
+    sched.sort()
+    got = wg.crawl_frontier(SF).to_pandas().sort_values("fetch_pos")
+    assert list(got["doc_id"]) == [d for _, _, d, _ in sched]
+    assert list(got["rank"]) == [r for r, _, _, _ in sched]
