@@ -187,6 +187,151 @@ def host_pagerank_query(sf_dir: str, n_iter: int = 5,
                          damping=damping)
 
 
+ANCHOR_CAP = 16  # first N distinct anchors per target (hot-page bound)
+
+
+def _enrich_page_html(d: int, n_docs: int) -> bytes:
+    """Page d's HTML whose links point at REAL pages of the same corpus:
+    j < 1 + (d*13)%3 links, target (d*53 + j*17 + 1) % n_docs, anchor
+    a{(d*11)%499} (describes the SOURCE — anchor text is the linker's
+    words about the target). A link that resolves to d itself is the
+    kernel's self-link case (dropped; the SQL excludes tgt = src)."""
+    parts = [f"<html><head><title>d{d}</title></head><body>"]
+    k = 1 + (d * 13) % 3
+    for j in range(k):
+        tgt = (d * 53 + j * 17 + 1) % n_docs
+        href = f"https://site{tgt % N_HOSTS}.example.th/p/{tgt:08d}"
+        parts.append(f'<a href="{href}">a{(d * 11) % 499}</a> ')
+    parts.append('<a href="mailto:x@example.th">m</a></body></html>')
+    return "".join(parts).encode("utf-8")
+
+
+def anchor_enrich(sf_dir: str, cap: int = ANCHOR_CAP) -> pa.Table:
+    """W7 — anchor-text enrichment join: aggregate what OTHER pages say
+    about each page (first `cap` distinct in-link anchors, sorted) onto
+    the target's doc_id — the field web search indexes alongside the
+    page's own text (BM25F's anchor stream). Planted arithmetic links to
+    REAL pages keep it SQL-verifiable end to end (render -> kernel
+    extraction -> keys-only aggregation).
+
+    Scale shape: anchors ride as (tgt:int64, anchor) KEY rows — never
+    attached to HTML; ONE sort by (tgt, anchor) makes duplicates
+    adjacent (dedup inline) and runs contiguous; interior runs resolve
+    with Arrow's C++ grouped list-join per block; only each block's
+    first/last runs (<= 2*cap rows per block after capping) merge on the
+    driver — the a22_event_paths contract. Per-target state is bounded
+    by `cap`, so a hot page (huge in-degree) cannot blow up a task."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"https://site{d % N_HOSTS}.example.th/p/{d:08d}"
+                 for d in ids], pa.string()),
+            "html": pa.array([_enrich_page_html(d, n_docs) for d in ids],
+                             pa.binary()),
+        })
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tgt = [int(u[-8:]) for u in batch["dst_url"].to_pylist()]
+        return pa.table({
+            "tgt": pa.array(tgt, pa.int64()),
+            "anchor": batch["anchor"],
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (t.group_by("tgt", use_threads=False)
+             .aggregate([("anchor", "list"), ("anchor", "count")]))
+        return pa.table({
+            "doc_id": g["tgt"].cast(pa.int64()),
+            "anchors": pc.binary_join(
+                g["anchor_list"].cast(pa.list_(pa.string())), " "),
+            "n_anchors": g["anchor_count"].cast(pa.int64())})
+
+    def block_agg(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "partial": pa.array([], pa.bool_()),
+            "tgt": pa.array([], pa.int64()),
+            "anchor": pa.array([], pa.string()),
+            "anchors": pa.array([], pa.string()),
+            "n_anchors": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        t = batch["tgt"].to_numpy(zero_copy_only=False)
+        a = np.array(batch["anchor"].to_pylist(), dtype=object)
+        keep = np.r_[True, (t[1:] != t[:-1]) | (a[1:] != a[:-1])]
+        batch = batch.filter(pa.array(keep))
+        t = t[keep]
+        new = np.r_[True, t[1:] != t[:-1]]
+        rid = np.cumsum(new) - 1
+        pos = np.arange(t.size) - np.flatnonzero(new)[rid]
+        edge = (rid == 0) | (rid == rid[-1])
+        capped = pos < cap
+        fin = finish(batch.filter(pa.array(~edge & capped)))
+        n = fin.num_rows
+        inter = pa.table({
+            "partial": pa.array(np.zeros(n, bool)),
+            "tgt": fin["doc_id"],
+            "anchor": pa.array([""] * n, pa.string()),
+            "anchors": fin["anchors"],
+            "n_anchors": fin["n_anchors"]})
+        raw = batch.filter(pa.array(edge & capped))
+        rawt = pa.table({
+            "partial": pa.array(np.ones(raw.num_rows, bool)),
+            "tgt": raw["tgt"],
+            "anchor": raw["anchor"],
+            "anchors": pa.array([""] * raw.num_rows, pa.string()),
+            "n_anchors": pa.array(np.zeros(raw.num_rows, np.int64))})
+        return pa.concat_tables([inter, rawt])
+
+    links = (read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(render, batch_format="pyarrow", batch_size=1024)
+        .map_batches(pages_to_links, batch_format="pyarrow", batch_size=256)
+        .map_batches(pairs, batch_format="pyarrow", batch_size=65536))
+    seg = (links.sort(["tgt", "anchor"])
+           .map_batches(block_agg, batch_format="pyarrow", batch_size=None))
+    done: list[pa.Table] = []
+    bound: list[pa.Table] = []
+    for b in seg.iter_batches(batch_format="pyarrow"):
+        it = b.filter(pc.invert(b["partial"]))
+        if it.num_rows:
+            done.append(it.select(["tgt", "anchors", "n_anchors"])
+                        .rename_columns(["doc_id", "anchors", "n_anchors"]))
+        bb = b.filter(b["partial"])
+        if bb.num_rows:
+            bound.append(bb.select(["tgt", "anchor"]))
+    if bound:  # <= 2*cap rows per block: bounded driver merge
+        bt = pa.concat_tables(bound)
+        t = bt["tgt"].to_numpy(zero_copy_only=False)
+        a = np.array(bt["anchor"].to_pylist(), dtype=object)
+        order = np.lexsort((a, t))
+        t, a = t[order], a[order]
+        keep = np.r_[True, (t[1:] != t[:-1]) | (a[1:] != a[:-1])]
+        t, a = t[keep], a[keep]
+        new = np.r_[True, t[1:] != t[:-1]]
+        rid = np.cumsum(new) - 1
+        pos = np.arange(t.size) - np.flatnonzero(new)[rid]
+        m = pos < cap
+        done.append(finish(pa.table({
+            "tgt": pa.array(t[m], pa.int64()),
+            "anchor": pa.array(a[m], pa.string())})))
+    out = pa.concat_tables(done) if done else pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "anchors": pa.array([], pa.string()),
+        "n_anchors": pa.array([], pa.int64())})
+    order = np.argsort(out["doc_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    return out.take(pa.array(order))
+
+
 FRONTIER_PER_HOST = 3  # binds at the test scales (~5 docs/host)
 
 
@@ -413,6 +558,27 @@ ORDER BY src_host, dst_host
 SELECT dst_host, anchor, count(*) AS cnt
 FROM e GROUP BY dst_host, anchor
 ORDER BY dst_host, anchor
+""",
+    "w7_anchor_enrich": f"""
+WITH l AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 53 + r.j * 17 + 1) %
+             (SELECT count(*) FROM documents) AS tgt
+  FROM documents d, range(0, 3) r(j)
+  WHERE r.j < 1 + (d.doc_id * 13) % 3
+), e AS (
+  SELECT DISTINCT tgt, 'a' || ((src * 11) % 499) AS anchor
+  FROM l WHERE tgt <> src
+), c AS (
+  SELECT tgt, anchor,
+         row_number() OVER (PARTITION BY tgt ORDER BY anchor) AS rn
+  FROM e
+)
+SELECT CAST(tgt AS BIGINT) AS doc_id,
+       string_agg(anchor, ' ' ORDER BY anchor) AS anchors,
+       CAST(count(*) AS BIGINT) AS n_anchors
+FROM c WHERE rn <= {ANCHOR_CAP}
+GROUP BY tgt ORDER BY doc_id
 """,
     "w6_crawl_frontier": f"""
 WITH c AS (
