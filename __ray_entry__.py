@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_sitemap_urls": webg.sitemap_urls,
         "w6_crawl_frontier": webg.crawl_frontier,
         "w7_anchor_enrich": webg.anchor_enrich,
+        "w8_main_content": webg.main_content,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

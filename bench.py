@@ -178,7 +178,11 @@ def run_bench() -> dict:
                  "q7_nation_volume", "k17_dsir_weights", "ann_pq_topk",
                  "q8_market_share", "q21_last_shipper", "a22_event_paths",
                  "a23_cohort_retention", "a25_percent_rank",
-                 "j16_grouped_mode"]:
+                 "j16_grouped_mode",
+                 "q2_min_cost_supplier", "q11_important_parts",
+                 "q20_promo_suppliers", "w1_host_edges",
+                 "w4_robots_filter", "w6_crawl_frontier",
+                 "w7_anchor_enrich", "g3_host_pagerank"]:
         fn = qs[name]
         # min-of-N per query: this shared box shows sporadic 2-10x stalls on
         # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s

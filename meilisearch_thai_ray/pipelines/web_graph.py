@@ -187,6 +187,54 @@ def host_pagerank_query(sf_dir: str, n_iter: int = 5,
                          damping=damping)
 
 
+def main_content(sf_dir: str) -> ray.data.Dataset:
+    """W8 — boilerplate removal round trip: each document's text renders
+    into a REALISTICALLY noisy page (head+title, <header> chrome with
+    the h1, a <nav> link list, the body as one <p> per line, a pure-link
+    "related" div, an <aside> link farm, a <footer>) and
+    kernel/boilerplate.py must recover EXACTLY the planted body — the
+    SQL oracle is simply `SELECT doc_id, text FROM documents`, so the
+    hash match proves chrome removal + link-density filtering drop ALL
+    the junk and NONE of the prose.
+
+    Scale shape: render and extract are stateless per-batch maps (HTML
+    work is per-doc); nothing shuffles."""
+    import os
+
+    from ..kernel.boilerplate import extract_main_text
+
+    def render_and_extract(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, text in zip(batch["doc_id"].to_pylist(),
+                           batch["text"].to_pylist()):
+            body = "".join(f"<p>{_html.escape(ln)}</p>"
+                           for ln in text.split("\n"))
+            nav = "".join(f'<a href="/s/{i}">sec {i}</a>'
+                          for i in range(1 + d % 4))
+            farm = "".join(f'<a href="/l/{(d + i) % 97}">w{(d + i) % 97}'
+                           f'</a>' for i in range(3))
+            page = (f"<html><head><title>doc {d}</title>"
+                    f'<style>p {{margin:0}}</style></head>'
+                    f"<body><header><h1>doc {d}</h1><nav>{nav}</nav>"
+                    f"</header><!-- chrome ends -->"
+                    f"<article>{body}</article>"
+                    f'<div class="related">{farm}</div>'
+                    f"<aside>{farm}</aside>"
+                    f"<footer><a href=\"/about\">about</a> · "
+                    f"<a href=\"/tos\">terms</a></footer></body></html>")
+            out.append(extract_main_text(page.encode("utf-8")))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "main_text": pa.array(out, pa.string()),
+        })
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(render_and_extract, batch_format="pyarrow",
+                  batch_size=1024)
+
+
 ANCHOR_CAP = 16  # first N distinct anchors per target (hot-page bound)
 
 
@@ -558,6 +606,9 @@ ORDER BY src_host, dst_host
 SELECT dst_host, anchor, count(*) AS cnt
 FROM e GROUP BY dst_host, anchor
 ORDER BY dst_host, anchor
+""",
+    "w8_main_content": """
+SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id
 """,
     "w7_anchor_enrich": f"""
 WITH l AS (
