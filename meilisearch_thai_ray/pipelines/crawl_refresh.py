@@ -71,6 +71,8 @@ def refresh_index_from_archive(index_dir: str, archive_path: str,
                                mh_index_dir: str, work_dir: str, *,
                                record_types: tuple = ("response",),
                                rules: HostRules | None = None,
+                               robots_map: dict[str, str] | None = None,
+                               robots_agent: str = "graftbot",
                                threshold: float = 0.8,
                                preset: str = "strict",
                                config: EngineConfig | None = None,
@@ -98,6 +100,15 @@ def refresh_index_from_archive(index_dir: str, archive_path: str,
 
     pages = read_warc_pages(archive_path, record_types=record_types)
     deduped = dedup_canonical_urls(pages, rules or HostRules())
+    if robots_map:  # politeness gate BEFORE extraction spend (host ->
+        # robots.txt text; RFC 9309 semantics, parsed once per worker;
+        # pages_after_url_dedup below counts the post-robots survivors)
+        from ..stages.url_filter import RobotsGate
+
+        deduped = deduped.map_batches(
+            RobotsGate, batch_format="pyarrow", batch_size=4096,
+            fn_constructor_args=(ray.put(robots_map), robots_agent),
+            concurrency=2)
     pages_dir = os.path.join(work_dir, "pages")
     if not (os.path.isdir(pages_dir) and os.listdir(pages_dir)):
         deduped.drop_columns(["canon_url", "host", "url_h"]).write_parquet(

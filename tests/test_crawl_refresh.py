@@ -119,3 +119,28 @@ def test_second_crawl_dedups_against_absorbed_state(base):
     assert not any(
         d == doc_id_from_url("https://c.ex/fresh_recrawl")
         for d, _ in ge.score_topk(["plutonium"], k=10))
+
+
+def test_robots_gate_in_composite(base, tmp_path):
+    """A robots.txt that disallows one host's section drops its pages
+    BEFORE extraction; allowed hosts flow through untouched."""
+    root, idx, mh, corpus = base
+    recs = [
+        ("https://blocked.ex/p/one", _text(700)),
+        ("https://blocked.ex/p/two", _text(701)),
+        ("https://open.ex/p/three", _text(702) + " dysprosium"),
+    ]
+    arch = tmp_path / "crawl_rb"
+    arch.mkdir()
+    (arch / "c.warc.gz").write_bytes(gzip.compress(_warc(recs)))
+
+    robots = {"blocked.ex": "User-agent: *\nDisallow: /p/\n",
+              "open.ex": "User-agent: *\nDisallow: /private/\n"}
+    m = refresh_index_from_archive(
+        idx, str(arch), mh, str(tmp_path / "work_rb"),
+        robots_map=robots, threshold=0.8)
+    assert m["pages_after_url_dedup"] == 1   # only open.ex survives
+    assert m["accepted"] == 1
+    ge = GenerationalEngine(idx)
+    hits = ge.score_topk(["dysprosium"], k=5)
+    assert hits and hits[0][0] == doc_id_from_url("https://open.ex/p/three")
