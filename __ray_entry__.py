@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w6_crawl_frontier": webg.crawl_frontier,
         "w7_anchor_enrich": webg.anchor_enrich,
         "w8_main_content": webg.main_content,
+        "w9_host_reputation": webg.host_reputation,
         # --- rows-only (not SQL-expressible) ---
         "m24_bpe_merges": td.bpe_merges,
         "a9_hll_distinct": cs.hll_distinct_users,

@@ -187,6 +187,67 @@ def host_pagerank_query(sf_dir: str, n_iter: int = 5,
                          damping=damping)
 
 
+REPUTATION_BLOCK_NUM = 3  # blocked iff pass_rate < 3/10
+_REP_LANE = 1 << 32
+
+
+def host_reputation(sf_dir: str) -> pa.Table:
+    """W9 — host-level reputation from document quality (the
+    RefinedWeb-style aggregation that turns per-doc filters into a host
+    blocklist consumable by `stages/url_filter.HostRules`): per host,
+    doc count, Gopher-pass count (the ONE shared rule impl,
+    corpus_stats.gopher_with_verdict), pass rate, and a blocked verdict
+    decided in INTEGER arithmetic (n_pass * 10 < 3 * n_docs) so Ray and
+    SQL agree exactly.
+
+    Scale shape: per-batch combiner packs (n_pass, n_docs) per host into
+    disjoint int64 lanes (both counts << 2^31 per partial — carry-free,
+    the q20 convention) so BOTH sums ride ONE sum_by_int_key combine at
+    host cardinality; text never leaves its scan task."""
+    import os
+
+    import polars as pl
+
+    from ..stages.runs import sum_by_int_key
+    from .corpus_stats import gopher_with_verdict
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = gopher_with_verdict(pl.from_arrow(batch))
+        ids = df["doc_id"].to_numpy()
+        passes = df["passes_gopher"].to_numpy().astype(np.int64)
+        host = (ids % N_HOSTS).astype(np.int64)
+        u, inv = np.unique(host, return_inverse=True)
+        packed = passes * _REP_LANE + 1
+        return pa.table({
+            "host_idx": pa.array(u, pa.int64()),
+            "packed": pa.array(np.bincount(
+                inv, weights=packed).astype(np.int64), pa.int64()),
+        })
+
+    combined = sum_by_int_key(
+        read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        "host_idx", "packed", out_col="packed_sum").take_all()
+    combined.sort(key=lambda r: r["host_idx"])
+    hosts, nd, npass, rate, blocked = [], [], [], [], []
+    for r in combined:
+        p, n = divmod(int(r["packed_sum"]), _REP_LANE)
+        hosts.append(f"site{int(r['host_idx'])}.example.th")
+        nd.append(n)
+        npass.append(p)
+        rate.append(round(p / n, 6))
+        blocked.append(p * 10 < REPUTATION_BLOCK_NUM * n)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_pass": pa.array(npass, pa.int64()),
+        "pass_rate": pa.array(rate, pa.float64()),
+        "blocked": pa.array(blocked, pa.bool_()),
+    })
+
+
 def main_content(sf_dir: str) -> ray.data.Dataset:
     """W8 — boilerplate removal round trip: each document's text renders
     into a REALISTICALLY noisy page (head+title, <header> chrome with
@@ -686,3 +747,22 @@ LEFT JOIN (SELECT dst_host, count(*) AS in_w
 ORDER BY d.doc_id
 """,
 }
+
+
+# w9 composes the m26 Gopher SQL as a subquery (the m30 convention) so the
+# label rule lives in exactly ONE SQL string too.
+from .corpus_stats import SQL as _STATS_SQL  # noqa: E402
+
+SQL["w9_host_reputation"] = f"""
+SELECT 'site' || (doc_id % 101) || '.example.th' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       round(sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS pass_rate,
+       (sum(CASE WHEN passes_gopher THEN 1 ELSE 0 END) * 10
+        < {REPUTATION_BLOCK_NUM} * count(*)) AS blocked
+FROM ({_STATS_SQL["m26_gopher_rules"]})
+GROUP BY doc_id % 101
+ORDER BY host
+"""

@@ -80,3 +80,25 @@ def test_frontier_matches_python_oracle(ray_session):
     got = wg.crawl_frontier(SF).to_pandas().sort_values("fetch_pos")
     assert list(got["doc_id"]) == [d for _, _, d, _ in sched]
     assert list(got["rank"]) == [r for r, _, _, _ in sched]
+
+
+def test_host_reputation_matches_python_oracle(ray_session):
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.corpus_stats import (
+        gopher_with_verdict)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = gopher_with_verdict(pl.from_arrow(docs))
+    per_host: dict[int, list[int]] = {}
+    for d, p in zip(df["doc_id"], df["passes_gopher"]):
+        per_host.setdefault(int(d) % wg.N_HOSTS, []).append(int(p))
+    got = wg.host_reputation(SF).to_pandas().set_index("host")
+    assert len(got) == len(per_host)
+    for h, ps in per_host.items():
+        row = got.loc[f"site{h}.example.th"]
+        assert row["n_docs"] == len(ps) and row["n_pass"] == sum(ps)
+        assert row["blocked"] == (sum(ps) * 10
+                                  < wg.REPUTATION_BLOCK_NUM * len(ps))
