@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a4_events_hourly": st.events_hourly,
         "a7_sessionize": st.sessionize,
         "k4_suggest": st.suggest_terms,
+        "k21_geo_radius": st.geo_radius,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,

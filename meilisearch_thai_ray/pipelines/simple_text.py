@@ -2680,3 +2680,94 @@ def ann_pq_topk(sf_dir: str, k: int = 10, m: int = 8):
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "sim": pa.array([], pa.float64())})
     return merge_topk(pa.Table.from_pylist(rows), k)
+
+
+# ------------------------- K21: geo radius search (Meilisearch _geoRadius)
+
+GEO_CENTER = (13.75, 100.5)   # query point (Bangkok-ish)
+GEO_RADIUS_KM = 2000.0        # boundary gap to nearest doc >= ~1 km at
+                              # both test scales (no ulp-flake risk)
+GEO_LIMIT = 100
+_EARTH_R_KM = 6371.0
+
+
+def _haversine_km(lat: np.ndarray, lon: np.ndarray,
+                  clat: float, clon: float) -> np.ndarray:
+    """Great-circle distance; the operation ORDER mirrors the SQL oracle
+    expression term for term so both sides produce the same float64 bits
+    (libm sin/cos can differ by 1 ulp across implementations — the 6-dp
+    display rounding absorbs that; the ORDER BY uses the unrounded value
+    on both sides with doc_id as the tie-break)."""
+    p = np.pi / 180.0
+    a = (np.sin((lat - clat) * p / 2) ** 2
+         + np.cos(lat * p) * np.cos(clat * p)
+         * np.sin((lon - clon) * p / 2) ** 2)
+    return 2 * _EARTH_R_KM * np.arcsin(np.sqrt(a))
+
+
+def geo_radius(sf_dir: str, center: tuple = GEO_CENTER,
+               radius_km: float = GEO_RADIUS_KM,
+               limit: int = GEO_LIMIT) -> pa.Table:
+    """K21 — Meilisearch geosearch (_geoRadius filter + _geo sort): docs
+    within `radius_km` of `center`, nearest first. Coordinates are
+    planted arithmetically from doc_id (lat = (doc_id*7919 % 18000)/100
+    - 90, lon = (doc_id*104729 % 36000)/100 - 180) so DuckDB regenerates
+    them and the haversine ranking is hash-verified.
+
+    Scale shape: the distance filter + per-batch partial top-`limit` run
+    inside the scan (<= limit rows leave each task, unrounded distance
+    carried for exact ordering); the driver merges O(blocks x limit)
+    candidate rows — the partial-top-k pattern used by k1/k2."""
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    clat, clon = center
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lat = (d * 7919 % 18000) / 100.0 - 90.0
+        lon = (d * 104729 % 36000) / 100.0 - 180.0
+        dist = _haversine_km(lat, lon, clat, clon)
+        keep = dist <= radius_km
+        d, lat, lon, dist = d[keep], lat[keep], lon[keep], dist[keep]
+        order = np.lexsort((d, dist))[:limit]
+        return pa.table({
+            "doc_id": pa.array(d[order], pa.int64()),
+            "lat": pa.array(lat[order], pa.float64()),
+            "lon": pa.array(lon[order], pa.float64()),
+            "dist": pa.array(dist[order], pa.float64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).take_all()
+    rows.sort(key=lambda r: (r["dist"], r["doc_id"]))
+    rows = rows[:limit]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "lat": pa.array([round(r["lat"], 6) for r in rows], pa.float64()),
+        "lon": pa.array([round(r["lon"], 6) for r in rows], pa.float64()),
+        "dist_km": pa.array([round(r["dist"], 6) for r in rows],
+                            pa.float64()),
+    })
+
+
+SQL["k21_geo_radius"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+), d AS (
+  SELECT doc_id, lat, lon,
+         2 * {_EARTH_R_KM} * asin(sqrt(
+             pow(sin((lat - {GEO_CENTER[0]}) * (pi() / 180.0) / 2), 2)
+             + cos(lat * (pi() / 180.0)) *
+               cos({GEO_CENTER[0]} * (pi() / 180.0)) *
+               pow(sin((lon - {GEO_CENTER[1]}) * (pi() / 180.0) / 2), 2)
+         )) AS dist
+  FROM g
+)
+SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(dist, 6) AS dist_km
+FROM d WHERE dist <= {GEO_RADIUS_KM}
+ORDER BY dist, doc_id LIMIT {GEO_LIMIT}
+"""
