@@ -101,3 +101,21 @@ def test_enrich_self_link_excluded(ray_session):
         own = f"a{(d * 11) % 499}"
         if d in got.index:
             assert own not in got.loc[d, "anchors"].split()
+
+
+def test_anchor_enrich_tiny_blocks_boundary_merge(ray_session):
+    """8 KiB sort blocks force most target runs to straddle block
+    boundaries — the edge-run driver merge must still produce exactly
+    the python-oracle aggregation."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = wg.anchor_enrich(SF).to_pandas()
+    finally:
+        ctx.target_max_block_size = saved
+    ref = wg.anchor_enrich(SF).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        ref.sort_values("doc_id").reset_index(drop=True))
