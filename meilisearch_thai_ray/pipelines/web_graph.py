@@ -506,18 +506,24 @@ def crawl_frontier(sf_dir: str, per_host: int = FRONTIER_PER_HOST
     })
 
 
-def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
+SITEMAP_MAX_URLS = 50_000  # sitemaps.org protocol cap per file
+
+
+def sitemap_urls(sf_dir: str,
+                 max_per_file: int = SITEMAP_MAX_URLS) -> ray.data.Dataset:
     """W5 — distributed sitemap render -> parse round trip: each host's
-    page list renders as a REAL sitemaps.org <urlset> XML (lastmod and
-    priority planted arithmetically from doc_id), then kernel/sitemap.py
-    parses the XML back to (url, lastmod, priority) rows; the SQL oracle
+    page list renders as REAL sitemaps.org XML (lastmod and priority
+    planted arithmetically from doc_id), then kernel/sitemap.py parses
+    the XML back to (url, lastmod, priority) rows; the SQL oracle
     regenerates the same rows arithmetically, so a hash match proves the
     render -> parse cycle is lossless.
 
-    Scale shape: ONE groupby(host) whose groups are bounded BY PROTOCOL
-    (a sitemap file caps at 50k urls — oversized hosts must shard into a
-    sitemapindex, which parse_sitemap also reads); parsing is a
-    stateless per-batch flat map."""
+    Scale shape: ONE groupby(host) whose groups are bounded BY PROTOCOL —
+    a sitemap file caps at `max_per_file` urls (50k per the spec), so an
+    oversized host renders SHARDED urlset files plus a <sitemapindex>
+    naming them, and the parse stage follows the index to its children
+    (tests exercise this with max_per_file=3); parsing is a stateless
+    per-batch flat map."""
     import datetime
     import os
 
@@ -533,6 +539,10 @@ def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
         })
 
     def render_group(group: pa.Table) -> pa.Table:
+        """One host -> its sitemap FILE SET: a single urlset when it
+        fits, else sharded urlsets + the sitemapindex that names them
+        (all files ride one row each; the host's file count is
+        ceil(n/max_per_file) + 1, bounded by protocol)."""
         h = group["host_idx"][0].as_py()
         ids = sorted(group["doc_id"].to_pylist())
         entries = [
@@ -540,14 +550,34 @@ def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
              (epoch + datetime.timedelta(days=d % 1000)).isoformat(),
              (d % 10 + 1) / 10.0)
             for d in ids]
-        return pa.table({"xml": pa.array([render_sitemap(entries)],
-                                         pa.string())})
+        if len(entries) <= max_per_file:
+            files = {f"https://site{h}.example.th/sitemap.xml":
+                     render_sitemap(entries)}
+        else:
+            files = {}
+            locs = []
+            for s, lo in enumerate(range(0, len(entries), max_per_file)):
+                loc = f"https://site{h}.example.th/sitemap-{s}.xml"
+                files[loc] = render_sitemap(entries[lo:lo + max_per_file])
+                locs.append(loc)
+            files[f"https://site{h}.example.th/sitemap.xml"] = (
+                '<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'
+                + "".join(f"<sitemap><loc>{loc}</loc></sitemap>"
+                          for loc in locs) + "</sitemapindex>")
+        return pa.table({
+            "loc": pa.array(list(files), pa.string()),
+            "xml": pa.array(list(files.values()), pa.string()),
+        })
 
     def parse_batch(batch: pa.Table) -> pa.Table:
+        """Parse urlset files; an index file contributes nothing itself —
+        its children arrive as their own rows (same file set), so
+        following the index is a membership check, not a fetch."""
         urls, mods, prios = [], [], []
         for xml in batch["xml"].to_pylist():
             kind, rows = parse_sitemap(xml)
-            assert kind == "urlset"
+            if kind == "index":
+                continue
             for loc, lastmod, prio in rows:
                 urls.append(loc)
                 mods.append(lastmod)

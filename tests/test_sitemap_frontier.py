@@ -102,3 +102,14 @@ def test_host_reputation_matches_python_oracle(ray_session):
         assert row["n_docs"] == len(ps) and row["n_pass"] == sum(ps)
         assert row["blocked"] == (sum(ps) * 10
                                   < wg.REPUTATION_BLOCK_NUM * len(ps))
+
+
+def test_sitemap_sharding_round_trip(ray_session):
+    """max_per_file=3 forces every host into sharded urlsets + a
+    sitemapindex; the parsed row set must be identical to the unsharded
+    render."""
+    flat = wg.sitemap_urls(SF).to_pandas().sort_values("url")
+    sharded = wg.sitemap_urls(SF, max_per_file=3).to_pandas(
+    ).sort_values("url")
+    assert flat.reset_index(drop=True).equals(
+        sharded.reset_index(drop=True))
