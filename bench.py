@@ -181,8 +181,10 @@ def run_bench() -> dict:
                  "j16_grouped_mode",
                  "q2_min_cost_supplier", "q11_important_parts",
                  "q20_promo_suppliers", "w1_host_edges",
-                 "w4_robots_filter", "w6_crawl_frontier",
-                 "w7_anchor_enrich", "g3_host_pagerank"]:
+                 "w4_robots_filter", "w5_sitemap_urls",
+                 "w6_crawl_frontier", "w7_anchor_enrich",
+                 "w8_main_content", "w9_host_reputation",
+                 "k21_geo_radius", "g3_host_pagerank"]:
         fn = qs[name]
         # min-of-N per query: this shared box shows sporadic 2-10x stalls on
         # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s
