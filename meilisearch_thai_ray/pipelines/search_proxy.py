@@ -64,6 +64,33 @@ MAX_SIMILARITY_COMPARISONS = 100       # result_ranker.py:71
 EXPERIMENTAL_THAI_BOOST = 1.2          # result_ranker.py:1216
 
 
+import re as _re_mod
+
+# Meilisearch negative-keyword syntax (the engine the reference proxies to
+# resolves `-word` / -"phrase" exclusions server-side; the reference forwards
+# the raw q string — search_proxy_service.py request passthrough): a `-`
+# at the start of the query or after whitespace, immediately followed by a
+# word or a quoted phrase, excludes every document containing it. A hyphen
+# inside a word (well-known) or followed by whitespace stays literal.
+_NEG_RE = _re_mod.compile(r'(?:(?<=\s)|^)-(?:"([^"]+)"|([^\s"]+))')
+
+
+def split_negative_terms(query: str) -> tuple[str, list[str], list[str]]:
+    """-> (positive remainder, negative words, negative phrases)."""
+    words: list[str] = []
+    phrases: list[str] = []
+
+    def _take(m: "_re_mod.Match[str]") -> str:
+        if m.group(1) is not None:
+            phrases.append(m.group(1))
+        else:
+            words.append(m.group(2))
+        return ""
+
+    positive = _NEG_RE.sub(_take, query)
+    return _re_mod.sub(r"\s+", " ", positive).strip(), words, phrases
+
+
 @dataclass
 class QueryVariant:
     query_text: str
@@ -213,6 +240,51 @@ class SearchProxy:
             )
             self._text_cache.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
         return {d: self._text_cache[d] for d in doc_ids if d in self._text_cache}
+
+    def negative_doc_ids(self, words: list[str],
+                         phrases: list[str]) -> set[int]:
+        """Doc ids containing ANY negative keyword / phrase.
+
+        A negative word that tokenizes to one index term is a plain posting
+        read (every doc in its posting list); multi-token words and quoted
+        phrases use the phrase path (adjacency via positions when the index
+        stores them, substring-verify via docs_path otherwise). At serving
+        scale this is a per-shard posting traversal — the same cost class
+        as one extra query term."""
+        excl: set[int] = set()
+        for w in words:
+            seq = self.engine.phrase_seq(w) if hasattr(
+                self.engine, "phrase_seq"
+            ) else self.tokenizer.index_terms(self.tokenizer.tokenize(w))
+            if not seq:
+                continue
+            if len(seq) == 1 and hasattr(self.engine, "segments"):
+                for s in self.engine.segments(seq[0]):
+                    excl.update(int(d) for d in s.doc_ids)
+            else:
+                excl.update(d for d, _ in self.search_phrase(w, k=1 << 62))
+        for p in phrases:
+            excl.update(d for d, _ in self.search_phrase(p, k=1 << 62))
+        return excl
+
+    def _placeholder_search(self, excluded: set[int], k: int,
+                            offset: int) -> list[dict]:
+        """Meilisearch placeholder search (empty q): documents in internal
+        (doc_id) order. Used when a query is ONLY negative keywords; needs
+        docs_path (the doc-id universe lives in the docs table)."""
+        if not self.docs_path:
+            return []
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(self.docs_path).to_table(columns=["doc_id"])
+        ids = sorted(int(d) for d in t["doc_id"].to_pylist()
+                     if int(d) not in excluded)
+        return [
+            {"doc_id": d, "score": 0.0, "raw_score": 0.0,
+             "variant_type": "placeholder", "engine": "none",
+             "algorithm": "placeholder", "dedup_count": 0}
+            for d in ids[offset:offset + k]
+        ]
 
     def expand_synonyms(self, terms: list[str]) -> list[str]:
         """Append synonym terms after the originals (original terms keep their
@@ -490,6 +562,14 @@ class SearchProxy:
         boost_thai = (options.boost_thai_matches
                       if options and options.boost_thai_matches is not None
                       else BOOST_THAI)
+        neg_excluded: set[int] | None = None
+        if "-" in query:
+            positive, neg_w, neg_p = split_negative_terms(query)
+            if neg_w or neg_p:
+                neg_excluded = self.negative_doc_ids(neg_w, neg_p)
+                query = positive
+                if not query:
+                    return self._placeholder_search(neg_excluded, k, offset)
         analysis, _tokens, confidence, variants = self._prepare(
             query,
             max_variants=options.max_query_variants if options else None,
@@ -614,6 +694,8 @@ class SearchProxy:
             if score < MIN_SCORE_THRESHOLD:
                 continue
             if allowed is not None and hit["doc_id"] not in allowed:
+                continue
+            if neg_excluded is not None and hit["doc_id"] in neg_excluded:
                 continue
             if distinct and distinct != "doc_id":
                 dv = dvals.get(hit["doc_id"], {}).get(distinct)

@@ -570,3 +570,101 @@ def test_federated_rrf_fusion(federation):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fed.multi_search([{"indexUid": "idx_a", "q": q}], fusion="nope")
+
+
+# ---------------- negative keywords (-word / -"phrase") ----------------
+
+def test_split_negative_terms_parser():
+    from meilisearch_thai_ray.pipelines.search_proxy import (
+        split_negative_terms,
+    )
+
+    # plain word and quoted phrase
+    assert split_negative_terms('alpha -bravo') == ('alpha', ['bravo'], [])
+    assert split_negative_terms('alpha -"bravo charlie"') == \
+        ('alpha', [], ['bravo charlie'])
+    # leading negative, multiple negatives, whitespace renormalized
+    assert split_negative_terms('-x alpha -y beta') == \
+        ('alpha beta', ['x', 'y'], [])
+    # hyphen INSIDE a word is literal; bare/trailing hyphen is literal
+    assert split_negative_terms('well-known term') == \
+        ('well-known term', [], [])
+    assert split_negative_terms('a - b') == ('a - b', [], [])
+    assert split_negative_terms('trailing -') == ('trailing -', [], [])
+    # only-negative query -> empty positive remainder
+    assert split_negative_terms('-bravo') == ('', ['bravo'], [])
+
+
+@pytest.fixture(scope="module")
+def neg_index(ray_session, tmp_path_factory):
+    """Three-doc English corpus with a positional index (phrase negatives)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("negkw")
+    pages = root / "pages"
+    pages.mkdir()
+    texts = [
+        "alpha bravo charlie staple words",      # doc 0
+        "alpha delta echo staple words",         # doc 1
+        "alpha charlie bravo staple words",      # doc 2 (scrambled phrase)
+    ]
+    urls = [f"https://neg.ex/{i}" for i in range(len(texts))]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([f"<p>{t}</p>".encode() for t in texts],
+                             pa.binary()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }),
+        str(pages / "p.parquet"),
+    )
+    out = str(root / "index")
+    from meilisearch_thai_ray.index.build import build_index
+
+    build_index(str(pages), out,
+                EngineConfig(num_shards=2, store_positions=True),
+                num_salts=1, batch_size=64)
+    eng = SearchEngine(out)
+    by_url = {}
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(out, "docs")).to_table(
+        columns=["doc_id", "url"])
+    for d, u in zip(t["doc_id"].to_pylist(), t["url"].to_pylist()):
+        by_url[u] = int(d)
+    ids = [by_url[u] for u in urls]  # fixture order -> engine doc_ids
+    return SearchProxy(eng, docs_path=os.path.join(out, "docs")), ids
+
+
+def test_negative_word_excludes_docs(neg_index):
+    p, ids = neg_index
+    base = {h["doc_id"] for h in p.search("alpha", k=10)}
+    assert set(ids) <= base
+    hits = {h["doc_id"] for h in p.search("alpha -bravo", k=10)}
+    assert ids[1] in hits
+    assert ids[0] not in hits and ids[2] not in hits
+    # the negative keyword itself never leaks into exact-match boosting:
+    # results are a subset of the positive-only search
+    assert hits <= base
+
+
+def test_negative_phrase_is_adjacency_scoped(neg_index):
+    p, ids = neg_index
+    hits = {h["doc_id"] for h in p.search('alpha -"bravo charlie"', k=10)}
+    # doc0 has the adjacent phrase -> excluded; doc2 has both words scrambled
+    # -> kept (a word-level negative would have dropped it too)
+    assert ids[0] not in hits
+    assert ids[1] in hits and ids[2] in hits
+
+
+def test_only_negative_query_is_placeholder_minus_excluded(neg_index):
+    p, ids = neg_index
+    hits = [h["doc_id"] for h in p.search("-bravo", k=10)]
+    assert hits == sorted(set(ids) - {ids[0], ids[2]})
+    assert all(h == sorted(hits)[i] for i, h in enumerate(hits))
+    # placeholder hits carry the placeholder variant marker
+    full = p.search("-zzznotaword", k=10)
+    assert [h["doc_id"] for h in full] == sorted(ids)
+    assert all(h["variant_type"] == "placeholder" for h in full)
