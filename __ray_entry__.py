@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m28_field_weighted_topk": st.field_weighted_topk,
         "k11_facet_counts": st.facet_counts,
         "k16_facet_search": st.facet_search,
+        "k22_facet_stats": st.facet_stats,
         "k1_topk_docs": st.topk_docs,
         "a1_lang_stats": st.lang_stats,
         "a4_events_hourly": st.events_hourly,

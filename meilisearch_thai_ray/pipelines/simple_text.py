@@ -478,6 +478,87 @@ FROM f GROUP BY source
 """
 
 
+NUMERIC_FACETS = ("n_chars", "n_tokens")
+
+
+def facet_stats(sf_dir: str, fields: tuple[str, ...] = NUMERIC_FACETS):
+    """K22: Meilisearch facetStats — min/max of every numeric facet over the
+    FILTER-MATCHING documents (the /search response's facetStats block; the
+    reference exposes the engine surface verbatim through its proxy), plus
+    count and 6-dp mean. `n_tokens` is derived per batch with the m8
+    whitespace-token convention so one pruned scan serves both facets.
+
+    Shape: each batch emits ONE partial row per facet (min/max/cnt/sum over
+    the batch, integer-exact) -> a facet-cardinality groupby -> finish. No
+    corpus-sized data shuffles at any scale."""
+    expr = compile_filter(FILTER_DSL)
+    need_text = "n_tokens" in fields
+    base = [f for f in fields if f != "n_tokens"]
+    cols = list(dict.fromkeys(base + (["text"] if need_text else [])
+                              + list(FILTER_DSL)))
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=cols, filter=expr)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fs, mins, maxs, cnts, sums = [], [], [], [], []
+        for col in fields:
+            if col == "n_tokens":
+                v = pc.list_value_length(
+                    pc.split_pattern(batch["text"], " ")
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                v = batch[col].to_numpy(zero_copy_only=False)
+            if v.size == 0:
+                continue
+            fs.append(col)
+            mins.append(int(v.min()))
+            maxs.append(int(v.max()))
+            cnts.append(int(v.size))
+            sums.append(int(v.sum()))
+        return pa.table({"facet": pa.array(fs, pa.string()),
+                         "vmin": pa.array(mins, pa.int64()),
+                         "vmax": pa.array(maxs, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64()),
+                         "vsum": pa.array(sums, pa.int64())})
+
+    def _finish(t: pa.Table) -> pa.Table:
+        avg = np.round(
+            t["sum(vsum)"].to_numpy().astype(np.float64)
+            / t["sum(cnt)"].to_numpy().astype(np.float64), 6)
+        return pa.table({"facet": t["facet"].cast(pa.string()),
+                         "vmin": t["min(vmin)"].cast(pa.int64()),
+                         "vmax": t["max(vmax)"].cast(pa.int64()),
+                         "cnt": t["sum(cnt)"].cast(pa.int64()),
+                         "avg": pa.array(avg, pa.float64())})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("facet")
+        .aggregate(Min("vmin"), Max("vmax"), Sum("cnt"), Sum("vsum"))
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+SQL["k22_facet_stats"] = f"""
+WITH f AS (
+  SELECT n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE {dsl_to_sql(FILTER_DSL)}
+)
+SELECT 'n_chars' AS facet, CAST(min(n_chars) AS BIGINT) AS vmin,
+       CAST(max(n_chars) AS BIGINT) AS vmax,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg
+FROM f
+UNION ALL
+SELECT 'n_tokens' AS facet, CAST(min(n_tokens) AS BIGINT) AS vmin,
+       CAST(max(n_tokens) AS BIGINT) AS vmax,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg
+FROM f
+"""
+
+
 # ---------------------------------------------------------------- top-k docs
 
 def topk_docs(sf_dir: str, k: int = 10, offset: int = 5):
