@@ -312,3 +312,87 @@ def read_wet_pages(path: str,
     for tag-free text — one uniform build path for both archive kinds."""
     return read_warc_pages(path, include_failed=include_failed,
                            record_types=("conversion",))
+
+
+# --------------------------------------------------------------- WARC sink
+
+_WARC_EPOCH = "2026-01-01T00:00:00Z"  # deterministic default WARC-Date
+
+
+def _warc_record(url: str, html: bytes, ts: str) -> bytes:
+    """One WARC/1.0 response record (HTTP payload framing) — the inverse of
+    the reader's response path: read_warc_pages strips the HTTP header block
+    via _http_body, so (url, html) round-trips byte-identically. Record id
+    derives from the url hash (no RNG: re-running a failed write task must
+    produce the same bytes — the resume contract of every sink here)."""
+    from ..functions.hashing import fnv1a64
+
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: " + str(len(html)).encode("ascii")
+            + b"\r\n\r\n" + html)
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"WARC-Record-ID: <urn:fnv1a64:{fnv1a64(url):016x}>\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
+    return head + http + b"\r\n\r\n"
+
+
+def pages_to_warc_files(batch: pa.Table, out_dir: str,
+                        prefix: str = "crawl") -> pa.Table:
+    """map_batches body: one block of pages (url, html[, warc_ts]) -> ONE
+    .warc.gz file, each record its own gzip member (the Common Crawl
+    convention — member boundaries let downstream readers split records
+    without decompressing the whole file). Atomic (tmp + os.replace) and
+    deterministic (content-derived filename, mtime=0 gzip headers), so a
+    re-run of the same block overwrites the same file with the same bytes:
+    resumable, never partial. Returns one manifest row per file."""
+    import gzip
+    import os
+
+    from ..functions.hashing import fnv1a64
+
+    urls = batch["url"].to_pylist()
+    if not urls:
+        return pa.table({"path": pa.array([], pa.string()),
+                         "n_records": pa.array([], pa.int64()),
+                         "n_bytes": pa.array([], pa.int64())})
+    htmls = batch["html"].to_pylist()
+    if "warc_ts" in batch.column_names:
+        tss = [t.strftime("%Y-%m-%dT%H:%M:%SZ") if t is not None
+               else _WARC_EPOCH for t in batch["warc_ts"].to_pylist()]
+    else:
+        tss = [_WARC_EPOCH] * len(urls)
+    payload = b"".join(
+        gzip.compress(_warc_record(u, h if h is not None else b"", ts),
+                      mtime=0)
+        for u, h, ts in zip(urls, htmls, tss))
+    # content-derived name: urls are unique corpus-wide and blocks are
+    # disjoint, so (first-url hash, row count) cannot collide across blocks
+    name = f"{prefix}-{fnv1a64(urls[0]):016x}-{len(urls)}.warc.gz"
+    path = os.path.join(out_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    return pa.table({"path": pa.array([path], pa.string()),
+                     "n_records": pa.array([len(urls)], pa.int64()),
+                     "n_bytes": pa.array([len(payload)], pa.int64())})
+
+
+def write_warc_pages(ds: "ray.data.Dataset", out_dir: str,
+                     prefix: str = "crawl") -> list[dict]:
+    """Pages Dataset -> directory of WARC/1.0 gzip archives (the interchange
+    format crawl corpora ship in; the export half of read_warc_pages).
+    One file per input block, written inside the map task — no shuffle, no
+    driver data path. Returns the manifest rows (one per file: O(blocks),
+    driver-safe by construction)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    man = ds.map_batches(pages_to_warc_files, batch_format="pyarrow",
+                         fn_kwargs={"out_dir": out_dir, "prefix": prefix})
+    return man.take_all()
