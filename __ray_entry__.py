@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a7_sessionize": st.sessionize,
         "k4_suggest": st.suggest_terms,
         "k21_geo_radius": st.geo_radius,
+        "k23_hybrid_search": st.hybrid_topk,
+        "k23b_hybrid_semantic_heavy": st.hybrid_topk_semantic_heavy,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,

@@ -2149,6 +2149,228 @@ def ann_ivf_dtrain_topk(sf_dir: str, k: int = 10, nlist: int = 16,
 SQL["ann_ivf_dtrain_topk"] = SQL["ann_cosine_topk"]  # full probe == exact
 
 
+# ---------------------------------------------------------------- hybrid search
+
+HYBRID_QV_ID = 0  # query vector = embeddings row vec_id=0 (ann_cosine's choice)
+HYBRID_K = 20
+
+
+def hybrid_topk(sf_dir: str, k: int = HYBRID_K, w_sem: int = 1, w_kw: int = 1,
+                terms: list[str] | None = None, qv_id: int = HYBRID_QV_ID):
+    """Meilisearch hybrid search (the `hybrid: {semanticRatio}` request
+    parameter): one ranked list mixing BM25 keyword relevancy with embedding
+    cosine similarity. semanticRatio r maps to integer weights
+    (w_sem, w_kw) ∝ (r, 1-r) — e.g. r=0.5 → (1, 1), r=0.75 → (3, 1).
+
+    Scoring contract (integer-exact, the repo's money-sum convention — a
+    weighted mix of two 6-dp-rounded unit scores can land exactly on a
+    round-half boundary, where numpy half-even and DuckDB half-away diverge;
+    integer ppm components make the mix order- and layout-independent):
+        kw_ppm  = round(bm25(d) / max_d bm25(d) * 1e6)   over keyword matches
+        sem_ppm = round((cos(v_d, q) + 1) / 2 * 1e6)     over all embeddings
+        hybrid_ppm = w_kw * kw_ppm + w_sem * sem_ppm     (missing side = 0)
+    Top-k by (hybrid_ppm DESC, doc_id).
+
+    Distributed shape (nothing wide, no text movement):
+      * keyword side: parquet read of the BUILT index's shard segments
+        PRUNED to the query terms (row-group stats on the sorted term
+        column), decode → exact per-posting BM25 contribution (same
+        idf/tfn kernels as the engine, index/codec.py:65) → ONE
+        sum_by_int_key combine over (doc_id, contrib);
+      * semantic side: streaming embeddings scan, per-batch vectorized
+        cosine (the ann_cosine math);
+      * mix: union of the two (doc_id, ppm) part streams → ONE
+        sum_by_int_key → per-block partial top-k (≤k rows leave a task)
+        → tiny driver merge.
+    At 100 TB both part streams are keyed rows (8+8 bytes/doc), the combine
+    is the repo's sort+reduceat scan, and only ≤k rows/block reach the
+    driver."""
+    import json
+
+    from ..index.codec import decode_segment, tfn_scores
+    from ..kernel.bm25 import idf as _idf
+    from ..stages.runs import sum_by_int_key
+
+    q_terms = terms or BM25_QUERY
+    kw = kw_max = None
+    if w_kw:
+        idx = simple_index_dir(sf_dir)
+        with open(os.path.join(idx, "meta.json")) as f:
+            meta = json.load(f)
+        n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+
+        # ---- keyword side: pruned segment read -> exact BM25 contributions
+        # global df per term: the segment df/n_docs columns are PER-SALT
+        # posting counts (index/build.py:121) — sum them across segments
+        # first, exactly as SearchEngine.score_topk does. This is a tiny
+        # stats-only read (<= terms x shards x salts rows, no binary columns).
+        import pyarrow.dataset as pads
+
+        stats_t = pads.dataset(
+            os.path.join(idx, "shards"), partitioning="hive"
+        ).to_table(columns=["term", "n_docs"],
+                   filter=pc.field("term").isin(q_terms))
+        global_df: dict[str, int] = {}
+        for t, n in zip(stats_t["term"].to_pylist(),
+                        stats_t["n_docs"].to_pylist()):
+            global_df[t] = global_df.get(t, 0) + int(n)
+        idf_by_term = {t: _idf(n_docs, d) for t, d in global_df.items()}
+
+        seg_ds = ray.data.read_parquet(
+            os.path.join(idx, "shards"),
+            columns=["term", "n_docs", "docs_bin", "tfs_bin", "dls_bin"],
+            filter=pc.field("term").isin(q_terms),
+        )
+
+        def _contribs(batch: pa.Table) -> pa.Table:
+            ids_out, val_out = [], []
+            terms_l = batch["term"].to_pylist()
+            nds = batch["n_docs"].to_pylist()
+            db = batch["docs_bin"].to_pylist()
+            tb = batch["tfs_bin"].to_pylist()
+            lb = batch["dls_bin"].to_pylist()
+            for i in range(batch.num_rows):
+                doc_ids, tfs, dls = decode_segment(db[i], tb[i], lb[i],
+                                                   nds[i])
+                idf_t = idf_by_term[terms_l[i]]
+                ids_out.append(doc_ids.astype(np.int64))
+                val_out.append(idf_t * tfn_scores(tfs, dls, avgdl))
+            if not ids_out:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "contrib": pa.array([], pa.float64())})
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "contrib": pa.array(np.concatenate(val_out)),
+            })
+
+        kw = sum_by_int_key(
+            seg_ds.map_batches(_contribs, batch_format="pyarrow",
+                               batch_size=1024),
+            "doc_id", "contrib", out_col="kw",
+        )
+        kw_max = kw.max("kw") if kw.count() else None
+
+    def _kw_parts(batch: pa.Table) -> pa.Table:
+        v = batch["kw"].to_numpy(zero_copy_only=False)
+        ppm = np.round(v / kw_max * 1e6).astype(np.int64) * w_kw
+        return pa.table({"doc_id": batch["doc_id"], "ppm": pa.array(ppm)})
+
+    # ---- semantic side: streaming cosine over the embeddings table
+    import pyarrow.dataset as pads
+
+    emb_path = _doc_path(sf_dir, "embeddings")
+    qv = pads.dataset(emb_path).to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == qv_id
+    )["embedding"][0].as_py()
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    def _sem_parts(batch: pa.Table) -> pa.Table:
+        vals = batch["embedding"].combine_chunks()
+        mat = np.asarray(vals.values, dtype=np.float64).reshape(
+            batch.num_rows, -1)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sem = (mat @ q) / norms
+        ppm = np.round((sem + 1.0) / 2.0 * 1e6).astype(np.int64) * w_sem
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "ppm": pa.array(ppm)})
+
+    sem = read_parquet_clean(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(_sem_parts, batch_format="pyarrow", batch_size=2048)
+
+    if kw_max is not None and w_kw:
+        parts = sem.union(
+            kw.map_batches(_kw_parts, batch_format="pyarrow"))
+    else:
+        parts = sem
+    mixed = sum_by_int_key(parts, "doc_id", "ppm", out_col="hybrid_ppm")
+
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vals = batch["hybrid_ppm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals))[:k]
+        return pa.table({"doc_id": pa.array(ids[order].astype(np.int64)),
+                         "hybrid_ppm": pa.array(vals[order].astype(np.int64))})
+
+    partials = pa.Table.from_pylist(
+        mixed.map_batches(_partial_topk, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    )
+    if partials.num_rows == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "hybrid_ppm": pa.array([], pa.int64())})
+    ids = partials["doc_id"].to_numpy(zero_copy_only=False)
+    vals = partials["hybrid_ppm"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -vals))[:k]
+    n = order.size
+    return pa.table({
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids[order].astype(np.int64)),
+        "hybrid_ppm": pa.array(vals[order].astype(np.int64)),
+    })
+
+
+def hybrid_topk_semantic_heavy(sf_dir: str):
+    """semanticRatio=0.75 → integer weights (3, 1)."""
+    return hybrid_topk(sf_dir, w_sem=3, w_kw=1)
+
+
+def _hybrid_sql(w_sem: int, w_kw: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+qt AS (SELECT unnest({BM25_QUERY!r}) AS term),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM tok t JOIN qt USING (term) GROUP BY t.term, t.doc_id
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+kw AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+kwm AS (SELECT max(score) AS m FROM kw),
+kwp AS (
+  SELECT doc_id,
+         CAST(round(score / (SELECT m FROM kwm) * 1000000, 0) AS BIGINT) AS ppm
+  FROM kw
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = {HYBRID_QV_ID}),
+semp AS (
+  SELECT vec_id AS doc_id,
+         CAST(round((list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) + 1) / 2
+                    * 1000000, 0) AS BIGINT) AS ppm
+  FROM embeddings
+),
+mix AS (
+  SELECT coalesce(k.doc_id, s.doc_id) AS doc_id,
+         {w_kw} * coalesce(k.ppm, 0) + {w_sem} * coalesce(s.ppm, 0) AS hybrid_ppm
+  FROM kwp k FULL OUTER JOIN semp s ON k.doc_id = s.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY hybrid_ppm DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, hybrid_ppm
+FROM mix ORDER BY hybrid_ppm DESC, doc_id LIMIT {HYBRID_K}
+"""
+
+
+SQL["k23_hybrid_search"] = _hybrid_sql(1, 1)
+SQL["k23b_hybrid_semantic_heavy"] = _hybrid_sql(3, 1)
+
+
 # ---------------------------------------------------------------- lineitem Q1
 
 def lineitem_agg(sf_dir: str):

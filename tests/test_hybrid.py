@@ -1,0 +1,93 @@
+"""Hybrid search (k23): BM25 keyword + embedding cosine mix.
+
+Meilisearch's `hybrid: {semanticRatio}` request parameter
+(reference exposes plain Meilisearch search; hybrid is the engine feature the
+ranked-mix contract models). Verified three ways: the SQL oracle hash at
+sf0.01 (check_oracle), a naive in-memory python oracle here at sf0.001 over
+four weight mixes (including both pure extremes), and the integer-exactness
+property (ppm components make the mix independent of block layout)."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from meilisearch_thai_ray.pipelines.simple_text import (
+    BM25_QUERY,
+    HYBRID_K,
+    HYBRID_QV_ID,
+    hybrid_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_hybrid(sf_dir: str, w_sem: int, w_kw: int, k: int = HYBRID_K):
+    docs = pq.read_table(sf_dir + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    emb = pq.read_table(sf_dir + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+
+    # keyword side: whitespace BM25 (k1=1.2, b=0.75), normalized to ppm
+    toks = [t.split(" ") for t in docs["text"].to_pylist()]
+    ids = docs["doc_id"].to_pylist()
+    n = len(ids)
+    avgdl = sum(len(t) for t in toks) / n
+    kw_ppm: dict[int, int] = {}
+    if w_kw:
+        scores: dict[int, float] = {}
+        for term in sorted(set(BM25_QUERY)):
+            df = sum(term in t for t in toks)
+            if not df:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, t in zip(ids, toks):
+                tf = t.count(term)
+                if tf:
+                    dl = len(t)
+                    scores[d] = scores.get(d, 0.0) + idf * (
+                        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        m = max(scores.values())
+        kw_ppm = {d: int(np.round(s / m * 1e6)) for d, s in scores.items()}
+
+    # semantic side: cosine to the vec_id=HYBRID_QV_ID embedding, ppm
+    mat = np.asarray(emb["embedding"].combine_chunks().values,
+                     dtype=np.float64).reshape(emb.num_rows, -1)
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    q = mat[np.flatnonzero(vids == HYBRID_QV_ID)[0]]
+    q = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sem_ppm = np.round(((mat @ q) / norms + 1.0) / 2.0 * 1e6).astype(np.int64)
+
+    mix = {int(v): w_sem * int(s) for v, s in zip(vids, sem_ppm)}
+    for d, p in kw_ppm.items():
+        mix[d] = mix.get(d, 0) + w_kw * p
+    top = sorted(mix.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return top
+
+
+def test_hybrid_matches_naive_oracle_across_weight_mixes(ray_session):
+    # (1,1) = semanticRatio 0.5; (3,1) = 0.75; and both pure extremes
+    for w_sem, w_kw in [(1, 1), (3, 1), (1, 0), (0, 1)]:
+        got = hybrid_topk(SF, w_sem=w_sem, w_kw=w_kw)
+        want = _naive_hybrid(SF, w_sem, w_kw)
+        got_rows = list(zip(got["doc_id"].to_pylist(),
+                            got["hybrid_ppm"].to_pylist()))
+        assert got_rows == want, f"weights ({w_sem},{w_kw})"
+
+
+def test_hybrid_pure_semantic_is_cosine_ranking(ray_session):
+    """w_kw=0 must reproduce the ann_cosine ranking (sem ppm ordering)."""
+    got = hybrid_topk(SF, w_sem=1, w_kw=0, k=10)
+    want = _naive_hybrid(SF, 1, 0, k=10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    # the query vector's own row is the perfect match
+    assert got["doc_id"][0].as_py() == HYBRID_QV_ID
+    assert got["hybrid_ppm"][0].as_py() == 1_000_000
+
+
+def test_hybrid_scores_are_integer_exact(ray_session):
+    got = hybrid_topk(SF)
+    assert got["hybrid_ppm"].type == "int64"
+    assert got["rank"].to_pylist() == list(range(1, got.num_rows + 1))
