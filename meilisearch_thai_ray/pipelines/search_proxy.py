@@ -157,8 +157,37 @@ class SearchOptions:
     # Needs store_positions=True; attribute needs docs_path with the v5
     # title_tc column (older docs tables rank everything as content).
     ranking_rules: bool = False
+    # Meilisearch showRankingScore: every hit gains `_rankingScore`, the
+    # proxy's normalized [0,1] relevancy score
+    show_ranking_score: bool = False
+    # Meilisearch showRankingScoreDetails: every hit gains
+    # `_rankingScoreDetails` with the per-rule bucket values of the rules
+    # chain (words/typo/proximity/attribute/exactness). Requires
+    # ranking_rules=True — the details ARE the chain's sort key.
+    show_ranking_score_details: bool = False
+    # Meilisearch rankingScoreThreshold (0..1): hits whose normalized score
+    # falls below it are dropped (tightens the engine's MIN_SCORE_THRESHOLD)
+    ranking_score_threshold: float | None = None
+    # Meilisearch attributesToSearchOn, over searchableAttributes
+    # [title, content]: a hit must have at least one direct query-term
+    # occurrence inside an allowed field (token position vs the doc's
+    # title_tc boundary). None = search every attribute. Needs an index
+    # with store_positions=True and a docs_path with the v5 title_tc column.
+    attributes_to_search_on: list[str] | None = None
 
     def __post_init__(self):
+        if self.attributes_to_search_on is not None:
+            bad = set(self.attributes_to_search_on) - {"title", "content"}
+            if bad or not self.attributes_to_search_on:
+                raise ValueError(
+                    "attributes_to_search_on must be a non-empty subset of "
+                    "['title', 'content']")
+        if self.ranking_score_threshold is not None \
+                and not 0.0 <= self.ranking_score_threshold <= 1.0:
+            raise ValueError("ranking_score_threshold must be in [0, 1]")
+        if self.show_ranking_score_details and not self.ranking_rules:
+            raise ValueError(
+                "show_ranking_score_details requires ranking_rules=True")
         if self.distinct is not None and self.distinct not in SORTABLE_FIELDS:
             raise ValueError(
                 f"distinct must be one of {sorted(SORTABLE_FIELDS)}")
@@ -658,6 +687,17 @@ class SearchProxy:
         if distinct and distinct != "doc_id" and not self.docs_path:
             raise ValueError("distinct over metadata fields requires "
                              "docs_path")
+        attrs_on = (set(options.attributes_to_search_on)
+                    if options and options.attributes_to_search_on else None)
+        if attrs_on == {"title", "content"}:
+            attrs_on = None  # every searchable attribute = no restriction
+        if attrs_on is not None:
+            if not getattr(self.engine, "has_positions", False):
+                raise ValueError("attributes_to_search_on requires an index "
+                                 "built with store_positions=True")
+            if not self.docs_path:
+                raise ValueError("attributes_to_search_on requires docs_path "
+                                 "(the title_tc field boundary)")
         dvals: dict = {}
         seen_dvals: set = set()
         if distinct and distinct != "doc_id":
@@ -679,6 +719,35 @@ class SearchProxy:
             allowed = self._filter_allowed(
                 [c[0]["doc_id"] for c in ranked], options.filters
             )
+        attr_ok: dict[int, bool] = {}
+        if attrs_on is not None and ranked:
+            # one pruned title_tc read for the whole candidate set, then a
+            # per-doc position probe: a hit survives iff some direct query
+            # term occurs inside an allowed field (title = positions before
+            # the doc's title_tc boundary, content = at or after it)
+            qterms_attr = list(dict.fromkeys(self.engine.phrase_seq(query)))
+            cand_ids = [c[0]["doc_id"] for c in ranked]
+            ttc_attr = {
+                d: int(v.get("title_tc") or 0)
+                for d, v in self._doc_fields(cand_ids, ["title_tc"]).items()
+            }
+            for d in cand_ids:
+                boundary = ttc_attr.get(d, 0)
+                ok = False
+                for t in qterms_attr:
+                    pos = self.engine.doc_term_positions(d, t)
+                    if pos is None or not len(pos):
+                        continue
+                    in_title = int(pos.min()) < boundary
+                    in_content = int(pos.max()) >= boundary
+                    if ("title" in attrs_on and in_title) or (
+                            "content" in attrs_on and in_content):
+                        ok = True
+                        break
+                attr_ok[d] = ok
+        min_score = MIN_SCORE_THRESHOLD
+        if options and options.ranking_score_threshold is not None:
+            min_score = max(min_score, options.ranking_score_threshold)
         out = []
         accepted_texts: list[str] = []
         comparisons = 0
@@ -691,11 +760,13 @@ class SearchProxy:
             # prefetch texts for the head of the ranking in one filtered read
             self._doc_texts([c[0]["doc_id"] for c in ranked[: 5 * target]])
         for hit, score, variant, pos in ranked:
-            if score < MIN_SCORE_THRESHOLD:
+            if score < min_score:
                 continue
             if allowed is not None and hit["doc_id"] not in allowed:
                 continue
             if neg_excluded is not None and hit["doc_id"] in neg_excluded:
+                continue
+            if attrs_on is not None and not attr_ok.get(hit["doc_id"]):
                 continue
             if distinct and distinct != "doc_id":
                 dv = dvals.get(hit["doc_id"], {}).get(distinct)
@@ -741,7 +812,11 @@ class SearchProxy:
         if sort_crit:
             out = self._apply_sort(out, sort_crit)[offset:offset + k]
         elif rules_rank:
-            out = self._rules_chain_order(query, out)[offset:offset + k]
+            out = self._rules_chain_order(
+                query, out,
+                want_details=bool(options
+                                  and options.show_ranking_score_details),
+            )[offset:offset + k]
         elif prox_rank:
             # Meilisearch rules chain: words (matched-term count) then
             # proximity (min covering window), proxy ranking as tie-break
@@ -762,6 +837,9 @@ class SearchProxy:
                     texts.get(h["doc_id"], ""), qterms,
                     options.crop_length, options.crop_marker,
                 )
+        if options and options.show_ranking_score:
+            for h in out:
+                h["_rankingScore"] = h["score"]
         return out
 
     def search_with_info(self, query: str, k: int = 10,
@@ -805,7 +883,8 @@ class SearchProxy:
             },
         }
 
-    def _rules_chain_order(self, query: str, hits: list[dict]) -> list[dict]:
+    def _rules_chain_order(self, query: str, hits: list[dict],
+                           want_details: bool = False) -> list[dict]:
         """Order hits by the Meilisearch ranking-rules chain (reference
         settings_manager.py:140: words, typo, proximity, attribute,
         exactness), each rule a bucket inside the previous one; the
@@ -878,6 +957,18 @@ class SearchProxy:
                 exact = 1
                 if len(seq) == 1 or self._adjacent_in_order(d, seq):
                     exact = 0
+            if want_details:
+                # Meilisearch showRankingScoreDetails: the chain's per-rule
+                # bucket values, in rule order (these ARE the sort key)
+                h["_rankingScoreDetails"] = {
+                    "words": {"matchedWords": words,
+                              "maxMatchedWords": len(uniq)},
+                    "typo": {"typoCount": typo},
+                    "proximity": {"windowCost": pcost},
+                    "attribute": {"contentOnlyMatches": attr},
+                    "exactness": {"bucket": ("exactPhrase", "allWordsExact",
+                                             "noExactMatch")[exact]},
+                }
             keyed.append(((-words, typo, pcost, attr, exact, i), h))
         keyed.sort(key=lambda kh: kh[0])
         return [h for _, h in keyed]
