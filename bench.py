@@ -184,7 +184,8 @@ def run_bench() -> dict:
                  "w4_robots_filter", "w5_sitemap_urls",
                  "w6_crawl_frontier", "w7_anchor_enrich",
                  "w8_main_content", "w9_host_reputation",
-                 "k21_geo_radius", "g3_host_pagerank"]:
+                 "k21_geo_radius", "g3_host_pagerank",
+                 "k23_hybrid_search"]:
         fn = qs[name]
         # min-of-N per query: this shared box shows sporadic 2-10x stalls on
         # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s

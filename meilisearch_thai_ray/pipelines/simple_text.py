@@ -2371,6 +2371,64 @@ SQL["k23_hybrid_search"] = _hybrid_sql(1, 1)
 SQL["k23b_hybrid_semantic_heavy"] = _hybrid_sql(3, 1)
 
 
+# ---------------------------------------------------------------- percolation
+
+# standing queries: (query_id, terms, matching strategy). The stored-query
+# set is the SMALL side — compiled once, broadcast to every task; the
+# document stream is the big side and is scanned exactly once.
+PERCOLATE_QUERIES: list[tuple[str, list[str], str]] = [
+    ("alert_spark_join", ["spark", "join"], "all"),
+    ("alert_merge_sort", ["merge", "sort"], "all"),
+    ("alert_fast_or_scan", ["fast", "scan"], "any"),
+    ("alert_filter", ["filter"], "all"),
+]
+
+
+def percolate(sf_dir: str):
+    """Reverse search / percolation: standing queries matched against the
+    document stream — the alerting shape of a continuous crawl (match new
+    pages against saved searches as they arrive, instead of new queries
+    against a saved index). Per-batch vectorized: one list-membership pass
+    per stored term (queries x O(batch) Arrow kernels), never a Python loop
+    over rows; emits (doc_id, query_id) match pairs. At 100 TB this is a
+    single streaming scan with a tiny broadcast query set — no index
+    required and nothing wide."""
+    import polars as pl
+
+    ds = read_parquet_clean(_doc_path(sf_dir), columns=["doc_id", "text"])
+
+    def _match(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.split(" ").alias("toks"))
+        outs = []
+        for qid, terms, strat in PERCOLATE_QUERIES:
+            cond = pl.col("toks").list.contains(terms[0])
+            for t in terms[1:]:
+                nxt = pl.col("toks").list.contains(t)
+                cond = (cond & nxt) if strat == "all" else (cond | nxt)
+            outs.append(df.filter(cond).select(
+                pl.col("doc_id"),
+                pl.lit(qid, dtype=pl.String).alias("query_id")))
+        return pl.concat(outs).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("query_id", pa.string())]))
+
+    return ds.map_batches(_match, batch_format="pyarrow", batch_size=4096)
+
+
+def _percolate_sql() -> str:
+    parts = []
+    for qid, terms, strat in PERCOLATE_QUERIES:
+        glue = " AND " if strat == "all" else " OR "
+        cond = glue.join(
+            f"list_contains(string_split(text, ' '), '{t}')" for t in terms)
+        parts.append(
+            f"SELECT doc_id, '{qid}' AS query_id FROM documents WHERE {cond}")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL["s9_percolate"] = _percolate_sql()
+
+
 # ---------------------------------------------------------------- lineitem Q1
 
 def lineitem_agg(sf_dir: str):

@@ -91,3 +91,24 @@ def test_hybrid_scores_are_integer_exact(ray_session):
     got = hybrid_topk(SF)
     assert got["hybrid_ppm"].type == "int64"
     assert got["rank"].to_pylist() == list(range(1, got.num_rows + 1))
+
+
+def test_percolate_matches_python_sets(ray_session):
+    """Percolation (s9): all/any strategies agree with naive set logic."""
+    from meilisearch_thai_ray.pipelines.simple_text import (
+        PERCOLATE_QUERIES, percolate)
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    toksets = {d: set(t.split(" ")) for d, t in
+               zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    want = set()
+    for qid, terms, strat in PERCOLATE_QUERIES:
+        for d, ts in toksets.items():
+            hit = (all(t in ts for t in terms) if strat == "all"
+                   else any(t in ts for t in terms))
+            if hit:
+                want.add((d, qid))
+    got_t = percolate(SF).to_pandas()
+    got = set(zip(got_t["doc_id"], got_t["query_id"]))
+    assert got == want and len(want) > 0
