@@ -35,6 +35,12 @@ def _crawl_refresh_demo(sf_dir: str) -> Any:
     return crawl_refresh_demo(sf_dir)
 
 
+def _cdx_index_demo(sf_dir: str) -> Any:
+    from meilisearch_thai_ray.pipelines.crawl_refresh import cdx_index_demo
+
+    return cdx_index_demo(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import corpus_stats as cs
     from meilisearch_thai_ray.pipelines import curate as cur
@@ -171,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generation); index mutation is not SQL-expressible, the
         # drop/serve behavior is pytest-verified (test_crawl_refresh.py)
         "s8_crawl_refresh": _crawl_refresh_demo,
+        "s10_cdx_index": _cdx_index_demo,
         "m23_lm_score": td.lm_score,
         "m30_nb_quality": td.nb_quality,
         "k8_global_shuffle": td.global_shuffle,

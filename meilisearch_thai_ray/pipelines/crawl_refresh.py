@@ -311,3 +311,44 @@ def crawl_refresh_demo(sf_dir: str) -> pa.Table:
         "accepted": pa.array([m["accepted"]], pa.int64()),
         "served_docs": pa.array([n_docs], pa.int64()),
     })
+
+
+def cdx_index_demo(sf_dir: str):
+    """S10 — CDX index over a WARC export of the documents table (rows-only:
+    byte offsets are not SQL-expressible; the random-access contract —
+    offset/length fetch one record whose payload round-trips byte-identically
+    — is pytest-verified in test_warc_sink.py).
+
+    Composite: documents -> deterministic pages -> write_warc_pages (one
+    member-per-record .warc.gz per block) -> distributed member split ->
+    CDX rows sorted by SURT urlkey. The WARC export caches per input
+    fingerprint so repeat calls only rebuild the index half."""
+    import hashlib
+
+    from ..sources.warc import cdx_index_warc_dir, write_warc_pages
+    from .simple_text import input_fingerprint, read_parquet_clean
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(
+        (input_fingerprint(doc_path) + "cdxdemo-v1").encode()
+    ).hexdigest()[:10]
+    warc_dir = os.path.join(_CACHE_ROOT, f"cdx_warc_{fp}")
+    if not os.path.isdir(warc_dir) or not any(
+            f.endswith(".warc.gz") for f in os.listdir(warc_dir)):
+        def _to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            return pa.table({
+                "url": pa.array(
+                    [f"https://www.cdx{d % 7}.ex/p/{d}?b=2&a=1" for d in ids],
+                    pa.string()),
+                "html": pa.array(
+                    [f"<p>{x}</p>".encode() for x in texts], pa.binary()),
+            })
+
+        docs = read_parquet_clean(doc_path, columns=["doc_id", "text"])
+        write_warc_pages(
+            docs.map_batches(_to_pages, batch_format="pyarrow",
+                             batch_size=256),
+            warc_dir, prefix="cdxdemo")
+    return cdx_index_warc_dir(warc_dir)
