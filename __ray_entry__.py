@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k23_hybrid_search": st.hybrid_topk,
         "k23b_hybrid_semantic_heavy": st.hybrid_topk_semantic_heavy,
         "s9_percolate": st.percolate,
+        "k25_prefix_topk": st.prefix_topk,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,

@@ -346,6 +346,91 @@ class SearchEngine:
         """Per-term df within this engine's (possibly salt-restricted) data."""
         return {t: df for t in terms if (df := self.df(t)) > 0}
 
+    def score_topk_prefix(self, terms: list[str], k: int = 10,
+                          max_expansions: int = 10
+                          ) -> list[tuple[int, float]]:
+        """Search-as-you-type: the LAST term matches as a PREFIX
+        (Meilisearch's implicit last-word prefix search while the user is
+        still typing). Completions come from the sorted term dictionary,
+        df-ranked and capped at max_expansions (ties break by term — the
+        same deterministic cap the SQL oracle states). The expansion group
+        scores as ONE pseudo-term: each doc takes the MAX BM25 contribution
+        among its matching completions (no double counting when a doc
+        completes the prefix two ways), each completion keeping its own
+        idf; head terms score normally (OR semantics). Falls back to plain
+        score_topk when no dictionary is built."""
+        if not terms:
+            return []
+        *head, last = terms
+        pref = self._termdict_prefix(last)
+        if pref is None:
+            return self.score_topk(terms, k=k)
+        pref.sort()  # [(-df, term)] -> df desc, term asc
+        exps = [t for _negdf, t in pref[:max_expansions]]
+        weights = Counter(head)
+        loaded = []
+        for term in sorted(weights):
+            segs = self.segments(term)
+            if not segs:
+                continue
+            df = sum(s.n for s in segs)
+            loaded.append((term, float(weights[term]),
+                           _idf(self.n_docs, df), segs))
+        # head sums (the exhaustive accumulation) ...
+        head_ids = head_acc = None
+        if loaded:
+            id_chunks, contrib_chunks = [], []
+            for _t, w, idf_t, segs in loaded:
+                for seg in segs:
+                    id_chunks.append(seg.doc_ids)
+                    contrib_chunks.append(w * (idf_t * seg.tfn))
+            all_ids = np.concatenate(id_chunks)
+            all_contrib = np.concatenate(contrib_chunks)
+            head_ids, inv = np.unique(all_ids, return_inverse=True)
+            head_acc = np.zeros(head_ids.size, dtype=np.float64)
+            np.add.at(head_acc, inv, all_contrib)
+        # ... plus the per-doc MAX over the expansion group
+        grp_ids = grp_max = None
+        g_id_chunks, g_contrib_chunks = [], []
+        for e in exps:
+            segs = self.segments(e)
+            if not segs:
+                continue
+            df = sum(s.n for s in segs)
+            idf_t = _idf(self.n_docs, df)
+            for seg in segs:
+                g_id_chunks.append(seg.doc_ids)
+                g_contrib_chunks.append(idf_t * seg.tfn)
+        if g_id_chunks:
+            g_ids = np.concatenate(g_id_chunks)
+            g_contrib = np.concatenate(g_contrib_chunks)
+            grp_ids, ginv = np.unique(g_ids, return_inverse=True)
+            grp_max = np.full(grp_ids.size, -np.inf, dtype=np.float64)
+            np.maximum.at(grp_max, ginv, g_contrib)
+        if head_ids is None and grp_ids is None:
+            return []
+        if head_ids is None:
+            uniq, acc = grp_ids, grp_max
+        elif grp_ids is None:
+            uniq, acc = head_ids, head_acc
+        else:
+            uniq = np.union1d(head_ids, grp_ids)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            acc[np.searchsorted(uniq, head_ids)] += head_acc
+            acc[np.searchsorted(uniq, grp_ids)] += grp_max
+        if self._dead_arr is not None:
+            alive = ~np.isin(uniq, self._dead_arr)
+            uniq, acc = uniq[alive], acc[alive]
+        if uniq.size == 0:
+            return []
+        if uniq.size <= k:
+            order = np.lexsort((uniq, -acc))
+        else:
+            kth = np.partition(acc, uniq.size - k)[uniq.size - k]
+            sel = np.flatnonzero(acc >= kth)
+            order = sel[np.lexsort((uniq[sel], -acc[sel]))]
+        return [(int(uniq[i]), float(acc[i])) for i in order[:k]]
+
     def search_matching(self, query: str, k: int = 10,
                         strategy: str = "last") -> list[tuple[int, float]]:
         """Meilisearch matching strategies over our BM25:

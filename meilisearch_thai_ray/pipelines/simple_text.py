@@ -2371,6 +2371,78 @@ SQL["k23_hybrid_search"] = _hybrid_sql(1, 1)
 SQL["k23b_hybrid_semantic_heavy"] = _hybrid_sql(3, 1)
 
 
+# ------------------------------------------------------------- prefix search
+
+PREFIX_QUERY = ["fast", "s"]  # head term + in-flight prefix (6 completions)
+
+
+def prefix_topk(sf_dir: str, k: int = 10):
+    """K25: search-as-you-type — the last query word matches as a PREFIX
+    (Meilisearch's implicit last-word prefix). Completions come from the
+    sorted term dictionary (df-ranked, capped at 10, ties by term);
+    the expansion group scores as ONE pseudo-term: per doc, the MAX BM25
+    contribution among its matching completions (each completion keeping
+    its own idf), head terms score normally. Engine path =
+    index/search.py:score_topk_prefix over the built simple index."""
+    from ..index.search import SearchEngine
+
+    eng = SearchEngine(simple_index_dir(sf_dir))
+    hits = eng.score_topk_prefix(PREFIX_QUERY, k=k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+        "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+        "score": pa.array([round(s, 6) for _, s in hits], pa.float64()),
+    })
+
+
+SQL["k25_prefix_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+expdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term LIKE '{PREFIX_QUERY[-1]}%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 10
+),
+exptf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM tok t JOIN expdf e USING (term) GROUP BY t.term, t.doc_id
+),
+expsc AS (
+  SELECT tf.doc_id,
+         max(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * (tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS c
+  FROM exptf tf JOIN expdf e USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+htf AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term = '{PREFIX_QUERY[0]}' GROUP BY doc_id),
+hdf AS (SELECT count(DISTINCT doc_id) AS df FROM tok
+        WHERE term = '{PREFIX_QUERY[0]}'),
+hsc AS (
+  SELECT htf.doc_id,
+         ln(1 + (s.n_docs - hdf.df + 0.5) / (hdf.df + 0.5))
+         * (htf.tf * (1.2 + 1.0)
+            / (htf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS c
+  FROM htf JOIN dl ON htf.doc_id = dl.doc_id CROSS JOIN hdf CROSS JOIN stats s
+),
+mix AS (
+  SELECT coalesce(h.doc_id, e.doc_id) AS doc_id,
+         coalesce(h.c, 0) + coalesce(e.c, 0) AS score
+  FROM hsc h FULL OUTER JOIN expsc e ON h.doc_id = e.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM mix ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- percolation
 
 # standing queries: (query_id, terms, matching strategy). The stored-query

@@ -112,3 +112,43 @@ def test_percolate_matches_python_sets(ray_session):
     got_t = percolate(SF).to_pandas()
     got = set(zip(got_t["doc_id"], got_t["query_id"]))
     assert got == want and len(want) > 0
+
+
+def test_prefix_topk_matches_naive_oracle(ray_session):
+    """K25 search-as-you-type: last-word prefix expansion with per-doc MAX
+    over the completion group == naive python BM25."""
+    from meilisearch_thai_ray.pipelines.simple_text import (PREFIX_QUERY,
+                                                            prefix_topk)
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = [t.split(" ") for t in docs["text"].to_pylist()]
+    ids = docs["doc_id"].to_pylist()
+    n = len(ids)
+    avgdl = sum(len(t) for t in toks) / n
+
+    def bm25(tf, dl, df):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+
+    head, pref = PREFIX_QUERY[:-1], PREFIX_QUERY[-1]
+    vocab = sorted({t for ts in toks for t in ts})
+    df = {v: sum(v in ts for ts in toks) for v in vocab}
+    exps = sorted((v for v in vocab if v.startswith(pref)),
+                  key=lambda v: (-df[v], v))[:10]
+    assert len(exps) >= 2  # the corpus must exercise multi-completion max
+    scores = {}
+    for d, ts in zip(ids, toks):
+        s = 0.0
+        for h in head:
+            if h in ts:
+                s += bm25(ts.count(h), len(ts), df[h])
+        grp = [bm25(ts.count(e), len(ts), df[e]) for e in exps if e in ts]
+        if grp:
+            s += max(grp)
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = prefix_topk(SF)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    assert got["score"].to_pylist() == [round(s, 6) for _, s in want]
