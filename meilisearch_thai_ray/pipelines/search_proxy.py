@@ -168,6 +168,10 @@ class SearchOptions:
     # Meilisearch rankingScoreThreshold (0..1): hits whose normalized score
     # falls below it are dropped (tightens the engine's MIN_SCORE_THRESHOLD)
     ranking_score_threshold: float | None = None
+    # Meilisearch showMatchesPosition: every hit gains `_matchesPosition`,
+    # {"text": [{"start", "length"}, ...]} — merged exact match spans of the
+    # query terms in the document text (character offsets). Needs docs_path.
+    show_matches_position: bool = False
     # Meilisearch attributesToSearchOn, over searchableAttributes
     # [title, content]: a hit must have at least one direct query-term
     # occurrence inside an allowed field (token position vs the doc's
@@ -837,6 +841,21 @@ class SearchProxy:
                     texts.get(h["doc_id"], ""), qterms,
                     options.crop_length, options.crop_marker,
                 )
+        if options and options.show_matches_position:
+            if not self.docs_path:
+                raise ValueError("show_matches_position requires docs_path")
+            from ..stages.highlights import extract_spans, merge_spans
+
+            qterms = self.tokenizer.index_terms(self.tokenizer.tokenize(query))
+            texts = self._doc_texts([h["doc_id"] for h in out])
+            for h in out:
+                spans = merge_spans([
+                    s for s in extract_spans(texts.get(h["doc_id"], ""),
+                                             qterms)
+                    if s.kind == "exact"])
+                h["_matchesPosition"] = {"text": [
+                    {"start": s.start, "length": s.end - s.start}
+                    for s in spans]}
         if options and options.show_ranking_score:
             for h in out:
                 h["_rankingScore"] = h["score"]

@@ -143,3 +143,25 @@ def test_show_ranking_score_details(feat_index):
     plain = proxy.search("red fox", options=SearchOptions(limit=10))
     assert all("_rankingScoreDetails" not in h and "_rankingScore" not in h
                for h in plain)
+
+
+def test_show_matches_position(feat_index):
+    proxy = _proxy(feat_index)
+    body_doc = doc_id_from_url(URLS[1])
+    hits = proxy.search("salmon", options=SearchOptions(
+        limit=10, show_matches_position=True))
+    by_id = {h["doc_id"]: h for h in hits}
+    mp = by_id[body_doc]["_matchesPosition"]["text"]
+    assert len(mp) == 3  # 'salmon' occurs 3x in the body doc
+    # spans point at the actual term occurrences
+    import pyarrow.dataset as pads
+    text = {r["doc_id"]: r["text"] for r in pads.dataset(
+        f"{feat_index}/docs").to_table(
+            columns=["doc_id", "text"]).to_pylist()}[body_doc]
+    for s in mp:
+        assert text[s["start"]:s["start"] + s["length"]].lower() == "salmon"
+    # requires the docs table
+    bare = SearchProxy(SearchEngine(feat_index))
+    with pytest.raises(ValueError, match="docs_path"):
+        bare.search("salmon", options=SearchOptions(
+            show_matches_position=True))
