@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k23b_hybrid_semantic_heavy": st.hybrid_topk_semantic_heavy,
         "s9_percolate": st.percolate,
         "k25_prefix_topk": st.prefix_topk,
+        "m17b_filter_lang": st.filter_docs_lang,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,

@@ -109,7 +109,9 @@ class SearchOptions:
 
     limit: int = 20                      # requests.py:12 (ge=1, le=100)
     offset: int = 0                      # requests.py:13
-    filters: dict | None = None          # our filter DSL over docs metadata
+    # dict = the reference's filter DSL; str = a Meilisearch filter-language
+    # expression (kernel/filter_lang.py) — both evaluate over docs metadata
+    filters: dict | str | None = None
     highlight: bool = False              # M19/M20 span markup on hits
     crop_length: int = 200               # requests.py:19 (ge=10, le=1000)
     crop_marker: str = "..."             # requests.py:20
@@ -1044,18 +1046,23 @@ class SearchProxy:
             hits = present + [h for h in hits if val(h) is None]
         return hits
 
-    def _filter_allowed(self, doc_ids: list[int], dsl: dict) -> set[int]:
+    def _filter_allowed(self, doc_ids: list[int],
+                        dsl: "dict | str") -> set[int]:
         """Per-request metadata filter (reference SearchOptions.filters):
-        evaluate the filter DSL against the docs table restricted to the
-        candidate ids (one pruned read, never a corpus scan)."""
+        evaluate the filter — a dict-DSL object OR a Meilisearch filter
+        STRING (kernel/filter_lang.py grammar) — against the docs table
+        restricted to the candidate ids (one pruned read, never a corpus
+        scan)."""
         if not self.docs_path or not doc_ids:
             return set()
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        from ..stages.filter_dsl import compile_filter
+        from ..stages.filter_dsl import compile_filter, compile_filter_str
 
-        expr = compile_filter(dsl) & pc.field("doc_id").isin(doc_ids)
+        base = (compile_filter_str(dsl) if isinstance(dsl, str)
+                else compile_filter(dsl))
+        expr = base & pc.field("doc_id").isin(doc_ids)
         t = pads.dataset(self.docs_path).to_table(columns=["doc_id"], filter=expr)
         return set(t["doc_id"].to_pylist())
 

@@ -2371,6 +2371,37 @@ SQL["k23_hybrid_search"] = _hybrid_sql(1, 1)
 SQL["k23b_hybrid_semantic_heavy"] = _hybrid_sql(3, 1)
 
 
+# ------------------------------------------ Meilisearch filter language (M17b)
+
+# exercises OR, a TO range, NOT, IN, and AND precedence in one expression
+FILTER_LANG = ("(lang = en OR lang = 'fr') AND n_chars 300 TO 900 "
+               "AND NOT source IN [src3, src7]")
+
+
+def filter_docs_lang(sf_dir: str):
+    """M17b: the Meilisearch filter STRING language (=/!=/comparisons, IN,
+    TO ranges, EXISTS, NOT, AND/OR, parens — kernel/filter_lang.py), parsed
+    once and rendered to a pyarrow dataset expression so it PUSHES DOWN to
+    the parquet read like the dict DSL; the SAME parse renders the SQL
+    oracle's WHERE clause."""
+    from ..stages.filter_dsl import compile_filter_str
+
+    return read_parquet_clean(
+        _doc_path(sf_dir), columns=["doc_id", "lang", "source", "n_chars"],
+        filter=compile_filter_str(FILTER_LANG),
+    )
+
+
+def _filter_lang_sql() -> str:
+    from ..stages.filter_dsl import filter_str_to_sql
+
+    return (f"SELECT doc_id, lang, source, n_chars FROM documents "
+            f"WHERE {filter_str_to_sql(FILTER_LANG)}")
+
+
+SQL["m17b_filter_lang"] = _filter_lang_sql()
+
+
 # ------------------------------------------------------------- prefix search
 
 PREFIX_QUERY = ["fast", "s"]  # head term + in-flight prefix (6 completions)

@@ -69,3 +69,69 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     return str(v)
+
+
+# -------------------------- Meilisearch filter-language string front end
+
+def compile_filter_str(s: str) -> pads.Expression:
+    """Meilisearch filter string (kernel/filter_lang.py grammar: =/!=/
+    comparisons, IN, TO ranges, EXISTS, NOT, AND/OR, parens) -> pyarrow
+    dataset expression, so string filters PUSH DOWN to the read exactly
+    like the dict DSL."""
+    from ..kernel.filter_lang import parse_filter
+
+    return _ast_to_expr(parse_filter(s))
+
+
+def _ast_to_expr(node) -> pads.Expression:
+    tag = node[0]
+    if tag == "and":
+        return _ast_to_expr(node[1]) & _ast_to_expr(node[2])
+    if tag == "or":
+        return _ast_to_expr(node[1]) | _ast_to_expr(node[2])
+    if tag == "not":
+        return ~_ast_to_expr(node[1])
+    if tag == "cmp":
+        _, attr, op, v = node
+        f = pc.field(attr)
+        return {"=": f == v, "!=": f != v, ">": f > v, ">=": f >= v,
+                "<": f < v, "<=": f <= v}[op]
+    if tag == "in":
+        return pc.field(node[1]).isin(list(node[2]))
+    if tag == "range":
+        f = pc.field(node[1])
+        return (f >= node[2]) & (f <= node[3])
+    if tag == "exists":
+        f = pc.field(node[1])
+        return ~f.is_null() if node[2] else f.is_null()
+    raise ValueError(f"unknown AST node {tag!r}")
+
+
+def filter_str_to_sql(s: str) -> str:
+    """The same filter string as an ANSI-SQL WHERE clause (oracle parity:
+    ONE parse drives both the pushed-down expression and the DuckDB side)."""
+    from ..kernel.filter_lang import parse_filter
+
+    return _ast_to_sql(parse_filter(s))
+
+
+def _ast_to_sql(node) -> str:
+    tag = node[0]
+    if tag in ("and", "or"):
+        return (f"({_ast_to_sql(node[1])} {tag.upper()} "
+                f"{_ast_to_sql(node[2])})")
+    if tag == "not":
+        return f"(NOT {_ast_to_sql(node[1])})"
+    if tag == "cmp":
+        _, attr, op, v = node
+        sym = "<>" if op == "!=" else op
+        return f"{attr} {sym} {_sql_lit(v)}"
+    if tag == "in":
+        vals = ", ".join(_sql_lit(v) for v in node[2])
+        return f"{node[1]} IN ({vals})"
+    if tag == "range":
+        return (f"({node[1]} >= {_sql_lit(node[2])} AND "
+                f"{node[1]} <= {_sql_lit(node[3])})")
+    if tag == "exists":
+        return f"{node[1]} IS {'NOT ' if node[2] else ''}NULL"
+    raise ValueError(f"unknown AST node {tag!r}")
