@@ -91,6 +91,19 @@ def split_negative_terms(query: str) -> tuple[str, list[str], list[str]]:
     return _re_mod.sub(r"\s+", " ", positive).strip(), words, phrases
 
 
+_PHRASE_RE = _re_mod.compile(r'"([^"]+)"')
+
+
+def split_quoted_phrases(query: str) -> tuple[str, list[str]]:
+    """Positive quoted phrases (Meilisearch phrase syntax: `"red fox"` must
+    occur as consecutive tokens). -> (query with the quotes stripped but the
+    WORDS kept — they still match and score — and the phrase constraints)."""
+    phrases = [m.group(1).strip() for m in _PHRASE_RE.finditer(query)]
+    stripped = _PHRASE_RE.sub(lambda m: m.group(1), query)
+    return (_re_mod.sub(r"\s+", " ", stripped).strip(),
+            [p for p in phrases if p])
+
+
 @dataclass
 class QueryVariant:
     query_text: str
@@ -605,6 +618,19 @@ class SearchProxy:
                 query = positive
                 if not query:
                     return self._placeholder_search(neg_excluded, k, offset)
+        phrase_allowed: set[int] | None = None
+        if '"' in query:
+            # Meilisearch phrase syntax: every quoted phrase must occur as
+            # consecutive tokens; its words still match and score normally
+            stripped, pos_phrases = split_quoted_phrases(query)
+            if pos_phrases:
+                query = stripped
+                for p in pos_phrases:
+                    s = {d for d, _ in self.search_phrase(p, k=1 << 62)}
+                    phrase_allowed = (s if phrase_allowed is None
+                                      else phrase_allowed & s)
+                    if not phrase_allowed:
+                        return []
         analysis, _tokens, confidence, variants = self._prepare(
             query,
             max_variants=options.max_query_variants if options else None,
@@ -771,6 +797,9 @@ class SearchProxy:
             if allowed is not None and hit["doc_id"] not in allowed:
                 continue
             if neg_excluded is not None and hit["doc_id"] in neg_excluded:
+                continue
+            if phrase_allowed is not None \
+                    and hit["doc_id"] not in phrase_allowed:
                 continue
             if attrs_on is not None and not attr_ok.get(hit["doc_id"]):
                 continue

@@ -165,3 +165,21 @@ def test_show_matches_position(feat_index):
     with pytest.raises(ValueError, match="docs_path"):
         bare.search("salmon", options=SearchOptions(
             show_matches_position=True))
+
+
+def test_positive_quoted_phrase_constraint(feat_index):
+    """Meilisearch phrase syntax: `"red fox"` keeps only docs where the
+    phrase occurs as consecutive tokens; words still score normally."""
+    proxy = _proxy(feat_index)
+    phrase_doc = doc_id_from_url(URLS[2])
+    scram_doc = doc_id_from_url(URLS[3])
+
+    plain = {h["doc_id"] for h in proxy.search("red fox", k=10)}
+    assert {phrase_doc, scram_doc} <= plain  # both match unquoted
+
+    quoted = [h["doc_id"] for h in proxy.search('"red fox" dinner', k=10)]
+    assert phrase_doc in quoted
+    assert scram_doc not in quoted  # has the words, not the phrase
+
+    # a phrase nothing contains -> empty, not a fallback
+    assert proxy.search('"fox red dinner was framed"', k=10) == []
