@@ -92,15 +92,19 @@ def _ast_to_expr(node) -> pads.Expression:
     if tag == "not":
         return ~_ast_to_expr(node[1])
     if tag == "cmp":
+        # TWO-valued leaves (Meilisearch semantics: a missing attribute is
+        # plain FALSE, so NOT keeps it): raw(null)=null, is_valid=false, and
+        # Kleene AND makes null & false = false — never null
         _, attr, op, v = node
         f = pc.field(attr)
-        return {"=": f == v, "!=": f != v, ">": f > v, ">=": f >= v,
-                "<": f < v, "<=": f <= v}[op]
+        raw = {"=": f == v, "!=": f != v, ">": f > v, ">=": f >= v,
+               "<": f < v, "<=": f <= v}[op]
+        return raw & f.is_valid()
     if tag == "in":
         return pc.field(node[1]).isin(list(node[2]))
     if tag == "range":
         f = pc.field(node[1])
-        return (f >= node[2]) & (f <= node[3])
+        return (f >= node[2]) & (f <= node[3]) & f.is_valid()
     if tag == "exists":
         f = pc.field(node[1])
         return ~f.is_null() if node[2] else f.is_null()
@@ -122,16 +126,20 @@ def _ast_to_sql(node) -> str:
                 f"{_ast_to_sql(node[2])})")
     if tag == "not":
         return f"(NOT {_ast_to_sql(node[1])})"
+    # every leaf renders TWO-valued (a null attribute is plain FALSE —
+    # Meilisearch's semantics: NOT keeps documents missing the attribute);
+    # coalesce forces SQL's three-valued logic to agree with the pyarrow
+    # expression side (property-tested in test_properties.py)
     if tag == "cmp":
         _, attr, op, v = node
         sym = "<>" if op == "!=" else op
-        return f"{attr} {sym} {_sql_lit(v)}"
+        return f"coalesce({attr} {sym} {_sql_lit(v)}, FALSE)"
     if tag == "in":
         vals = ", ".join(_sql_lit(v) for v in node[2])
-        return f"{node[1]} IN ({vals})"
+        return f"coalesce({node[1]} IN ({vals}), FALSE)"
     if tag == "range":
-        return (f"({node[1]} >= {_sql_lit(node[2])} AND "
-                f"{node[1]} <= {_sql_lit(node[3])})")
+        return (f"coalesce({node[1]} >= {_sql_lit(node[2])} AND "
+                f"{node[1]} <= {_sql_lit(node[3])}, FALSE)")
     if tag == "exists":
         return f"{node[1]} IS {'NOT ' if node[2] else ''}NULL"
     raise ValueError(f"unknown AST node {tag!r}")

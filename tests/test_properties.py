@@ -207,3 +207,70 @@ def test_boilerplate_total_and_idempotent_shape(html):
     out = extract_main_text(html)
     for line in out.split("\n") if out else []:
         assert line and line == line.strip() and "  " not in line
+
+
+# --------------------------- filter language: dual-rendering agreement
+
+_flt_attr = st.sampled_from(["lang", "n", "src"])
+_INT_ATTRS = {"n"}  # typed values: int column gets ints, string columns strings
+
+
+def _val_for(draw, attr):
+    if attr in _INT_ATTRS:
+        return draw(st.integers(min_value=-5, max_value=5))
+    return draw(st.sampled_from(["en", "fr", "de", "a b", "it's"]))
+
+
+def _flt_cond(draw):
+    kind = draw(st.sampled_from(["cmp", "in", "range", "exists"]))
+    attr = draw(_flt_attr)
+    if kind == "cmp":
+        op = draw(st.sampled_from(["=", "!=", ">", ">=", "<", "<="]))
+        return ("cmp", attr, op, _val_for(draw, attr))
+    if kind == "in":
+        vals = [_val_for(draw, attr)
+                for _ in range(draw(st.integers(1, 3)))]
+        return ("in", attr, vals)
+    if kind == "range":
+        attr = "n"  # ranges are numeric
+        lo = draw(st.integers(min_value=-5, max_value=5))
+        return ("range", attr, lo,
+                draw(st.integers(min_value=-5, max_value=5)))
+    return ("exists", attr, draw(st.booleans()))
+
+
+@st.composite
+def _flt_ast(draw, depth=0):
+    if depth >= 3 or draw(st.integers(0, 2)) == 0:
+        return _flt_cond(draw)
+    tag = draw(st.sampled_from(["and", "or", "not"]))
+    if tag == "not":
+        return ("not", draw(_flt_ast(depth=depth + 1)))
+    return (tag, draw(_flt_ast(depth=depth + 1)),
+            draw(_flt_ast(depth=depth + 1)))
+
+
+@given(ast=_flt_ast())
+@settings(max_examples=150, deadline=None)
+def test_filter_ast_pyarrow_and_sql_renderings_agree(ast):
+    """Any filter AST must select the same rows via the pyarrow pushdown
+    expression and via the rendered SQL WHERE (the two sides of the m17b
+    oracle), on a table covering nulls and every comparison branch."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from meilisearch_thai_ray.stages.filter_dsl import (_ast_to_expr,
+                                                        _ast_to_sql)
+
+    t = pa.table({
+        "rid": list(range(8)),
+        "lang": ["en", "fr", "de", None, "en", "a b", "it's", None],
+        "n": [-5, -1, 0, 1, 3, 5, None, 2],
+        "src": ["a", None, "b", "c", "a", None, "b", "c"],
+    })
+    got = pads.dataset(t).to_table(filter=_ast_to_expr(ast))
+    want = duckdb.arrow(t).filter(_ast_to_sql(ast)).arrow()
+    # duckdb's relational filter may reorder rows; membership is the contract
+    assert sorted(got["rid"].to_pylist()) == \
+        sorted(want["rid"].to_pylist()), _ast_to_sql(ast)
