@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-asserted)
         "ann_pq_topk": st.ann_pq_topk,
         "ann_ivfpq_topk": st.ann_ivfpq_topk,
+        "ann_ivfpq_res_topk": st.ann_ivfpq_res_topk,
         # rows-only: SemDeDup (k-means + within-cluster cosine — clustering
         # is not SQL-expressible; planted-dup drop identity + cluster-cap
         # behavior are pytest-asserted)

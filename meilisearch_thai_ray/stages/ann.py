@@ -422,3 +422,115 @@ class PqAdcTopK:
             "vec_id": pa.array(ids[sel].astype(np.int64)),
             "sim": pa.array(sims[sel].astype(np.float64)),
         })
+
+
+# ------------------------------------------------ residual IVF+PQ (faiss-style)
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def pq_train_residual(ds, centroids: np.ndarray, m: int = 8,
+                      codes: int = 256, iters: int = 10,
+                      sample_n: int = 4096, vec_col: str = "embedding",
+                      seed: int = 13) -> list[np.ndarray]:
+    """Codebooks over IVF RESIDUALS (Jégou et al. 2011 §IV-A, the faiss
+    IVFPQ composition): each sample vector normalizes, assigns to its
+    nearest centroid, and the PQ quantizes v - c — residual magnitudes are
+    a fraction of vector magnitudes, so the same m bytes spend their
+    resolution on the part the coarse quantizer could not explain."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    sample = _normalize_rows(hash_sample_matrix(ds, sample_n, vec_col))
+    d2 = ((sample ** 2).sum(axis=1)[:, None] - 2.0 * (sample @ cents.T)
+          + (cents ** 2).sum(axis=1)[None, :])
+    resid = sample - cents[d2.argmin(axis=1)]
+    return [kmeans_fit(sub, codes, iters=iters, seed=seed + i)
+            for i, sub in enumerate(np.array_split(resid, m, axis=1))]
+
+
+class IvfPqResidualEncode:
+    """(vec_id, embedding) -> (vec_id, pq_code, ivf_list), residual form:
+    normalize, coarse-assign, PQ-encode v - centroid[list]. Stateful stage;
+    codebooks + centroids ship once per actor via constructor args."""
+
+    def __init__(self, codebooks: list[np.ndarray], centroids: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.codebooks = [np.asarray(c, dtype=np.float64) for c in codebooks]
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.splits = np.cumsum([c.shape[1] for c in self.codebooks])[:-1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize_rows(_batch_matrix(batch, self.vec_col))
+        cents = self.centroids
+        d2 = ((mat ** 2).sum(axis=1)[:, None] - 2.0 * (mat @ cents.T)
+              + (cents ** 2).sum(axis=1)[None, :])
+        lists = d2.argmin(axis=1)
+        resid = mat - cents[lists]
+        out = np.empty((mat.shape[0], len(self.codebooks)), dtype=np.uint8)
+        for i, (sub, cb) in enumerate(
+                zip(np.split(resid, self.splits, axis=1), self.codebooks)):
+            sd2 = ((sub ** 2).sum(axis=1)[:, None] - 2.0 * (sub @ cb.T)
+                   + (cb ** 2).sum(axis=1)[None, :])
+            out[:, i] = sd2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": batch[self.id_col].cast(pa.int64()),
+            "pq_code": pa.array(
+                list(out.tobytes()[i * out.shape[1]:(i + 1) * out.shape[1]]
+                     for i in range(out.shape[0])), pa.binary()),
+            "ivf_list": pa.array(lists.astype(np.int32)),
+        })
+
+
+class IvfPqResidualTopK:
+    """ADC over residual codes: the query builds ONE (m x codes) lookup
+    table PER PROBED LIST from (q - centroid[list]) — approximate
+    ||q - v||^2 = sum_j LUT_list[j, code_j] — then each batch groups its
+    rows by list (np sort) and sums table lookups. Emits <= k rows/batch;
+    sim = 1 - d2/2 (cosine identity on the unit sphere, approximate
+    through the codebooks)."""
+
+    def __init__(self, codebooks: list[np.ndarray], centroids: np.ndarray,
+                 query_vec, probe_lists: list[int], k: int = 10,
+                 round_to: int = 6):
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        cents = np.asarray(centroids, dtype=np.float64)
+        splits = np.cumsum([c.shape[1] for c in codebooks])[:-1]
+        self.tables = {}
+        for li in probe_lists:
+            rq = q - cents[li]
+            self.tables[int(li)] = np.stack([
+                ((sub[None, :] - np.asarray(cb)) ** 2).sum(axis=1)
+                for sub, cb in zip(np.split(rq, splits), codebooks)
+            ])  # (m, codes)
+        self.k = k
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        codes = np.frombuffer(
+            b"".join(batch["pq_code"].to_pylist()), dtype=np.uint8
+        ).reshape(batch.num_rows, -1)
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        d2 = np.empty(batch.num_rows, dtype=np.float64)
+        cols = np.arange(codes.shape[1])[None, :]
+        for li in np.unique(lists):
+            rows = np.flatnonzero(lists == li)
+            tab = self.tables[int(li)]
+            d2[rows] = tab[cols, codes[rows]].sum(axis=1)
+        sims = np.round(1.0 - d2 / 2.0, self.round_to)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        k = min(self.k, sims.size)
+        kth = (np.partition(sims, sims.size - k)[sims.size - k]
+               if k < sims.size else -np.inf)
+        sel = np.flatnonzero(sims >= kth)
+        return pa.table({
+            "vec_id": pa.array(ids[sel].astype(np.int64)),
+            "sim": pa.array(sims[sel].astype(np.float64)),
+        })
