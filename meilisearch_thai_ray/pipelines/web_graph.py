@@ -506,6 +506,67 @@ def crawl_frontier(sf_dir: str, per_host: int = FRONTIER_PER_HOST
     })
 
 
+def frontier_timed_schedule(sf_dir: str, per_host: int = FRONTIER_PER_HOST
+                            ) -> pa.Table:
+    """W10 — Crawl-delay-aware frontier schedule: each host advertises a
+    per-request delay (planted arithmetically: (host_idx % 4) + 1 seconds,
+    the robots.txt Crawl-delay convention), and a host's i-th candidate is
+    fetched at i * delay. Unlike w6's round-robin interleave (uniform
+    politeness), the timed schedule lets fast hosts drain ahead of slow
+    ones while never violating any single host's spacing — the shape real
+    fetch schedulers (Heritrix politeness queues) run.
+
+    Same scale shape as crawl_frontier: per-batch vectorized partial top-B
+    per host -> ONE host-bounded groupby -> <= hosts x B rows sort on the
+    driver. fetch_at is integer seconds (rank * delay) so the schedule is
+    integer-exact and SQL-expressible as one window function."""
+    import os
+
+    def partial_topb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        host = ids % N_HOSTS
+        prio = (ids * 31) % 100
+        order = np.lexsort((ids, -prio, host))
+        h = host[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        pos = np.arange(h.size) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [h.size]))))
+        keep = order[pos < per_host]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "host_idx": pa.array(host[keep], pa.int64()),
+            "priority": pa.array(prio[keep], pa.int64()),
+        })
+
+    def final_schedule(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        prio = group["priority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -prio))[:per_host]
+        delay = int(ids[0] % N_HOSTS % 4) + 1
+        ranks = np.arange(order.size, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "host_idx": group["host_idx"].take(pa.array(order)),
+            "priority": pa.array(prio[order], pa.int64()),
+            "fetch_at": pa.array(ranks * delay, pa.int64()),
+        })
+
+    rows = (read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(partial_topb, batch_format="pyarrow",
+                     batch_size=65536)
+        .groupby("host_idx")
+        .map_groups(final_schedule, batch_format="pyarrow")
+        .take_all())
+    rows.sort(key=lambda r: (r["fetch_at"], r["host_idx"], r["doc_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "host_idx": pa.array([r["host_idx"] for r in rows], pa.int64()),
+        "priority": pa.array([r["priority"] for r in rows], pa.int64()),
+        "fetch_at": pa.array([r["fetch_at"] for r in rows], pa.int64()),
+    })
+
+
 SITEMAP_MAX_URLS = 50_000  # sitemaps.org protocol cap per file
 
 
@@ -795,4 +856,19 @@ SELECT 'site' || (doc_id % 101) || '.example.th' AS host,
 FROM ({_STATS_SQL["m26_gopher_rules"]})
 GROUP BY doc_id % 101
 ORDER BY host
+"""
+
+
+SQL["w10_frontier_timed"] = f"""
+WITH ranked AS (
+  SELECT doc_id, doc_id % {N_HOSTS} AS host_idx,
+         (doc_id * 31) % 100 AS priority,
+         row_number() OVER (PARTITION BY doc_id % {N_HOSTS}
+                            ORDER BY (doc_id * 31) % 100 DESC, doc_id) - 1
+           AS r
+  FROM documents
+)
+SELECT doc_id, host_idx, priority,
+       CAST(r * ((host_idx % 4) + 1) AS BIGINT) AS fetch_at
+FROM ranked WHERE r < {FRONTIER_PER_HOST}
 """

@@ -113,3 +113,24 @@ def test_sitemap_sharding_round_trip(ray_session):
     ).sort_values("url")
     assert flat.reset_index(drop=True).equals(
         sharded.reset_index(drop=True))
+
+
+def test_frontier_timed_schedule_politeness_invariants(ray_session):
+    """W10: per-host spacing == the host's planted Crawl-delay, schedule
+    globally sorted by fetch_at, per-host order still priority-first."""
+    from meilisearch_thai_ray.pipelines.web_graph import (
+        frontier_timed_schedule)
+
+    t = frontier_timed_schedule("/root/testdata/sf0.001").to_pandas()
+    assert list(t["fetch_at"]) == sorted(t["fetch_at"])
+    for host, g in t.groupby("host_idx"):
+        delay = int(host % 4) + 1
+        fts = sorted(g["fetch_at"])
+        assert fts == [i * delay for i in range(len(g))]
+        # within a host, earlier fetch = higher priority (doc_id breaks ties)
+        byft = g.sort_values("fetch_at")
+        pr = list(byft["priority"])
+        ids = list(byft["doc_id"])
+        assert all((pr[i] > pr[i+1]) or (pr[i] == pr[i+1] and
+                                         ids[i] < ids[i+1])
+                   for i in range(len(pr) - 1))
