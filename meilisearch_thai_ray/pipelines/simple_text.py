@@ -3161,7 +3161,8 @@ def _ivfpq_res_code_store(sf_dir: str, m: int, nlist: int):
 
 
 def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
-                       nlist: int = 16, nprobe: int = 4):
+                       nlist: int = 16, nprobe: int = 4,
+                       refine: int = 0):
     """ANN with RESIDUAL IVF+PQ (Jégou et al. 2011 §IV-A — the faiss IVFPQ
     composition; rows-only, approximate by design). The PQ spends its m
     bytes on v - centroid instead of v, so the same code budget explains
@@ -3170,7 +3171,13 @@ def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
     pytest; recall on the tiny near-uniform test embeddings trades places
     with non-residual within noise). The
     query builds one LUT per probed list from (q - centroid[list]); the
-    read still prunes to the probed lists via the sorted-code layout."""
+    read still prunes to the probed lists via the sorted-code layout.
+
+    refine > 0 adds the faiss-RFlat re-rank: the ADC stage returns a
+    `refine`-sized shortlist and ONE pruned float read re-scores it with
+    exact cosine — recall@10 through near-ties no m-byte code can order,
+    at O(refine) float cost (the codes-only scan still does the heavy
+    pruning)."""
     import pyarrow.dataset as pads
 
     from ..functions.resources import pool_cap
@@ -3191,7 +3198,7 @@ def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
         IvfPqResidualTopK,
         fn_constructor_kwargs={"codebooks": books, "centroids": cents,
                                "query_vec": qv, "probe_lists": probe,
-                               "k": k},
+                               "k": max(k, refine)},
         batch_format="pyarrow", batch_size=4096,
         concurrency=(1, pool_cap(2, fraction=0.25)),
     )
@@ -3199,7 +3206,25 @@ def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
     if not rows:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "sim": pa.array([], pa.float64())})
-    return merge_topk(pa.Table.from_pylist(rows), k)
+    cand = merge_topk(pa.Table.from_pylist(rows), max(k, refine))
+    if not refine:
+        return cand
+    # refine: exact cosine over the shortlist's floats, ONE pruned read
+    ids = cand["vec_id"].to_pylist()
+    ft = pads.dataset(_doc_path(sf_dir, "embeddings")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(ids))
+    mat = np.asarray(ft["embedding"].combine_chunks().values,
+                     dtype=np.float64).reshape(ft.num_rows, -1)
+    ns = np.linalg.norm(mat, axis=1)
+    ns[ns == 0] = 1.0
+    sims = np.round((mat @ q) / ns, 6)
+    fids = ft["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((fids, -sims))[:k]
+    return pa.table({
+        "vec_id": pa.array(fids[order].astype(np.int64)),
+        "sim": pa.array(sims[order].astype(np.float64)),
+    })
 
 
 def ann_pq_topk(sf_dir: str, k: int = 10, m: int = 8):

@@ -242,3 +242,29 @@ def test_residual_ivfpq_pipeline_recall_floor(ray_session):
     got = set(out["vec_id"].to_pylist())
     assert len(got & exact) / 10 >= 0.4
     assert 0 in got  # the query vector itself must surface
+
+
+def test_residual_ivfpq_refine_reaches_exact_topk(ray_session):
+    """refine (the faiss-RFlat re-rank): ADC shortlist + ONE pruned float
+    read must reproduce the exact brute-force top-10 at full probe."""
+    import pyarrow.parquet as pq2
+
+    from meilisearch_thai_ray.pipelines.simple_text import ann_ivfpq_res_topk
+
+    emb = pq2.read_table(SF + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mat = np.asarray(emb["embedding"].combine_chunks().values,
+                     dtype=np.float64).reshape(emb.num_rows, -1)
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    q = mat[np.flatnonzero(vids == 0)[0]]
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ qn) / norms, 6)
+    order = np.lexsort((vids, -sims))[:10]
+    exact_ids = vids[order].tolist()
+
+    out = ann_ivfpq_res_topk(SF, nprobe=16, refine=100)  # full probe
+    assert out["vec_id"].to_pylist() == exact_ids
+    assert out["sim"].to_pylist() == [round(float(s), 6)
+                                      for s in sims[order]]
