@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w5_sitemap_urls": webg.sitemap_urls,
         "w6_crawl_frontier": webg.crawl_frontier,
         "w10_frontier_timed": webg.frontier_timed_schedule,
+        "w11_recrawl_priority": webg.recrawl_priority,
         "w7_anchor_enrich": webg.anchor_enrich,
         "w8_main_content": webg.main_content,
         "w9_host_reputation": webg.host_reputation,

@@ -872,3 +872,129 @@ SELECT doc_id, host_idx, priority,
        CAST(r * ((host_idx % 4) + 1) AS BIGINT) AS fetch_at
 FROM ranked WHERE r < {FRONTIER_PER_HOST}
 """
+
+
+# ---------------------------------------------------------------------------
+# W11 — change-rate-aware recrawl priority (Cho & Garcia-Molina, ACM TOIT
+# 2003, "Estimating Frequency of Change": the incomplete-change-observation
+# estimator lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) over n observed
+# intervals with X detected changes). A continuous crawl cannot afford to
+# re-fetch everything; it re-fetches by EXPECTED STALENESS, estimated from
+# the digest history the CDX index already stores (sources/warc.py). The
+# reference has no crawler at all — this is the scheduling half a web-scale
+# deployment needs on top of w6/w10's politeness ordering.
+#
+# Planted capture history (k = 4 snapshots, restated by the SQL oracle):
+#   changed(doc, s)  s in 1..3:  (doc_id * P_s) % 7 < 3, P = (2, 3, 5)
+#     (the multipliers are NOT congruent mod 7, so X spans 0..3: d%7==2
+#      never changes, d%7==0 changes every interval — a degenerate rule
+#      like (d*13+s)%3==0 fires exactly once for EVERY doc)
+#   digest_h(doc, s) = doc_id * 1000003 + #changes fired up to s
+#   age(doc)         = doc_id % 5 + 1    (crawls since last fetch)
+#
+# Scale shape: each snapshot is generated as its OWN stream (a real archive
+# stores one CDX per crawl — rows for the same url live in different files,
+# so comparing consecutive digests genuinely requires an exchange). The
+# lag() is expressed as a SHIFTED-KEY pair combine: every history row
+# enters twice, as (doc*4 + s, +digest) and (doc*4 + s + 1, -digest); after
+# ONE sum_by_int_key, a pair key's sum is zero iff the page did not change
+# across that interval. Change counts then ride a second (3-rows-per-doc)
+# sum_by_int_key. Nothing wide ever carries text; both combines move
+# O(docs * k) int64 rows.
+
+RECRAWL_SNAPSHOTS = 4  # k: snapshots 0..3 -> n = k-1 observed intervals
+RECRAWL_MULT = {1: 2, 2: 3, 3: 5}  # per-interval change-rule multipliers
+
+
+def _history_digests(ids: np.ndarray, s: int) -> np.ndarray:
+    """Planted digest_h for snapshot s (vectorized; the ONE rule set)."""
+    cc = np.zeros(ids.size, dtype=np.int64)
+    for i in range(1, s + 1):
+        cc += ((ids * RECRAWL_MULT[i]) % 7 < 3).astype(np.int64)
+    return ids * 1000003 + cc
+
+
+def recrawl_priority(sf_dir: str) -> ray.data.Dataset:
+    """W11 -> (doc_id, n_changes, lambda_hat, p_stale), ordered by doc_id.
+
+    p_stale = 1 - exp(-lambda_hat * age) is the Poisson probability the
+    page changed since its last fetch — the recrawl priority that feeds
+    the w10 frontier. Floats rounded 6 dp on both sides; the SQL mirrors
+    the float expression term for term."""
+    import os
+
+    from ..stages.runs import sum_by_int_key
+
+    k = RECRAWL_SNAPSHOTS
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def snapshot_rows(s: int):
+        def _emit(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            dig = _history_digests(ids, s)
+            keys, vals = [], []
+            if s >= 1:            # this snapshot as the CURRENT side
+                keys.append(ids * k + s)
+                vals.append(dig)
+            if s + 1 <= k - 1:    # this snapshot as the PREVIOUS side
+                keys.append(ids * k + s + 1)
+                vals.append(-dig)
+            return pa.table({
+                "pair_key": pa.array(np.concatenate(keys), pa.int64()),
+                "sdig": pa.array(np.concatenate(vals), pa.int64()),
+            })
+        return read_parquet_clean(path, columns=["doc_id"]).map_batches(
+            _emit, batch_format="pyarrow", batch_size=65536)
+
+    streams = [snapshot_rows(s) for s in range(k)]
+    hist = streams[0].union(*streams[1:])
+    diff = sum_by_int_key(hist, "pair_key", "sdig", out_col="ddig")
+
+    def _changed(batch: pa.Table) -> pa.Table:
+        pk = batch["pair_key"].to_numpy(zero_copy_only=False)
+        dd = batch["ddig"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(pk // k, pa.int64()),
+            "changed": pa.array((dd != 0).astype(np.int64)),
+        })
+
+    n_changes = sum_by_int_key(
+        diff.map_batches(_changed, batch_format="pyarrow",
+                         batch_size=65536),
+        "doc_id", "changed", out_col="n_changes")
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        x = batch["n_changes"].to_numpy(zero_copy_only=False)
+        n = float(k - 1)
+        lam = -np.log((n - x + 0.5) / (n + 0.5))
+        age = (ids % 5 + 1).astype(np.float64)
+        p_stale = 1.0 - np.exp(-lam * age)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_changes": pa.array(x.astype(np.int64)),
+            "lambda_hat": pa.array(np.round(lam, 6), pa.float64()),
+            "p_stale": pa.array(np.round(p_stale, 6), pa.float64()),
+        })
+
+    return (n_changes.map_batches(_score, batch_format="pyarrow",
+                                  batch_size=65536)
+            .sort("doc_id"))
+
+
+SQL["w11_recrawl_priority"] = """
+WITH ch AS (
+  SELECT doc_id,
+         CAST((CASE WHEN (doc_id * 2) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 3) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 5) % 7 < 3 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_changes
+  FROM documents
+)
+SELECT doc_id, n_changes,
+       round(-ln((3.0 - n_changes + 0.5) / (3.0 + 0.5)), 6) AS lambda_hat,
+       round(1.0 - exp(-(-ln((3.0 - n_changes + 0.5) / (3.0 + 0.5)))
+                       * (doc_id % 5 + 1)), 6) AS p_stale
+FROM ch
+ORDER BY doc_id
+"""

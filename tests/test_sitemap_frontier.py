@@ -134,3 +134,49 @@ def test_frontier_timed_schedule_politeness_invariants(ray_session):
         assert all((pr[i] > pr[i+1]) or (pr[i] == pr[i+1] and
                                          ids[i] < ids[i+1])
                    for i in range(len(pr) - 1))
+
+
+# ---- w11 recrawl priority (Cho & Garcia-Molina change-rate estimator) ----
+
+def _w11_python_oracle(doc_ids):
+    """Naive restatement of the planted history + estimator."""
+    import math
+
+    rows = []
+    for d in doc_ids:
+        x = sum(1 for p in (2, 3, 5) if (d * p) % 7 < 3)
+        lam = -math.log((3 - x + 0.5) / 3.5)
+        age = d % 5 + 1
+        rows.append((d, x, round(lam, 6),
+                     round(1.0 - math.exp(-lam * age), 6)))
+    return rows
+
+
+def test_recrawl_priority_matches_python_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    got = wg.recrawl_priority(SF).take_all()
+    ids = sorted(pq.read_table(SF + "/documents.parquet",
+                               columns=["doc_id"])["doc_id"].to_pylist())
+    want = _w11_python_oracle(ids)
+    assert [(r["doc_id"], r["n_changes"], r["lambda_hat"], r["p_stale"])
+            for r in got] == want
+
+
+def test_recrawl_priority_change_count_is_from_digests(ray_session):
+    """The change count must come from actual digest comparisons through
+    the shifted-key exchange: a doc whose rule never fires has
+    lambda_hat = -ln(3.5/3.5) = 0 and p_stale = 0 at any age."""
+    rows = {r["doc_id"]: r for r in wg.recrawl_priority(SF).take_all()}
+    zero = [d for d in rows
+            if all((d * p) % 7 >= 3 for p in (2, 3, 5))]
+    assert zero, "planted corpus should contain never-changing docs"
+    for d in zero[:5]:
+        assert rows[d]["n_changes"] == 0
+        assert rows[d]["lambda_hat"] == 0.0
+        assert rows[d]["p_stale"] == 0.0
+    hot = [d for d in rows
+           if all((d * p) % 7 < 3 for p in (2, 3, 5))]
+    for d in hot[:5]:
+        assert rows[d]["n_changes"] == 3
+        assert rows[d]["p_stale"] > 0.8
