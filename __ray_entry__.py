@@ -41,6 +41,12 @@ def _cdx_index_demo(sf_dir: str) -> Any:
     return cdx_index_demo(sf_dir)
 
 
+def _warc_revisit_demo(sf_dir: str) -> Any:
+    from meilisearch_thai_ray.pipelines.crawl_refresh import warc_revisit_demo
+
+    return warc_revisit_demo(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import corpus_stats as cs
     from meilisearch_thai_ray.pipelines import curate as cur
@@ -180,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # drop/serve behavior is pytest-verified (test_crawl_refresh.py)
         "s8_crawl_refresh": _crawl_refresh_demo,
         "s10_cdx_index": _cdx_index_demo,
+        "s11_warc_revisit": _warc_revisit_demo,
         "m23_lm_score": td.lm_score,
         "m30_nb_quality": td.nb_quality,
         "k8_global_shuffle": td.global_shuffle,
@@ -273,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from meilisearch_thai_ray.pipelines.corpus_stats import SQL as STATS_SQL
+    from meilisearch_thai_ray.pipelines.crawl_refresh import SQL as CRAWL_SQL
     from meilisearch_thai_ray.pipelines.curate import SQL as CURATE_SQL
     from meilisearch_thai_ray.pipelines.dedup_pipelines import SQL as DEDUP_SQL
     from meilisearch_thai_ray.pipelines.olap import SQL as OLAP_SQL
@@ -286,4 +294,4 @@ def oracle_sql() -> dict[str, str]:
 
     return {**SQL, **DEDUP_SQL, **STATS_SQL, **CURATE_SQL, **PACK_SQL,
             **TRAIN_SQL, **OLAP_SQL, **OLAP2_SQL, **OLAP3_SQL,
-            **WINDOW_SQL, **WEB_SQL}
+            **WINDOW_SQL, **WEB_SQL, **CRAWL_SQL}

@@ -352,3 +352,75 @@ def cdx_index_demo(sf_dir: str):
                              batch_size=256),
             warc_dir, prefix="cdxdemo")
     return cdx_index_warc_dir(warc_dir)
+
+
+def warc_revisit_demo(sf_dir: str):
+    """S11 — revisit-record archive dedup across two crawls (WARC/1.1
+    identical-payload-digest profile, sources/warc.py:RevisitWarcSink).
+
+    Crawl A archives every document page; crawl B re-fetches the same
+    urls with a planted change rule (doc_id % 7 < 2 -> content changed).
+    B writes THROUGH the revisit sink against A's CDX digest map, so
+    unchanged pages become header-only revisit records. The output is
+    B's CDX reduced to (url, record_type) — SQL-verifiable because the
+    change rule is arithmetic — and the byte-level resolution contract
+    (every revisit resolves through A's CDX to the byte-identical
+    original payload) is pytest-asserted in test_warc_sink.py.
+
+    Page rule (restated by SQL["s11_warc_revisit"]):
+      url  = https://rv{doc_id % 7}.example.th/p/{doc_id}
+      A    = <p>{text}</p>;  B = <p>{text} v2</p> iff doc_id % 7 < 2
+    """
+    import hashlib
+    import shutil
+
+    from ..sources.warc import (cdx_index_warc_dir, write_warc_pages,
+                                write_warc_pages_revisit)
+    from .simple_text import input_fingerprint, read_parquet_clean
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(
+        (input_fingerprint(doc_path) + "revisit-v1").encode()
+    ).hexdigest()[:10]
+
+    def _pages(version: str):
+        def _to(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            htmls = []
+            for d, x in zip(ids, texts):
+                changed = version == "b" and d % 7 < 2
+                htmls.append(
+                    f"<p>{x} v2</p>".encode() if changed
+                    else f"<p>{x}</p>".encode())
+            return pa.table({
+                "url": pa.array(
+                    [f"https://rv{d % 7}.example.th/p/{d}" for d in ids],
+                    pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            })
+        return read_parquet_clean(
+            doc_path, columns=["doc_id", "text"]).map_batches(
+            _to, batch_format="pyarrow", batch_size=256)
+
+    dir_a = os.path.join(_CACHE_ROOT, f"revisit_a_{fp}")
+    dir_b = os.path.join(_CACHE_ROOT, f"revisit_b_{fp}")
+    if not os.path.isdir(dir_a) or not any(
+            f.endswith(".warc.gz") for f in os.listdir(dir_a)):
+        write_warc_pages(_pages("a"), dir_a, prefix="rva")
+    cdx_a = cdx_index_warc_dir(dir_a)
+    shutil.rmtree(dir_b, ignore_errors=True)
+    write_warc_pages_revisit(_pages("b"), dir_b, cdx_a, prefix="rvb")
+    cdx_b = cdx_index_warc_dir(dir_b)
+    return (cdx_b.select_columns(["url", "record_type"]).sort("url"))
+
+
+SQL = {
+    "s11_warc_revisit": """
+SELECT 'https://rv' || (doc_id % 7) || '.example.th/p/' || doc_id AS url,
+       CASE WHEN doc_id % 7 < 2 THEN 'response' ELSE 'revisit' END
+           AS record_type
+FROM documents
+ORDER BY url
+""",
+}

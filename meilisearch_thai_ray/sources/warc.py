@@ -415,12 +415,15 @@ def warc_files_to_cdx(batch: pa.Table) -> pa.Table:
     `length` locate one record's gzip member, so a reader fetches a single
     page from a multi-GB archive with one ranged read. digest = sha1-b32 of
     the decoded document payload (the classic CDX convention); urlkey =
-    SURT (kernel/cdx.py). Only response records are indexed."""
+    SURT (kernel/cdx.py). `response` and `revisit` records are indexed
+    (record_type column); a revisit row's digest comes from its
+    WARC-Payload-Digest header (the block carries no payload to hash) and
+    `payload_len` is 0 — resolve through the prior crawl's CDX."""
     from ..kernel.cdx import cdx_digest, surt
 
     cols: dict[str, list] = {k: [] for k in (
         "urlkey", "warc_ts", "url", "digest", "offset", "length",
-        "filename")}
+        "filename", "record_type", "payload_len")}
     for path in batch["path"].to_pylist():
         fname = os.path.basename(path)
         for off, ln, rec in iter_warc_gzip_members(path):
@@ -429,21 +432,30 @@ def warc_files_to_cdx(batch: pa.Table) -> pa.Table:
             for hl in head.split(b"\r\n")[1:]:
                 k, _, v = hl.decode("utf-8", "replace").partition(":")
                 headers[k.strip().lower()] = v.strip()
-            if headers.get("warc-type") != "response":
+            rtype = headers.get("warc-type", "")
+            if rtype not in ("response", "revisit"):
                 continue
             try:
                 clen = int(headers.get("content-length", ""))
             except ValueError:
                 continue
-            body = _http_body(rest[:clen])
             url = headers.get("warc-target-uri", "")
+            if rtype == "revisit":
+                digest = headers.get("warc-payload-digest", "")
+                plen = 0
+            else:
+                body = _http_body(rest[:clen])
+                digest = cdx_digest(body)
+                plen = len(body)
             cols["urlkey"].append(surt(url))
             cols["warc_ts"].append(headers.get("warc-date", ""))
             cols["url"].append(url)
-            cols["digest"].append(cdx_digest(body))
+            cols["digest"].append(digest)
             cols["offset"].append(off)
             cols["length"].append(ln)
             cols["filename"].append(fname)
+            cols["record_type"].append(rtype)
+            cols["payload_len"].append(plen)
     return pa.table({
         "urlkey": pa.array(cols["urlkey"], pa.string()),
         "warc_ts": pa.array(cols["warc_ts"], pa.string()),
@@ -452,6 +464,8 @@ def warc_files_to_cdx(batch: pa.Table) -> pa.Table:
         "offset": pa.array(cols["offset"], pa.int64()),
         "length": pa.array(cols["length"], pa.int64()),
         "filename": pa.array(cols["filename"], pa.string()),
+        "record_type": pa.array(cols["record_type"], pa.string()),
+        "payload_len": pa.array(cols["payload_len"], pa.int64()),
     })
 
 
@@ -499,3 +513,181 @@ def write_warc_pages(ds: "ray.data.Dataset", out_dir: str,
     man = ds.map_batches(pages_to_warc_files, batch_format="pyarrow",
                          fn_kwargs={"out_dir": out_dir, "prefix": prefix})
     return man.take_all()
+
+
+# ---------------------------------------------------------------------------
+# Revisit records (WARC/1.1 ISO 28500 §6.7.2, identical-payload-digest
+# profile) — the storage-dedup half of a continuous crawl: when a re-fetch
+# returns a payload whose digest matches the previous capture, the archive
+# stores a tiny header-only `revisit` record pointing at the original
+# instead of the body again. At Common Crawl / IA scale this is THE
+# archive-size lever (most pages do not change between crawls).
+
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def _warc_revisit_record(url: str, ts: str, digest: str,
+                         refers_ts: str, orig_len: int) -> bytes:
+    """One header-only revisit record. The block is the HTTP response
+    header block as received (no payload — that is the profile's
+    contract); WARC-Payload-Digest carries the digest that matched."""
+    from ..functions.hashing import fnv1a64
+
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: " + str(orig_len).encode("ascii")
+            + b"\r\n\r\n")
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: revisit\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"WARC-Record-ID: <urn:fnv1a64:{fnv1a64(url + '#r'):016x}>\r\n"
+            f"WARC-Refers-To-Target-URI: {url}\r\n"
+            f"WARC-Refers-To-Date: {refers_ts}\r\n"
+            f"WARC-Profile: {_REVISIT_PROFILE}\r\n"
+            f"WARC-Payload-Digest: {digest}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
+    return head + http + b"\r\n\r\n"
+
+
+class RevisitWarcSink:
+    """Stateful WARC sink with payload-digest dedup against the PRIOR
+    crawl's CDX: unchanged pages write revisit records, changed/new pages
+    write full response records. The prior (url -> (digest, warc_ts,
+    payload_len)) map ships ONCE per actor via ray.put ref (fetched in
+    __init__, never per batch).
+
+    Scale note: the broadcast map is url+digest rows — ~0.1% of archive
+    bytes — but at full 100-TB fleet width even that outgrows one heap;
+    the deployment shape is to hash-partition BOTH the new crawl and the
+    prior CDX by url_h so each writer actor holds only its shard's slice.
+    The decision logic below is shard-agnostic, so that change is pure
+    plumbing."""
+
+    def __init__(self, prior_ref, out_dir: str, prefix: str = "crawl"):
+        import ray as _ray
+
+        self.prior = _ray.get(prior_ref) if prior_ref is not None else {}
+        self.out_dir = out_dir
+        self.prefix = prefix
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import gzip
+
+        from ..functions.hashing import fnv1a64
+        from ..kernel.cdx import cdx_digest
+
+        empty = pa.table({
+            "path": pa.array([], pa.string()),
+            "n_response": pa.array([], pa.int64()),
+            "n_revisit": pa.array([], pa.int64()),
+            "n_bytes": pa.array([], pa.int64())})
+        urls = batch["url"].to_pylist()
+        if not urls:
+            return empty
+        htmls = batch["html"].to_pylist()
+        if "warc_ts" in batch.column_names:
+            tss = [t.strftime("%Y-%m-%dT%H:%M:%SZ") if t is not None
+                   else _WARC_EPOCH for t in batch["warc_ts"].to_pylist()]
+        else:
+            tss = [_WARC_EPOCH] * len(urls)
+        members, n_rev = [], 0
+        for u, h, ts in zip(urls, htmls, tss):
+            body = h if h is not None else b""
+            dig = cdx_digest(body)
+            prev = self.prior.get(u)
+            if prev is not None and prev[0] == dig:
+                rec = _warc_revisit_record(u, ts, dig, prev[1], prev[2])
+                n_rev += 1
+            else:
+                rec = _warc_record(u, body, ts)
+            members.append(gzip.compress(rec, mtime=0))
+        payload = b"".join(members)
+        name = (f"{self.prefix}-{fnv1a64(urls[0]):016x}"
+                f"-{len(urls)}.warc.gz")
+        path = os.path.join(self.out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({
+            "path": pa.array([path], pa.string()),
+            "n_response": pa.array([len(urls) - n_rev], pa.int64()),
+            "n_revisit": pa.array([n_rev], pa.int64()),
+            "n_bytes": pa.array([len(payload)], pa.int64())})
+
+
+def write_warc_pages_revisit(ds: "ray.data.Dataset", out_dir: str,
+                             prior_cdx: "ray.data.Dataset | None",
+                             prefix: str = "crawl") -> list[dict]:
+    """Pages Dataset -> WARC archive with revisit dedup vs a prior crawl's
+    CDX. The prior index reduces to (url -> digest/ts/len) — rows, never
+    archive bytes — and broadcasts once. Returns manifest rows."""
+    import ray as _ray
+
+    prior_ref = None
+    if prior_cdx is not None:
+        m: dict = {}
+        for b in prior_cdx.iter_batches(batch_format="pyarrow"):
+            for u, d, ts, ln in zip(b["url"].to_pylist(),
+                                    b["digest"].to_pylist(),
+                                    b["warc_ts"].to_pylist(),
+                                    b["payload_len"].to_pylist()
+                                    if "payload_len" in b.column_names
+                                    else [0] * b.num_rows):
+                m[u] = (d, ts, ln)
+        prior_ref = _ray.put(m)
+    man = ds.map_batches(
+        RevisitWarcSink, batch_format="pyarrow",
+        fn_constructor_kwargs={"prior_ref": prior_ref, "out_dir": out_dir,
+                               "prefix": prefix},
+        concurrency=(1, 8))
+    return man.take_all()
+
+
+def read_warc_record_full(path: str, offset: int, length: int) -> dict:
+    """Ranged read of one record, keeping its WARC headers: returns
+    {url, type, body, headers}. A `revisit` record's body is empty by
+    profile; callers resolve it through the prior crawl's CDX (see
+    resolve_revisit)."""
+    import gzip
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    rec = gzip.decompress(member)
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    headers: dict[str, str] = {}
+    for hl in head.split(b"\r\n")[1:]:
+        k, _, v = hl.decode("utf-8", "replace").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    clen = int(headers.get("content-length", "0"))
+    block = rest[:clen]
+    rtype = headers.get("warc-type", "")
+    body = b"" if rtype == "revisit" else _http_body(block)
+    return {"url": headers.get("warc-target-uri", ""), "type": rtype,
+            "body": body, "headers": headers}
+
+
+def resolve_revisit(rec: dict, prior_by_url: dict, prior_dir: str) -> bytes:
+    """Resolve a revisit record to its payload: look the referred url up
+    in the PRIOR crawl's CDX and ranged-read the original record. The
+    digest in the revisit header must match the recovered payload —
+    asserted, because a silent mismatch would corrupt the corpus."""
+    from ..kernel.cdx import cdx_digest
+
+    if rec["type"] != "revisit":
+        return rec["body"]
+    ref_url = rec["headers"].get("warc-refers-to-target-uri", rec["url"])
+    row = prior_by_url[ref_url]
+    _, body = read_warc_record_at(
+        os.path.join(prior_dir, row["filename"]),
+        row["offset"], row["length"])
+    want = rec["headers"].get("warc-payload-digest", "")
+    got = cdx_digest(body)
+    if want and got != want:
+        raise ValueError(
+            f"revisit digest mismatch for {ref_url}: {got} != {want}")
+    return body

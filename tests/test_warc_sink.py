@@ -120,6 +120,147 @@ def test_cdx_demo_pipeline_runs(ray_session):
     t = cdx_index_demo("/root/testdata/sf0.001").to_pandas()
     assert len(t) == 500  # one row per document
     assert list(t.columns) == ["urlkey", "warc_ts", "url", "digest",
-                               "offset", "length", "filename"]
+                               "offset", "length", "filename",
+                               "record_type", "payload_len"]
+    assert (t["record_type"] == "response").all()
+    assert (t["payload_len"] > 0).all()
     # query params sorted by the SURT transform
     assert t["urlkey"].str.endswith("?a=1&b=2").all()
+
+
+# ---- revisit records (identical-payload-digest archive dedup) ----
+
+def test_revisit_sink_round_trip(pages_dir, tmp_path):
+    """Crawl B against crawl A's CDX: unchanged pages become header-only
+    revisit records; EVERY revisit resolves through A's CDX to the
+    byte-identical original payload; changed pages read back directly."""
+    import pyarrow as pa
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (
+        cdx_index_warc_dir, read_warc_record_full, resolve_revisit,
+        write_warc_pages_revisit)
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    dir_a = str(tmp_path / "a")
+    write_warc_pages(ds, dir_a)
+    cdx_a = cdx_index_warc_dir(dir_a)
+
+    # crawl B: pages change on a URL-deterministic rule (the dataset is
+    # lazy and re-executes with different batch splits per consumer, so
+    # the rule must not depend on in-batch position)
+    def mutate(batch: pa.Table) -> pa.Table:
+        from meilisearch_thai_ray.functions.hashing import fnv1a64
+
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        out = [h + b"<!-- v2 -->" if fnv1a64(u) % 3 == 0 else h
+               for u, h in zip(urls, htmls)]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(out, pa.binary()),
+                         "warc_ts": batch["warc_ts"]})
+
+    pages_b = ds.map_batches(mutate, batch_format="pyarrow", batch_size=40)
+    dir_b = str(tmp_path / "b")
+    man = write_warc_pages_revisit(pages_b, dir_b, cdx_a)
+    n_resp = sum(m["n_response"] for m in man)
+    n_rev = sum(m["n_revisit"] for m in man)
+    assert n_resp + n_rev == 80 and n_rev > 0 and n_resp > 0
+
+    cdx_b = cdx_index_warc_dir(dir_b).to_pandas()
+    assert set(cdx_b["record_type"]) == {"response", "revisit"}
+
+    prior = {r["url"]: r for r in cdx_a.take_all()}
+    # ONE to_pandas call: Ray Data does not preserve block order across
+    # executions by default, so zipping columns from two separate
+    # executions would pair urls with another run's htmls
+    pdf = pages_b.to_pandas()
+    want = {u: h for u, h in zip(pdf["url"], pdf["html"])}
+    for r in cdx_b.itertuples():
+        rec = read_warc_record_full(
+            os.path.join(dir_b, r.filename), r.offset, r.length)
+        body = resolve_revisit(rec, prior, dir_a)
+        assert body == want[r.url], r.url
+        if r.record_type == "revisit":
+            assert rec["body"] == b""  # header-only by profile
+
+
+def test_revisit_sink_storage_savings(pages_dir, tmp_path):
+    """An unchanged re-crawl must archive MUCH smaller than the original
+    (the whole point): revisit members carry headers only."""
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (
+        cdx_index_warc_dir, write_warc_pages_revisit)
+
+    import pyarrow as pa
+
+    # inflate payloads with INCOMPRESSIBLE deterministic bytes so record
+    # bytes dominate gzip/member overhead — the regime the feature exists
+    # for (fixture pages are ~0.5 KB and repeated content gzips away,
+    # so per-member header overhead would hide the savings)
+    import hashlib
+
+    def fatten(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for u in batch["url"].to_pylist():
+            seed, parts = u.encode(), []
+            for _ in range(200):
+                seed = hashlib.sha256(seed).digest()
+                parts.append(seed)
+            blobs.append(b"".join(parts))
+        return pa.table({
+            "url": batch["url"],
+            "html": pa.array(blobs, pa.binary()),
+            "warc_ts": batch["warc_ts"]})
+
+    ds = ray.data.read_parquet(
+        pages_dir, columns=["url", "html", "warc_ts"]).map_batches(
+        fatten, batch_format="pyarrow", batch_size=40)
+    dir_a = str(tmp_path / "a")
+    man_a = write_warc_pages(ds, dir_a)
+    bytes_a = sum(m["n_bytes"] for m in man_a)
+    man_b = write_warc_pages_revisit(
+        ds, str(tmp_path / "b"), cdx_index_warc_dir(dir_a))
+    assert sum(m["n_revisit"] for m in man_b) == 80
+    assert sum(m["n_bytes"] for m in man_b) < 0.1 * bytes_a
+
+
+def test_revisit_digest_mismatch_raises(pages_dir, tmp_path):
+    """A corrupted prior archive must fail loudly at resolution, never
+    silently hand back the wrong payload."""
+    import pytest as _pytest
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (
+        cdx_index_warc_dir, read_warc_record_full, resolve_revisit,
+        write_warc_pages_revisit)
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    dir_a = str(tmp_path / "a")
+    write_warc_pages(ds, dir_a)
+    cdx_a = cdx_index_warc_dir(dir_a)
+    dir_b = str(tmp_path / "b")
+    write_warc_pages_revisit(ds, dir_b, cdx_a)
+    rows_b = cdx_index_warc_dir(dir_b).take_all()
+    rev = next(r for r in rows_b if r["record_type"] == "revisit")
+    rec = read_warc_record_full(
+        os.path.join(dir_b, rev["filename"]), rev["offset"], rev["length"])
+    prior = {r["url"]: r for r in cdx_a.take_all()}
+    # point the revisit at a DIFFERENT prior record -> digest mismatch
+    other = next(r for r in cdx_a.take_all()
+                 if r["url"] != rec["url"])
+    broken = dict(prior)
+    broken[rec["url"]] = other
+    with _pytest.raises(ValueError, match="digest mismatch"):
+        resolve_revisit(rec, broken, dir_a)
+
+
+def test_warc_revisit_demo_counts(ray_session):
+    from meilisearch_thai_ray.pipelines.crawl_refresh import warc_revisit_demo
+
+    t = warc_revisit_demo("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 500
+    n_resp = (t["record_type"] == "response").sum()
+    # planted rule: changed iff doc_id % 7 < 2
+    assert n_resp == sum(1 for d in range(500) if d % 7 < 2)
