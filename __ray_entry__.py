@@ -47,6 +47,12 @@ def _warc_revisit_demo(sf_dir: str) -> Any:
     return warc_revisit_demo(sf_dir)
 
 
+def _zipnum_demo(sf_dir: str) -> Any:
+    from meilisearch_thai_ray.pipelines.crawl_refresh import zipnum_demo
+
+    return zipnum_demo(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from meilisearch_thai_ray.pipelines import corpus_stats as cs
     from meilisearch_thai_ray.pipelines import curate as cur
@@ -187,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s8_crawl_refresh": _crawl_refresh_demo,
         "s10_cdx_index": _cdx_index_demo,
         "s11_warc_revisit": _warc_revisit_demo,
+        # rows-only: ZipNum cluster index (byte offsets are not SQL-
+        # expressible; lookup parity vs the flat CDX is pytest-asserted)
+        "s12_zipnum": _zipnum_demo,
         "m23_lm_score": td.lm_score,
         "m30_nb_quality": td.nb_quality,
         "k8_global_shuffle": td.global_shuffle,

@@ -424,3 +424,40 @@ FROM documents
 ORDER BY url
 """,
 }
+
+
+def zipnum_demo(sf_dir: str):
+    """S12 — ZipNum cluster index over the S10 CDX (rows-only: byte
+    offsets are not SQL-expressible; lookup parity vs the flat CDX is
+    pytest-asserted in test_warc_sink.py).
+
+    Builds the two-level layout (sources/zipnum.py) over the cached S10
+    WARC export and serves a deterministic probe set (every 50th doc)
+    THROUGH it — each probe is one summary binary search + one ranged
+    block read, the exact query path a 300 GB CDX needs."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..kernel.cdx import surt
+    from ..sources.zipnum import zipnum_lookup, zipnum_write
+    from .simple_text import read_parquet_clean
+
+    cdx = cdx_index_demo(sf_dir)
+    out_dir = os.path.join(_CACHE_ROOT, "zipnum_demo")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    summary = zipnum_write(cdx, out_dir, lines_per_block=64)
+
+    ids = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).to_pandas()["doc_id"]
+    probes = sorted(
+        surt(f"https://www.cdx{d % 7}.ex/p/{d}?b=2&a=1")
+        for d in ids if d % 50 == 0)
+    rows = []
+    for key in probes:
+        rows.extend(zipnum_lookup(summary, out_dir, key))
+    t = pa.Table.from_pylist(rows)
+    order = pc.sort_indices(t, sort_keys=[("urlkey", "ascending")])
+    return t.take(order).select(
+        ["urlkey", "url", "record_type", "payload_len"])

@@ -264,3 +264,108 @@ def test_warc_revisit_demo_counts(ray_session):
     n_resp = (t["record_type"] == "response").sum()
     # planted rule: changed iff doc_id % 7 < 2
     assert n_resp == sum(1 for d in range(500) if d % 7 < 2)
+
+
+# ---- ZipNum cluster index (two-level CDX) ----
+
+def test_zipnum_every_row_findable(pages_dir, tmp_path):
+    """Lookup parity: every urlkey of the flat CDX resolves through the
+    two-level layout to exactly its CDX row(s)."""
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (cdx_index_warc_dir,
+                                                   write_warc_pages)
+    from meilisearch_thai_ray.sources.zipnum import (zipnum_lookup,
+                                                     zipnum_write)
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    warcs = str(tmp_path / "warcs")
+    write_warc_pages(ds, warcs)
+    cdx_ds = cdx_index_warc_dir(warcs)
+    flat = cdx_ds.to_pandas()
+
+    zn = str(tmp_path / "zipnum")
+    summary = zipnum_write(cdx_ds, zn, lines_per_block=8)
+    assert summary.num_rows >= 10  # small blocks -> real multi-block index
+    assert list(summary["first_key"].to_pylist()) == sorted(
+        summary["first_key"].to_pylist())
+
+    for r in flat.itertuples():
+        got = zipnum_lookup(summary, zn, r.urlkey)
+        assert len(got) == 1
+        g = got[0]
+        assert (g["url"], g["digest"], g["offset"], g["length"],
+                g["filename"], g["record_type"], g["payload_len"]) == \
+            (r.url, r.digest, r.offset, r.length, r.filename,
+             r.record_type, r.payload_len)
+    assert zipnum_lookup(summary, zn, "zz,nosuch)/x") == []
+    assert zipnum_lookup(summary, zn, "aa,before)/x") == []
+
+
+def test_zipnum_hot_key_spans_blocks(tmp_path, ray_session):
+    """A key with many rows (captures across crawls) spanning several
+    zipnum blocks must return ALL of them."""
+    import pyarrow as pa
+    import ray.data
+
+    from meilisearch_thai_ray.sources.zipnum import (zipnum_lookup,
+                                                     zipnum_write)
+
+    rows = []
+    for i in range(5):
+        rows.append({"urlkey": "com,aaa)/", "warc_ts": f"200{i}",
+                     "url": "https://aaa.com/", "digest": f"d{i}",
+                     "offset": i, "length": 1, "filename": "w",
+                     "record_type": "response", "payload_len": 1})
+    for i in range(30):
+        rows.append({"urlkey": "com,hot)/", "warc_ts": f"20{i:02d}",
+                     "url": "https://hot.com/", "digest": f"h{i}",
+                     "offset": i, "length": 1, "filename": "w",
+                     "record_type": "response", "payload_len": 1})
+    rows.append({"urlkey": "com,zzz)/", "warc_ts": "2001",
+                 "url": "https://zzz.com/", "digest": "z", "offset": 0,
+                 "length": 1, "filename": "w", "record_type": "response",
+                 "payload_len": 1})
+    cdx_ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    zn = str(tmp_path / "zn")
+    summary = zipnum_write(cdx_ds, zn, lines_per_block=4)
+    got = zipnum_lookup(summary, zn, "com,hot)/")
+    assert len(got) == 30
+    assert sorted(g["digest"] for g in got) == sorted(
+        f"h{i}" for i in range(30))
+    assert len(zipnum_lookup(summary, zn, "com,aaa)/")) == 5
+    assert len(zipnum_lookup(summary, zn, "com,zzz)/")) == 1
+
+
+def test_zipnum_summary_is_small_and_deterministic(pages_dir, tmp_path):
+    import glob as _glob
+
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (cdx_index_warc_dir,
+                                                   write_warc_pages)
+    from meilisearch_thai_ray.sources.zipnum import zipnum_write
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    warcs = str(tmp_path / "warcs")
+    write_warc_pages(ds, warcs)
+    cdx_ds = cdx_index_warc_dir(warcs)
+    zn = str(tmp_path / "zn")
+    s1 = zipnum_write(cdx_ds, zn, lines_per_block=8)
+    # summary rows ~ n/8 plus one residual block per map task (packing
+    # is per-task so no extra exchange): a fraction of the flat CDX
+    assert 10 <= s1.num_rows <= 32
+    first = {p: open(p, "rb").read() for p in _glob.glob(zn + "/*.gz")}
+    s2 = zipnum_write(cdx_ds, zn, lines_per_block=8)
+    second = {p: open(p, "rb").read() for p in _glob.glob(zn + "/*.gz")}
+    assert first == second  # resumable: identical bytes on re-run
+    assert s1.equals(s2)
+
+
+def test_zipnum_demo_counts(ray_session):
+    from meilisearch_thai_ray.pipelines.crawl_refresh import zipnum_demo
+
+    t = zipnum_demo("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 10  # every 50th of 500 docs
+    assert (t["record_type"] == "response").all()
+    assert list(t["urlkey"]) == sorted(t["urlkey"])
