@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s9_percolate": st.percolate,
         "k25_prefix_topk": st.prefix_topk,
         "m17b_filter_lang": st.filter_docs_lang,
+        "m31_browse_documents": st.browse_documents,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w6_crawl_frontier": webg.crawl_frontier,
         "w10_frontier_timed": webg.frontier_timed_schedule,
         "w11_recrawl_priority": webg.recrawl_priority,
+        "w12_frontier_refresh": webg.frontier_refresh_schedule,
         "w7_anchor_enrich": webg.anchor_enrich,
         "w8_main_content": webg.main_content,
         "w9_host_reputation": webg.host_reputation,

@@ -279,3 +279,66 @@ def restore_snapshot(snap_dir: str, out_dir: str) -> None:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copy2(src, dst)
     os.rename(tmp, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Index registry + atomic swap (Meilisearch POST /swap-indexes semantics:
+# https://www.meilisearch.com/docs — the zero-downtime reindex pattern:
+# build the new corpus under a staging name, then atomically exchange the
+# names so every consumer flips generations in one step). Names resolve
+# through ONE json file replaced atomically; on a shared filesystem the
+# replace is the commit point, exactly like the build manifest.
+
+
+def registry_set(registry_path: str, name: str, index_dir: str) -> None:
+    """Point `name` at `index_dir` (creates the registry if absent)."""
+    import json
+    import os
+
+    reg = registry_read(registry_path)
+    reg[name] = index_dir
+    tmp = registry_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"indexes": reg}, f, sort_keys=True, indent=1)
+    os.replace(tmp, registry_path)
+
+
+def registry_read(registry_path: str) -> dict:
+    import json
+    import os
+
+    if not os.path.exists(registry_path):
+        return {}
+    with open(registry_path, encoding="utf-8") as f:
+        return json.load(f)["indexes"]
+
+
+def resolve_index(registry_path: str, name: str) -> str:
+    """The consumer side: name -> index directory. Raises KeyError for an
+    unknown name (a silent fallback would serve the wrong corpus)."""
+    reg = registry_read(registry_path)
+    if name not in reg:
+        raise KeyError(f"no index named {name!r} in {registry_path}")
+    return reg[name]
+
+
+def swap_indexes(registry_path: str, pairs: list[tuple[str, str]]) -> dict:
+    """Atomically exchange the directories each (a, b) pair points at —
+    ALL pairs in one registry replace, so readers never observe a partial
+    swap. Both names of every pair must exist (Meilisearch errors on
+    missing indexes too). Returns the new mapping."""
+    import json
+    import os
+
+    reg = registry_read(registry_path)
+    for a, b in pairs:
+        if a not in reg or b not in reg:
+            missing = [n for n in (a, b) if n not in reg]
+            raise KeyError(f"cannot swap: missing index(es) {missing}")
+    for a, b in pairs:
+        reg[a], reg[b] = reg[b], reg[a]
+    tmp = registry_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"indexes": reg}, f, sort_keys=True, indent=1)
+    os.replace(tmp, registry_path)
+    return reg

@@ -3348,3 +3348,55 @@ SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon,
 FROM d WHERE dist <= {GEO_RADIUS_KM}
 ORDER BY dist, doc_id LIMIT {GEO_LIMIT}
 """
+
+
+# --------------------------------------------- documents browse (M31)
+
+# Meilisearch GET /indexes/:idx/documents?filter=&fields=&limit=&offset=
+# (the raw-document browse endpoint next to POST /search). Stable
+# pagination orders by the primary key.
+BROWSE_FILTER = "lang = en AND n_chars >= 350"
+BROWSE_FIELDS = ["doc_id", "lang", "source", "n_chars"]
+BROWSE_LIMIT = 20
+BROWSE_OFFSET = 40
+
+
+def browse_documents(sf_dir: str, filter_str: str = BROWSE_FILTER,
+                     limit: int = BROWSE_LIMIT,
+                     offset: int = BROWSE_OFFSET) -> pa.Table:
+    """M31 — documents browse: filter-language pushdown + field projection
+    + stable doc_id pagination. Shuffle-free: each task keeps only its
+    lowest (offset+limit) doc_ids (pagination never needs more from any
+    block), the driver merges <= need x blocks rows and slices — the same
+    partial-top-k contract as k1, ascending."""
+    from ..stages.filter_dsl import compile_filter_str
+
+    need = offset + limit
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= need:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argpartition(ids, need)[:need])
+        return batch.take(pa.array(keep))
+
+    rows = (read_parquet_clean(
+        _doc_path(sf_dir), columns=BROWSE_FIELDS,
+        filter=compile_filter_str(filter_str))
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .take_all())
+    rows.sort(key=lambda r: r["doc_id"])
+    page = rows[offset:offset + limit]
+    return pa.table({
+        c: pa.array([r[c] for r in page]) for c in BROWSE_FIELDS})
+
+
+def _browse_sql() -> str:
+    from ..stages.filter_dsl import filter_str_to_sql
+
+    return (f"SELECT {', '.join(BROWSE_FIELDS)} FROM documents "
+            f"WHERE {filter_str_to_sql(BROWSE_FILTER)} "
+            f"ORDER BY doc_id LIMIT {BROWSE_LIMIT} OFFSET {BROWSE_OFFSET}")
+
+
+SQL["m31_browse_documents"] = _browse_sql()

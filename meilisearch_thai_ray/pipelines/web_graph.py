@@ -998,3 +998,90 @@ SELECT doc_id, n_changes,
 FROM ch
 ORDER BY doc_id
 """
+
+
+def frontier_refresh_schedule(sf_dir: str,
+                              per_host: int = FRONTIER_PER_HOST) -> pa.Table:
+    """W12 — staleness-driven refresh frontier: the composition the crawl
+    loop actually runs. w11's p_stale (Cho & Garcia-Molina expected
+    staleness) is the priority; w10's Crawl-delay politeness is the
+    spacing — so the scheduler re-fetches the pages most likely to have
+    changed, fastest hosts draining first, no host's delay violated.
+
+    Honest composition: the priorities come from the REAL w11 pipeline
+    output (the shifted-key digest exchange), not from restating the
+    planted rule inline; the schedule half then reuses w10's shape —
+    per-batch vectorized partial top-B per host -> ONE host-bounded
+    groupby -> <= hosts x B rows on the driver."""
+
+    pr = recrawl_priority(sf_dir)  # (doc_id, n_changes, lambda_hat, p_stale)
+
+    def partial_topb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        p = batch["p_stale"].to_numpy(zero_copy_only=False)
+        host = ids % N_HOSTS
+        order = np.lexsort((ids, -p, host))
+        h = host[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        pos = np.arange(h.size) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [h.size]))))
+        keep = order[pos < per_host]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "host_idx": pa.array(host[keep], pa.int64()),
+            "p_stale": pa.array(p[keep], pa.float64()),
+        })
+
+    def final_schedule(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        p = group["p_stale"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -p))[:per_host]
+        delay = int(ids[0] % N_HOSTS % 4) + 1
+        ranks = np.arange(order.size, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "host_idx": group["host_idx"].take(pa.array(order)),
+            "p_stale": pa.array(p[order], pa.float64()),
+            "fetch_at": pa.array(ranks * delay, pa.int64()),
+        })
+
+    rows = (pr.select_columns(["doc_id", "p_stale"])
+            .map_batches(partial_topb, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("host_idx")
+            .map_groups(final_schedule, batch_format="pyarrow")
+            .take_all())
+    rows.sort(key=lambda r: (r["fetch_at"], r["host_idx"], r["doc_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "host_idx": pa.array([r["host_idx"] for r in rows], pa.int64()),
+        "p_stale": pa.array([r["p_stale"] for r in rows], pa.float64()),
+        "fetch_at": pa.array([r["fetch_at"] for r in rows], pa.int64()),
+    })
+
+
+SQL["w12_frontier_refresh"] = f"""
+WITH ch AS (
+  SELECT doc_id,
+         CAST((CASE WHEN (doc_id * 2) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 3) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 5) % 7 < 3 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_changes
+  FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         round(1.0 - exp(-(-ln((3.0 - n_changes + 0.5) / (3.0 + 0.5)))
+                         * (doc_id % 5 + 1)), 6) AS p_stale
+  FROM ch
+),
+ranked AS (
+  SELECT doc_id, doc_id % {N_HOSTS} AS host_idx, p_stale,
+         row_number() OVER (PARTITION BY doc_id % {N_HOSTS}
+                            ORDER BY p_stale DESC, doc_id) - 1 AS r
+  FROM pr
+)
+SELECT doc_id, host_idx, p_stale,
+       CAST(r * ((host_idx % 4) + 1) AS BIGINT) AS fetch_at
+FROM ranked WHERE r < {FRONTIER_PER_HOST}
+"""

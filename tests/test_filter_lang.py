@@ -111,3 +111,25 @@ def test_proxy_accepts_filter_strings(ray_session, tmp_path):
     got = {h["doc_id"] for h in hits}
     assert got == {doc_id_from_url(u) for u, l in zip(urls, langs)
                    if l in ("en", "fr")}
+
+
+def test_browse_documents_pagination_partitions(ray_session):
+    """m31: consecutive pages are disjoint, ordered, and concatenate to
+    the ascending prefix of the filtered id space."""
+    import pyarrow.parquet as pq
+
+    from meilisearch_thai_ray.pipelines.simple_text import (BROWSE_FILTER,
+                                                            browse_documents)
+    from meilisearch_thai_ray.stages.filter_dsl import compile_filter_str
+
+    sf = "/root/testdata/sf0.001"
+    pages = [browse_documents(sf, BROWSE_FILTER, limit=20, offset=o)
+             ["doc_id"].to_pylist() for o in (0, 20, 40)]
+    got = [d for p in pages for d in p]
+    assert got == sorted(got) and len(set(got)) == len(got)
+
+    import pyarrow.dataset as pads
+    flat = pads.dataset(sf + "/documents.parquet").to_table(
+        columns=["doc_id"], filter=compile_filter_str(BROWSE_FILTER))
+    want = sorted(flat["doc_id"].to_pylist())[:len(got)]
+    assert got == want

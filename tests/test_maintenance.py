@@ -217,3 +217,44 @@ def test_merge_indexes_with_positions_phrase_identical(ray_session, tmp_path):
             rel = os.path.relpath(os.path.join(dirpath, fn), full)
             assert open(os.path.join(full, rel), "rb").read() == \
                 open(os.path.join(merged, rel), "rb").read(), rel
+
+
+def test_swap_indexes_zero_downtime_reindex(built, tmp_path):
+    """The Meilisearch swap-indexes pattern: build the new generation
+    under a staging name, swap atomically, consumers flip in one step."""
+    import pytest as _pytest
+
+    from meilisearch_thai_ray.index.maintenance import (registry_set,
+                                                        resolve_index,
+                                                        swap_indexes)
+
+    root, out = built
+    reg = str(tmp_path / "registry.json")
+    registry_set(reg, "docs", out)
+    # "reindex" into a staging dir (here: a snapshot-restored copy)
+    from meilisearch_thai_ray.index.maintenance import (restore_snapshot,
+                                                        snapshot)
+
+    snap = str(tmp_path / "snap")
+    snapshot(out, snap)
+    staged = str(tmp_path / "staged")
+    restore_snapshot(snap, staged)
+    registry_set(reg, "docs_staging", staged)
+
+    live_before = resolve_index(reg, "docs")
+    assert live_before == out
+    newmap = swap_indexes(reg, [("docs", "docs_staging")])
+    assert newmap["docs"] == staged and newmap["docs_staging"] == out
+    # the consumer path serves the new generation under the OLD name,
+    # rank-identical here because the corpora are byte-identical
+    eng_old = SearchEngine(out)
+    eng_new = SearchEngine(resolve_index(reg, "docs"))
+    q = eng_old.query_terms("อาหาร")
+    assert eng_old.score_topk(q, 10) == eng_new.score_topk(q, 10)
+    # unknown / partial swaps fail loudly
+    with _pytest.raises(KeyError):
+        resolve_index(reg, "nope")
+    with _pytest.raises(KeyError):
+        swap_indexes(reg, [("docs", "ghost")])
+    # a failed swap must not have moved anything (all-pairs atomicity)
+    assert resolve_index(reg, "docs") == staged

@@ -180,3 +180,28 @@ def test_recrawl_priority_change_count_is_from_digests(ray_session):
     for d in hot[:5]:
         assert rows[d]["n_changes"] == 3
         assert rows[d]["p_stale"] > 0.8
+
+
+def test_frontier_refresh_schedule_invariants(ray_session):
+    """w12 = w11 priority x w10 politeness: per-host spacing equals the
+    host's Crawl-delay, and within a host higher p_stale fetches first."""
+    t = wg.frontier_refresh_schedule(SF)
+    hosts = t["host_idx"].to_pylist()
+    fetch = t["fetch_at"].to_pylist()
+    stale = t["p_stale"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    per_host: dict[int, list] = {}
+    for h, f, p, d in zip(hosts, fetch, stale, ids):
+        per_host.setdefault(h, []).append((f, p, d))
+    assert len(per_host) > 50
+    for h, rows in per_host.items():
+        rows.sort()
+        delay = h % 4 + 1
+        assert [f for f, _, _ in rows] == [
+            i * delay for i in range(len(rows))]  # exact spacing
+        # priority order: p_stale non-increasing, doc_id breaks ties
+        ps = [(-p, d) for _, p, d in rows]
+        assert ps == sorted(ps)
+    # global order is (fetch_at, host, doc)
+    key = list(zip(fetch, hosts, ids))
+    assert key == sorted(key)

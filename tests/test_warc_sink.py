@@ -369,3 +369,42 @@ def test_zipnum_demo_counts(ray_session):
     assert len(t) == 10  # every 50th of 500 docs
     assert (t["record_type"] == "response").all()
     assert list(t["urlkey"]) == sorted(t["urlkey"])
+
+
+def test_zipnum_lookup_property(tmp_path, ray_session):
+    """Property: for random sorted CDX row multisets (small key alphabet
+    to force duplicate/spanning keys) and random block sizes, lookup
+    returns EXACTLY the rows of the key, and absent keys return []."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import ray.data
+
+    from meilisearch_thai_ray.sources.zipnum import (zipnum_lookup,
+                                                     zipnum_write)
+
+    keys_alpha = [f"com,k{i})/" for i in range(6)]
+    case_n = [0]
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.sampled_from(keys_alpha), min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=7))
+    def run(sample, lpb):
+        case_n[0] += 1
+        rows = [{"urlkey": k, "warc_ts": f"{i:04d}",
+                 "url": "u" + k, "digest": f"d{i}", "offset": i,
+                 "length": 1, "filename": "w",
+                 "record_type": "response", "payload_len": 1}
+                for i, k in enumerate(sorted(sample))]
+        zn = str(tmp_path / f"zn{case_n[0]}")
+        summary = zipnum_write(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), zn,
+            lines_per_block=lpb)
+        for k in keys_alpha + ["aa,first)/", "zz,last)/"]:
+            got = zipnum_lookup(summary, zn, k)
+            exp = [r for r in rows if r["urlkey"] == k]
+            assert sorted(g["digest"] for g in got) == sorted(
+                r["digest"] for r in exp), (k, lpb)
+
+    run()
