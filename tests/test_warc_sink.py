@@ -408,3 +408,53 @@ def test_zipnum_lookup_property(tmp_path, ray_session):
                 r["digest"] for r in exp), (k, lpb)
 
     run()
+
+
+def test_merge_cdx_and_latest_capture(pages_dir, tmp_path):
+    """Two crawls -> ONE merged CDX -> zipnum: every url shows both
+    captures adjacent (newest last) and lookup_latest picks crawl B's —
+    resolving to the response record when the revisit ties on ts."""
+    import pyarrow as pa
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (cdx_index_warc_dir,
+                                                   write_warc_pages,
+                                                   write_warc_pages_revisit)
+    from meilisearch_thai_ray.sources.zipnum import (merge_cdx,
+                                                     zipnum_lookup,
+                                                     zipnum_lookup_latest,
+                                                     zipnum_write)
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    dir_a = str(tmp_path / "a")
+    write_warc_pages(ds, dir_a)
+    cdx_a = cdx_index_warc_dir(dir_a)
+
+    def later(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "url": batch["url"], "html": batch["html"],
+            "warc_ts": pc.add(batch["warc_ts"],
+                              pa.scalar(86_400_000_000, pa.duration("us"))),
+        })
+
+    pages_b = ds.map_batches(later, batch_format="pyarrow", batch_size=40)
+    dir_b = str(tmp_path / "b")
+    write_warc_pages_revisit(pages_b, dir_b, cdx_a)
+    cdx_b = cdx_index_warc_dir(dir_b)
+
+    merged = merge_cdx([cdx_a, cdx_b])
+    zn = str(tmp_path / "zn")
+    summary = zipnum_write(merged, zn, lines_per_block=16)
+
+    a_rows = cdx_a.take_all()
+    assert a_rows
+    for r in a_rows[:20]:
+        caps = zipnum_lookup(summary, zn, r["urlkey"])
+        assert len(caps) == 2  # one per crawl, adjacent in the merged CDX
+        assert caps[0]["warc_ts"] <= caps[1]["warc_ts"]
+        latest = zipnum_lookup_latest(summary, zn, r["urlkey"])
+        assert latest["warc_ts"] == caps[1]["warc_ts"]
+        assert latest["record_type"] == "revisit"  # unchanged re-crawl
+    assert zipnum_lookup_latest(summary, zn, "zz,nope)/") is None
