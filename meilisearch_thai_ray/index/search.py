@@ -1033,7 +1033,9 @@ class SearchEngine:
             out[term] = int(df)
         return list(out.items())
 
-    def expand_typo(self, term: str, limit: int = 5) -> list[str]:
+    def expand_typo(self, term: str, limit: int = 5, *,
+                    one_typo: int | None = None,
+                    two_typos: int | None = None) -> list[str]:
         """Typo-tolerant term expansion under Meilisearch's PUBLIC rules
         (kernel/typo.py: 5-8 chars allow 1 typo, >=9 allow 2; adjacent swap
         = 1 typo; first-letter typo counts as 2 — the reference only passes
@@ -1045,14 +1047,25 @@ class SearchEngine:
         since a first-letter typo alone costs 2). Either way every survivor
         is verified with exact Damerau-Levenshtein, so both paths return
         IDENTICAL expansions (asserted in tests). Ranked (fewest typos,
-        highest df, term)."""
-        from ..kernel.typo import deletion_variants, typo_budget, typo_matches
+        highest df, term).
 
-        b = typo_budget(term)
+        one_typo / two_typos override Meilisearch's
+        typoTolerance.minWordSizeForTypos per request. Custom thresholds
+        bypass the typodict (it is precomputed under the DEFAULT budgets,
+        so a lowered threshold could miss short-word candidates there)
+        and take the verified vocabulary path instead."""
+        from ..kernel.typo import (ONE_TYPO_MIN_LEN, TWO_TYPO_MIN_LEN,
+                                   deletion_variants, typo_budget,
+                                   typo_matches)
+
+        o = ONE_TYPO_MIN_LEN if one_typo is None else one_typo
+        tw = TWO_TYPO_MIN_LEN if two_typos is None else two_typos
+        b = typo_budget(term, o, tw)
         if b == 0:
             return []
-        cands = self._typodict_candidates(
-            sorted(deletion_variants(term, b)))
+        cands = None if (o, tw) != (ONE_TYPO_MIN_LEN, TWO_TYPO_MIN_LEN) \
+            else self._typodict_candidates(
+                sorted(deletion_variants(term, b)))
         if cands is None:
             terms, dfs, lens, first = self._typo_vocabulary()
             if not terms.size:
@@ -1065,7 +1078,7 @@ class SearchEngine:
         for t, df in cands:
             if t == term:
                 continue
-            ty = typo_matches(term, t)
+            ty = typo_matches(term, t, o, tw)
             if ty is not None:
                 scored.append((ty, -int(df), t))
         scored.sort()

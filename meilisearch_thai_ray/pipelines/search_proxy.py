@@ -138,6 +138,14 @@ class SearchOptions:
     # its terms via the engine's typo matching (Meilisearch's default-on
     # index setting); False = off everywhere
     typo_tolerance: bool | None = None
+    # Meilisearch typoTolerance SETTINGS object (subset):
+    #   {"minWordSizeForTypos": {"oneTypo": int, "twoTypos": int},
+    #    "disableOnWords": [word, ...]}
+    # minWordSizeForTypos tightens/loosens the length budgets per request
+    # (custom thresholds take the verified vocabulary path — the typodict
+    # is precomputed under the defaults); disableOnWords suppresses
+    # expansion for exact listed words (Meilisearch semantics)
+    typo_settings: dict | None = None
     # Meilisearch sort criteria (requests.py:15): ["field:asc"|"field:desc",
     # ...] over the sortable doc-metadata fields; relevancy rank breaks
     # ties, docs missing the field go last (Meilisearch sort semantics)
@@ -225,6 +233,18 @@ class SearchOptions:
             raise ValueError("offset must be >= 0")
         if not 10 <= self.crop_length <= 1000:
             raise ValueError("crop_length must be in [10, 1000]")
+        if self.typo_settings is not None:
+            ts = self.typo_settings
+            unknown = set(ts) - {"minWordSizeForTypos", "disableOnWords"}
+            if unknown:
+                raise ValueError(f"unknown typo_settings keys {unknown}")
+            mws = ts.get("minWordSizeForTypos") or {}
+            one = mws.get("oneTypo", 5)
+            two = mws.get("twoTypos", 9)
+            if not (1 <= one <= two <= 255):
+                raise ValueError(
+                    "minWordSizeForTypos needs 1 <= oneTypo <= twoTypos "
+                    "<= 255")
         for name in ("boost_exact_matches", "boost_thai_matches"):
             v = getattr(self, name)
             if v is not None and not 0.1 <= v <= 5.0:
@@ -676,7 +696,13 @@ class SearchProxy:
                             else variant.variant_type == FALLBACK)
                 expand = getattr(self.engine, "expand_typo", None)
                 if use_typo and expand is not None:
-                    extra = [x for t in terms for x in expand(t, 3)
+                    ts = (options.typo_settings or {}) if options else {}
+                    mws = ts.get("minWordSizeForTypos") or {}
+                    disabled = set(ts.get("disableOnWords") or ())
+                    extra = [x for t in terms if t not in disabled
+                             for x in expand(t, 3,
+                                             one_typo=mws.get("oneTypo"),
+                                             two_typos=mws.get("twoTypos"))
                              if x not in terms]
                     terms = list(terms) + list(dict.fromkeys(extra))
                 hits = self.engine.score_topk(terms, k=MAX_RESULTS_PER_VARIANT)

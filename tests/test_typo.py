@@ -232,3 +232,85 @@ def test_engine_search_typo_recovers_misspelled_query(typo_engine):
         if checked >= 3:
             break
     assert checked >= 1
+
+
+# ---- typoTolerance SETTINGS (minWordSizeForTypos / disableOnWords) ----
+
+def test_expand_typo_custom_thresholds(typo_engine):
+    """Lowering minWordSizeForTypos.oneTypo lets a short word expand; the
+    default budget gives it none. Custom thresholds take the verified
+    vocabulary path, so results stay DL-exact."""
+    vocab = typo_engine._typo_vocabulary()[0]
+    shorts = [t for t in vocab if len(t) == 4 and t.isascii()]
+    checked = 0
+    vset = set(vocab)
+    for t in shorts[:30]:
+        typo = t[:2] + ("x" if t[2] != "x" else "q") + t[3:]
+        if typo in vset:
+            continue
+        assert typo_engine.expand_typo(typo, 50) == []  # default: 0 budget
+        got = typo_engine.expand_typo(typo, 50, one_typo=3)
+        assert t in got, (t, typo, got[:5])
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked >= 1
+
+
+def test_expand_typo_raised_threshold_disables(typo_engine):
+    """Raising oneTypo above a word's length kills its expansions."""
+    vocab = typo_engine._typo_vocabulary()[0]
+    mids = [t for t in vocab
+            if ONE_TYPO_MIN_LEN <= len(t) < TWO_TYPO_MIN_LEN]
+    vset = set(vocab)
+    for t in mids[:20]:
+        typo = t[:2] + "ß" + t[3:]
+        if typo in vset:
+            continue
+        if typo_engine.expand_typo(typo, 50):
+            assert typo_engine.expand_typo(typo, 50, one_typo=20) == []
+            return
+    raise AssertionError("no expandable mid-length term found")
+
+
+def test_proxy_typo_settings_disable_on_words(typo_engine):
+    """disableOnWords suppresses expansion for the listed words only."""
+    from meilisearch_thai_ray.pipelines.search_proxy import (SearchOptions,
+                                                             SearchProxy)
+
+    vocab = typo_engine._typo_vocabulary()[0]
+    vset = set(vocab)
+    cands = [t for t in vocab
+             if t.isascii() and t.isalpha()
+             and ONE_TYPO_MIN_LEN <= len(t) < TWO_TYPO_MIN_LEN]
+    p = SearchProxy(typo_engine)
+    for t in sorted(cands)[:30]:
+        exact = {d for d, _ in typo_engine.search(t, k=10)}
+        typo = t[:2] + ("x" if t[2] != "x" else "q") + t[3:]
+        if not exact or typo in vset:
+            continue
+        on = p.search(typo, options=SearchOptions(
+            limit=10, typo_tolerance=True, matching_strategy="frequency"))
+        if not (exact & {h["doc_id"] for h in on}):
+            continue  # this word's typo found nothing anyway
+        off = p.search(typo, options=SearchOptions(
+            limit=10, typo_tolerance=True, matching_strategy="frequency",
+            typo_settings={"disableOnWords": [typo]}))
+        assert not (exact & {h["doc_id"] for h in off}), (t, typo)
+        return
+    raise AssertionError("no usable (term, typo) pair found")
+
+
+def test_typo_settings_validation():
+    from meilisearch_thai_ray.pipelines.search_proxy import SearchOptions
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown typo_settings"):
+        SearchOptions(typo_settings={"bogus": 1})
+    with _pytest.raises(ValueError, match="minWordSizeForTypos"):
+        SearchOptions(typo_settings={
+            "minWordSizeForTypos": {"oneTypo": 9, "twoTypos": 5}})
+    SearchOptions(typo_settings={
+        "minWordSizeForTypos": {"oneTypo": 3, "twoTypos": 7},
+        "disableOnWords": ["foo"]})
