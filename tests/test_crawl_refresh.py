@@ -144,3 +144,46 @@ def test_robots_gate_in_composite(base, tmp_path):
     ge = GenerationalEngine(idx)
     hits = ge.score_topk(["dysprosium"], k=5)
     assert hits and hits[0][0] == doc_id_from_url("https://open.ex/p/three")
+
+
+def test_crawl_job_cli_end_to_end(base, tmp_path):
+    """scripts/crawl_job.py — the ray-job-submit entrypoint — runs one
+    snapshot through refresh + CDX/zipnum in its OWN Ray session
+    (subprocess) and prints one JSON metrics line."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    root, idx, mh, corpus = base
+    # fresh copies: the job mutates index generations + sketch state
+    import shutil as _sh
+
+    idx2 = str(tmp_path / "index")
+    mh2 = str(tmp_path / "mh")
+    _sh.copytree(idx, idx2)
+    _sh.copytree(mh, mh2)
+
+    arch = tmp_path / "snap"
+    arch.mkdir()
+    recs = [("https://c.ex/jobnew", _text(777) + " xenon"),
+            ("https://c.ex/copy_of_base0", corpus[0][1])]
+    with gzip.open(arch / "c.warc.gz", "wb") as f:
+        f.write(_warc(recs))
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [_sys.executable, "scripts/crawl_job.py",
+         "--archive", str(arch), "--index", idx2, "--mh-index", mh2,
+         "--work", str(tmp_path / "work"),
+         "--cdx-out", str(tmp_path / "cdx")],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    m = _json.loads(line)
+    assert m["accepted"] == 1 and m["near_dup_dropped"] >= 1
+    assert m["cdx_blocks"] >= 1
+    assert os.path.exists(tmp_path / "cdx" / "cluster.parquet")
+    # the accepted page is searchable in the served generation
+    eng = GenerationalEngine(idx2)
+    assert eng.search("xenon", k=3)
