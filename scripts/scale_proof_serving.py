@@ -1,0 +1,112 @@
+"""Serving scale proof: query p50 vs doc-partition count at N docs
+(default 1,000,000), one index, rank-identity asserted per point.
+
+Evidence the session-3 proof gave only ONE point for: the 100-TB serving
+claim is "latency divides by the doc-partition count because each actor
+scores only its salt slice". This builds the 1M index with num_salts=8
+and serves the SAME query fixture set through 1, 2, 4 and 8
+DocPartitionServer actors — the curve is the claim. Rank identity vs the
+single-process engine is asserted at every point (the merge is exact).
+
+Usage:
+    SCALE_DOCS=1000000 python scripts/scale_proof_serving.py
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE_DOCS = int(os.environ.get("SCALE_DOCS", "1000000"))
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+NUM_SALTS = int(os.environ.get("SERVE_SALTS", "8"))
+LINES = (20, 50)
+PAGES_DIR = f"/tmp/meili_ray_bench/pages_{SCALE_DOCS}_L{LINES[0]}-{LINES[1]}"
+INDEX_DIR = (f"/tmp/meili_ray_bench/index_serve_{SCALE_DOCS}"
+             f"_s{NUM_SALTS}")
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.fixtures.pages import write_pages_parquet
+    from meilisearch_thai_ray.fixtures.queries import QUERY_FIXTURES
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.search import SearchEngine
+    from meilisearch_thai_ray.index.serving import (
+        DocPartitionedSearchService)
+
+    write_pages_parquet(PAGES_DIR, SCALE_DOCS, rows_per_file=2000,
+                        lines_range=LINES, parallel=True)
+
+    cfg = EngineConfig(num_shards=32)
+    build_sec = None
+    if not os.path.exists(os.path.join(INDEX_DIR, "meta.json")):
+        shutil.rmtree(INDEX_DIR, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(PAGES_DIR, INDEX_DIR, cfg, num_salts=NUM_SALTS,
+                    batch_size=512)
+        build_sec = round(time.perf_counter() - t0, 3)
+
+    # reference ranks from the single-process engine
+    eng = SearchEngine(INDEX_DIR)
+    eng.warm()
+    queries = [q["query"] for q in QUERY_FIXTURES]
+    ref = {}
+    lat_local = []
+    for q in queries:
+        t0 = time.perf_counter()
+        ref[q] = eng.search(q, k=10, mode="auto")
+        lat_local.append(time.perf_counter() - t0)
+    lat_local.sort()
+
+    points = {}
+    for n in (1, 2, 4, 8):
+        if n > NUM_SALTS:
+            continue
+        svc = DocPartitionedSearchService(INDEX_DIR, num_servers=n)
+        svc.warm()
+        lat = []
+        for _rep in range(3):
+            for q in queries:
+                terms = eng.query_terms(q)
+                t0 = time.perf_counter()
+                got = svc.score_topk(terms, k=10)
+                lat.append(time.perf_counter() - t0)
+                if _rep == 0:
+                    want = ref[q]
+                    assert [d for d, _ in got] == [d for d, _ in want], (
+                        n, q, got[:3], want[:3])
+        lat.sort()
+        points[f"p50_ms_{n}_partitions"] = round(
+            lat[len(lat) // 2] * 1000, 2)
+        svc.shutdown()
+
+    print(json.dumps({
+        "metric": f"serving_partition_curve_{SCALE_DOCS}_docs",
+        "unit": "ms", "docs": SCALE_DOCS, "num_salts": NUM_SALTS,
+        "build_sec": build_sec,
+        "p50_ms_local_single_process": round(
+            lat_local[len(lat_local) // 2] * 1000, 2),
+        **points,
+        "rank_identity": "asserted per point vs the local engine",
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
