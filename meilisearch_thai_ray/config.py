@@ -94,6 +94,15 @@ class EngineConfig:
     # only the docs table)
     store_positions: bool = False
     stop_words: frozenset[str] = THAI_STOP_WORDS
+    # Meilisearch tokenizer settings (settings_manager.py:30-46,117-118):
+    # separator_tokens = EXTRA strings that split tokens (whitespace, U+200B
+    # and punctuation already separate by default — the reference's default
+    # list is a no-op here, the setting exists for user additions like "|");
+    # non_separator_tokens = strings that must NOT separate: a listed token
+    # glues its immediate word neighbours ("e-mail", "#hashtag", "c++").
+    # Defaults empty == byte-identical default tokenization (no version bump).
+    separator_tokens: tuple[str, ...] = ()
+    non_separator_tokens: tuple[str, ...] = ()
 
     def dictionary_words(self) -> tuple[list[str], list[str]]:
         """(base_words, custom_compound_words)."""
@@ -110,4 +119,10 @@ class EngineConfig:
         h.update(b"--custom--\n")
         for w in custom:
             h.update(w.encode("utf-8") + b"\n")
+        if self.separator_tokens or self.non_separator_tokens:
+            # tokenizer settings change index-term semantics, so they key the
+            # same caches the dictionary does; conditional so default-config
+            # hashes (and existing lineage records) are unchanged
+            h.update(repr((sorted(self.separator_tokens),
+                           sorted(self.non_separator_tokens))).encode())
         return h.hexdigest()[:16]

@@ -248,6 +248,11 @@ def compute_stats(docs_dir: str, out_dir: str, config: EngineConfig) -> dict:
         "store_positions": getattr(config, "store_positions", False),
         "dictionary_hash": config.dictionary_hash(),
         "extractor_version": EXTRACTOR_VERSION,
+        # Meilisearch tokenizer settings persist with the index (settings
+        # sink): SearchEngine restores them so queries tokenize the way the
+        # corpus was indexed (settings_manager.py:117-118)
+        "separator_tokens": list(config.separator_tokens),
+        "non_separator_tokens": list(config.non_separator_tokens),
     }
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -610,6 +615,8 @@ def build_index_fused(pages_path: str, out_dir: str,
         "store_positions": getattr(config, "store_positions", False),
         "dictionary_hash": config.dictionary_hash(),
         "extractor_version": EXTRACTOR_VERSION,
+        "separator_tokens": list(config.separator_tokens),
+        "non_separator_tokens": list(config.non_separator_tokens),
         "build_mode": "fused",
     }
     tmp = meta_path + ".tmp"

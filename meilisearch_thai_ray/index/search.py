@@ -146,7 +146,14 @@ class SearchEngine:
         self._dead_arr = (
             np.fromiter(self._dead, dtype=np.uint64) if self._dead else None
         )
-        self._config = config or EngineConfig(num_shards=self.num_shards)
+        self._config = config or EngineConfig(
+            num_shards=self.num_shards,
+            # restore persisted tokenizer settings (settings sink): queries
+            # must tokenize the way the corpus was indexed
+            separator_tokens=tuple(self.meta.get("separator_tokens", ())),
+            non_separator_tokens=tuple(
+                self.meta.get("non_separator_tokens", ())),
+        )
         self._tokenizer = tokenizer  # built lazily (trie cost)
         self._typo_vocab = None  # (terms, dfs, lens, first) built lazily
         self._typodict_ok: bool | None = None  # typodict phase marker cache

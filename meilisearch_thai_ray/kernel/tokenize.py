@@ -56,8 +56,75 @@ class DocumentTokenizer:
                     parts = self.segmenter._alt_segment(w)
                     if len(parts) > 1:
                         self.compound_parts[w] = parts
+        # Meilisearch separatorTokens / nonSeparatorTokens settings
+        # (settings_manager.py:30-46,117-118,130-136). Both default empty —
+        # the hot path pays one falsy check and tokenization is byte-identical
+        # to version "3" semantics when unset.
+        overlap = set(self.config.separator_tokens) & set(
+            self.config.non_separator_tokens)
+        if overlap:
+            raise ValueError(
+                f"tokens {sorted(overlap)!r} are in both separator_tokens "
+                "and non_separator_tokens")
+        self._sep_re = None
+        if self.config.separator_tokens:
+            import re
+            alts = sorted(self.config.separator_tokens, key=len, reverse=True)
+            self._sep_re = re.compile("|".join(re.escape(s) for s in alts))
+        self._nonsep = frozenset(self.config.non_separator_tokens)
+        self._nonsep_chars = frozenset("".join(self._nonsep))
 
     # ---------------- tokenization ----------------
+
+    def _class_run_tokens(self, text: str) -> list[str]:
+        """Non-Thai span -> filtered token list, honouring the
+        nonSeparatorTokens setting: a listed token glues its immediately
+        adjacent (no whitespace between) word neighbours — "e"+"-"+"mail" ->
+        "e-mail", "#"+"hashtag" -> "#hashtag". The unfiltered segment stream
+        covers the span contiguously, so consecutive non-whitespace tokens
+        ARE adjacent in the original text."""
+        toks = self.segmenter.segment_text(text)
+        if not self._nonsep:
+            return [t for t in toks if t.strip()]
+        out: list[str] = []
+        prev_ws = True      # whitespace gap precedes the current token
+        pending = False     # out[-1] ends in a nonsep token: glue next word
+        for t in toks:
+            if not t.strip():
+                prev_ws, pending = True, False
+                continue
+            if t in self._nonsep or (
+                # punct RUNS: the segmenter emits "++" for "c++"; a run whose
+                # chars are all configured nonsep chars glues the same way
+                self._nonsep_chars
+                and all(c in self._nonsep_chars for c in t)
+            ):
+                if out and not prev_ws:
+                    out[-1] += t
+                else:
+                    out.append(t)   # leading form: "#" + word
+                pending = True
+            elif pending:
+                out[-1] += t
+                pending = False
+            else:
+                out.append(t)
+                pending = False
+            prev_ws = False
+        return out
+
+    def _split_custom_separators(self, tokens: list[str]) -> list[str]:
+        """separatorTokens setting: every listed string splits tokens (the
+        separator itself is dropped). No-op when unset."""
+        if self._sep_re is None:
+            return tokens
+        out: list[str] = []
+        for t in tokens:
+            if self._sep_re.search(t):
+                out.extend(p for p in self._sep_re.split(t) if p.strip())
+            else:
+                out.append(t)
+        return out
 
     def tokenize(self, text: str) -> list[str]:
         """Full token stream of a document (whitespace tokens excluded; all
@@ -70,20 +137,18 @@ class DocumentTokenizer:
             # Non-Thai document: plain class-run tokenization (the reference
             # SKIPs Thai processing entirely, document_processor.py:178-183;
             # terms still need to be searchable in our engine).
-            return [t for t in self.segmenter.segment_text(text) if t.strip()]
+            return self._split_custom_separators(self._class_run_tokens(text))
         tokens: list[str] = []
         pos = 0
         for m in THAI_RUN.finditer(text):
             if m.start() > pos:
-                tokens.extend(
-                    t for t in self.segmenter.segment_text(text[pos : m.start()]) if t.strip()
-                )
+                tokens.extend(self._class_run_tokens(text[pos : m.start()]))
             run_tokens = self.segmenter.segment_text(m.group())
             tokens.extend(self.segmenter.enhance_tokens(run_tokens))
             pos = m.end()
         if pos < len(text):
-            tokens.extend(t for t in self.segmenter.segment_text(text[pos:]) if t.strip())
-        return tokens
+            tokens.extend(self._class_run_tokens(text[pos:]))
+        return self._split_custom_separators(tokens)
 
     def index_terms(self, tokens: list[str]) -> list[str]:
         """Tokens -> searchable terms: drop whitespace/punct-only and stop
@@ -105,11 +170,20 @@ class DocumentTokenizer:
         stop = self.stop_words
         parts_of = self.compound_parts
         p = 0
+        nonsep_chars = self._nonsep_chars
         for t in tokens:
             ts = t.strip()
             if not ts:
                 continue
-            if classify_token(ts) == "punct":
+            if classify_token(ts) == "punct" and not (
+                # nonSeparatorTokens setting: a merge like "c++" is
+                # punct-DOMINANT but must stay searchable — keep punct-class
+                # tokens that mix alphanumerics with configured nonsep chars
+                # (unset config: empty set, condition always False)
+                nonsep_chars
+                and any(c in nonsep_chars for c in ts)
+                and any(c.isalnum() for c in ts)
+            ):
                 continue
             if ts in stop:
                 continue
