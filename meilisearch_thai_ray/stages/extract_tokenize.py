@@ -80,8 +80,15 @@ class ExtractTokenize:
         worker processes) with elastic scheduling and zero pool spin-up. Use
         `extract_tokenize_fn` below as the map_batches callable; keep the actor
         pool form for genuinely heavy state (large models)."""
-        key = (config.compound_dict_path, config.base_words_path,
-               config.remove_stop_words, config.lowercase_latin)
+        # key = the FULL semantic tokenizer key (state/hot_reload), not an
+        # ad-hoc field subset: a worker process reused across builds with
+        # different tokenizer settings (e.g. non_separator_tokens) must not
+        # serve the other build's tokenizer (r4 full-suite flake: the
+        # settings-persist test built after default-config tests had warmed
+        # this cache, and 'e-mail' split on the stale default semantics)
+        from ..state.hot_reload import tokenizer_cache_key
+
+        key = tokenizer_cache_key(config)
         inst = _PROCESS_CACHE.get(key)
         if inst is None:
             inst = _PROCESS_CACHE[key] = cls(config)

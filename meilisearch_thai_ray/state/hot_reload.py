@@ -140,6 +140,8 @@ def tokenizer_cache_key(config: EngineConfig) -> tuple:
         config.lowercase_latin,
         config.index_compound_parts,
         tuple(sorted(config.stop_words)),
+        tuple(sorted(config.separator_tokens)),
+        tuple(sorted(config.non_separator_tokens)),
         _content_hash([config.base_words_path, config.compound_dict_path]),
     )
 
