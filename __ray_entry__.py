@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k25_prefix_topk": st.prefix_topk,
         "m17b_filter_lang": st.filter_docs_lang,
         "m31_browse_documents": st.browse_documents,
+        "k26_similar_docs": st.similar_docs,
         "ann_cosine_topk": st.ann_cosine_topk,
         "ann_ivf_topk": st.ann_ivf_topk,
         "ann_ivf_dtrain_topk": st.ann_ivf_dtrain_topk,

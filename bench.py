@@ -186,7 +186,8 @@ def run_bench() -> dict:
                  "w8_main_content", "w9_host_reputation",
                  "k21_geo_radius", "g3_host_pagerank",
                  "k23_hybrid_search", "k25_prefix_topk", "s9_percolate",
-                 "w11_recrawl_priority", "s11_warc_revisit", "s12_zipnum"]:
+                 "w11_recrawl_priority", "s11_warc_revisit", "s12_zipnum",
+                 "k26_similar_docs"]:
         fn = qs[name]
         # min-of-N per query: this shared box shows sporadic 2-10x stalls on
         # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s

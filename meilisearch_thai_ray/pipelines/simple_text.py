@@ -3400,3 +3400,97 @@ def _browse_sql() -> str:
 
 
 SQL["m31_browse_documents"] = _browse_sql()
+
+
+# --------------------------------------------- similar documents (K26)
+
+# Meilisearch GET /indexes/:idx/similar (v1.6 vector search): documents
+# ranked by embedding cosine similarity to ONE target document, the target
+# itself excluded, with the standard filter / limit / offset /
+# rankingScoreThreshold request knobs (reference consumes this surface via
+# its Meilisearch client; the engine side is specified by the Meilisearch
+# /similar route contract).
+SIMILAR_TARGET_ID = 7
+SIMILAR_FILTER = "lang IN [en, fr] AND n_chars >= 150"
+SIMILAR_LIMIT = 10
+SIMILAR_OFFSET = 2
+SIMILAR_THRESHOLD = 0.15
+
+
+def similar_docs(sf_dir: str, target_id: int = SIMILAR_TARGET_ID,
+                 filter_str: str = SIMILAR_FILTER,
+                 limit: int = SIMILAR_LIMIT, offset: int = SIMILAR_OFFSET,
+                 threshold: float = SIMILAR_THRESHOLD) -> pa.Table:
+    """K26 — similar documents. Scale shape: the target vector is ONE
+    stats-pruned filtered read (never a table scan); the attribute filter
+    pushes down at the documents read and travels to the embeddings scan as
+    a keys-only sideways semi-filter (stages/runs.semi_id_filter — broadcast
+    sorted ids or range-read side parquet, never a co-partition shuffle);
+    the cosine scan emits <= (offset+limit) rows per batch
+    (BruteForceCosineTopK partials), so the driver merge is tiny.
+
+    rankingScoreThreshold applies AFTER the per-batch top-N: a kept row
+    failing the threshold proves every dropped row of that batch (lower sim)
+    fails it too, so pre-threshold partials + a driver filter are exact."""
+    import pyarrow.dataset as pads
+
+    from ..stages.filter_dsl import compile_filter_str, filter_str_attrs
+    from ..stages.runs import semi_id_filter
+
+    emb_path = _doc_path(sf_dir, "embeddings")
+    qv = pads.dataset(emb_path).to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == target_id
+    )["embedding"][0].as_py()
+
+    # the read projects doc_id + exactly the filter's columns (a pushed-down
+    # expression can only see projected fields); only doc_id leaves the stage
+    read_cols = ["doc_id"] + [c for c in filter_str_attrs(filter_str)
+                              if c != "doc_id"]
+    keep = read_parquet_clean(
+        _doc_path(sf_dir), columns=read_cols,
+        filter=compile_filter_str(filter_str)
+    ).map_batches(
+        lambda b: b.select(["doc_id"]).rename_columns(["vec_id"]),
+        batch_format="pyarrow")
+
+    need = offset + limit
+    cands = semi_id_filter(
+        read_parquet_clean(emb_path, columns=["vec_id", "embedding"],
+                           filter=pc.field("vec_id") != target_id),
+        keep, id_col="vec_id")
+    partials = cands.map_batches(
+        BruteForceCosineTopK(qv, k=need),
+        batch_format="pyarrow", batch_size=2048)
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    top = merge_topk(pa.Table.from_pylist(rows), need)
+    ids = top["vec_id"].to_numpy(zero_copy_only=False)
+    sims = top["sim"].to_numpy(zero_copy_only=False)
+    sel = sims >= threshold
+    ids, sims = ids[sel][offset:], sims[sel][offset:]
+    return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                     "sim": pa.array(sims.astype(np.float64))})
+
+
+def _similar_sql() -> str:
+    from ..stages.filter_dsl import filter_str_to_sql
+
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = {SIMILAR_TARGET_ID}),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      (SELECT qv FROM q)), 6) AS sim
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.vec_id != {SIMILAR_TARGET_ID}
+    AND ({filter_str_to_sql(SIMILAR_FILTER)})
+)
+SELECT doc_id, sim FROM sims WHERE sim >= {SIMILAR_THRESHOLD}
+ORDER BY sim DESC, doc_id LIMIT {SIMILAR_LIMIT} OFFSET {SIMILAR_OFFSET}
+"""
+
+
+SQL["k26_similar_docs"] = _similar_sql()

@@ -143,3 +143,24 @@ def _ast_to_sql(node) -> str:
     if tag == "exists":
         return f"{node[1]} IS {'NOT ' if node[2] else ''}NULL"
     raise ValueError(f"unknown AST node {tag!r}")
+
+
+def filter_str_attrs(s: str) -> list[str]:
+    """Attribute names a filter string references (sorted, deduped) — lets a
+    caller add exactly the filter's columns to a pruned parquet read (a
+    pushed-down expression can only see projected columns)."""
+    from ..kernel.filter_lang import parse_filter
+
+    out: set[str] = set()
+
+    def walk(node):
+        tag = node[0]
+        if tag in ("and", "or"):
+            walk(node[1]); walk(node[2])
+        elif tag == "not":
+            walk(node[1])
+        else:  # cmp / in / range / exists — attr at position 1
+            out.add(node[1])
+
+    walk(parse_filter(s))
+    return sorted(out)
