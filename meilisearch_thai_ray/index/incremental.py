@@ -72,6 +72,11 @@ def _base_config(meta: dict) -> EngineConfig:
     return EngineConfig(
         num_shards=meta["num_shards"],
         store_positions=bool(meta.get("store_positions", False)),
+        # tokenizer settings persist with the index (settings sink) and key
+        # dictionary_hash — without restoring them here, config=None on a
+        # tuned index failed the hash guard below instead of just working
+        separator_tokens=tuple(meta.get("separator_tokens", ())),
+        non_separator_tokens=tuple(meta.get("non_separator_tokens", ())),
         **kw,
     )
 
