@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m17_filter_dsl": st.filter_docs,
         "m28_field_weighted_topk": st.field_weighted_topk,
         "k11_facet_counts": st.facet_counts,
+        "k11b_facet_sorted": st.facet_distribution_sorted,
         "k16_facet_search": st.facet_search,
         "k22_facet_stats": st.facet_stats,
         "k1_topk_docs": st.topk_docs,
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w10_frontier_timed": webg.frontier_timed_schedule,
         "w11_recrawl_priority": webg.recrawl_priority,
         "w12_frontier_refresh": webg.frontier_refresh_schedule,
+        "w13_wat_metadata": webg.wat_metadata,
         "w7_anchor_enrich": webg.anchor_enrich,
         "w8_main_content": webg.main_content,
         "w9_host_reputation": webg.host_reputation,

@@ -98,3 +98,29 @@ def parse_robots(text: bytes | str, agent: str) -> RobotsRules:
     if star:
         return RobotsRules(star)
     return _ALLOW_ALL
+
+
+def robots_sitemaps(text: bytes | str) -> list[str]:
+    """`Sitemap:` directives of a robots.txt — the sitemaps-protocol
+    discovery mechanism (sitemaps.org: the directive is independent of any
+    user-agent group and may appear anywhere in the file). Order preserved,
+    duplicates dropped, empty values skipped; comments stripped with the
+    same rule as the rule parser. Values are returned as written (the spec
+    requires absolute URLs; a lenient consumer may resolve relative ones
+    against the fetch URL — that policy belongs to the caller)."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out

@@ -3494,3 +3494,55 @@ ORDER BY sim DESC, doc_id LIMIT {SIMILAR_LIMIT} OFFSET {SIMILAR_OFFSET}
 
 
 SQL["k26_similar_docs"] = _similar_sql()
+
+
+# -------------------- facet settings: sortFacetValuesBy + maxValuesPerFacet
+
+# Meilisearch faceting settings (PATCH /indexes/:idx/settings/faceting):
+# maxValuesPerFacet truncates each facet's value list AFTER aggregation;
+# sortFacetValuesBy orders it "alpha" (default) or "count" (descending,
+# ties alphabetical). The reference configures faceting through the same
+# settings route its settings_manager drives.
+FACET_MAX_VALUES = 8
+
+
+def facet_distribution_sorted(sf_dir: str,
+                              fields: tuple[str, ...] = FACET_FIELDS,
+                              sort_by: str = "count",
+                              max_values: int = FACET_MAX_VALUES):
+    """K11b — facetDistribution under the faceting settings: the
+    distributed count aggregate is k11's (per-batch partials bounded by
+    facet cardinality -> ONE tiny groupby); ordering + truncation happen
+    on the O(distinct-values) result — the rank column makes the ORDER
+    itself hash-verifiable (the driver compare is order-insensitive)."""
+    if sort_by not in ("alpha", "count"):
+        raise ValueError("sortFacetValuesBy must be 'alpha' or 'count'")
+    rows = facet_counts(sf_dir, fields).take_all()
+    out = {"facet": [], "value": [], "cnt": [], "rank": []}
+    for facet in sorted({r["facet"] for r in rows}):
+        vals = [r for r in rows if r["facet"] == facet]
+        if sort_by == "count":
+            vals.sort(key=lambda r: (-r["cnt"], r["value"]))
+        else:
+            vals.sort(key=lambda r: r["value"])
+        for i, r in enumerate(vals[:max_values], start=1):
+            out["facet"].append(facet)
+            out["value"].append(r["value"])
+            out["cnt"].append(r["cnt"])
+            out["rank"].append(i)
+    return pa.table({"facet": pa.array(out["facet"], pa.string()),
+                     "value": pa.array(out["value"], pa.string()),
+                     "cnt": pa.array(out["cnt"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64())})
+
+
+SQL["k11b_facet_sorted"] = f"""
+WITH counts AS ({SQL["k11_facet_counts"]}),
+ranked AS (
+  SELECT facet, value, cnt,
+         CAST(row_number() OVER (PARTITION BY facet
+                                 ORDER BY cnt DESC, value) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT facet, value, cnt, rank FROM ranked WHERE rank <= {FACET_MAX_VALUES}
+"""

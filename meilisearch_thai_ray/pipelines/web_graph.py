@@ -1085,3 +1085,66 @@ SELECT doc_id, host_idx, p_stale,
        CAST(r * ((host_idx % 4) + 1) AS BIGINT) AS fetch_at
 FROM ranked WHERE r < {FRONTIER_PER_HOST}
 """
+
+
+# ------------------------------------------------- W13: WAT companion build
+
+def wat_metadata(sf_dir: str) -> pa.Table:
+    """W13 — the WAT companion archive, end to end: planted linked pages ->
+    WARC export -> distributed WAT build (one streaming task per archive,
+    the SAME link/title kernels the index uses) -> WAT read-back -> one
+    metadata row per page. The SQL oracle regenerates title / link count /
+    first normalized link ARITHMETICALLY from the planted rule set, so a
+    hash match proves render -> archive -> WAT JSON -> parse is exact —
+    including the kernel's decoy drops (mailto, href-less, commented) and
+    fragment normalization riding through the JSON round trip.
+
+    The WARC export caches per input fingerprint (the s10 pattern); the
+    WAT build — the operator under test — always re-runs."""
+    import hashlib
+    import os
+
+    from ..sources.warc import write_warc_pages
+    from ..sources.wat import build_wat, read_wat_pages
+    from .crawl_refresh import _CACHE_ROOT
+    from .simple_text import input_fingerprint, read_parquet_clean
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(
+        (input_fingerprint(doc_path) + "watdemo-v1").encode()
+    ).hexdigest()[:10]
+    warc_dir = os.path.join(_CACHE_ROOT, f"wat_warc_{fp}")
+    if not os.path.isdir(warc_dir) or not any(
+            f.endswith(".warc.gz") for f in os.listdir(warc_dir)):
+        write_warc_pages(_linked_pages(sf_dir), warc_dir, prefix="watdemo")
+    wat_dir = os.path.join(_CACHE_ROOT, f"wat_out_{fp}")
+    build_wat(warc_dir, wat_dir)
+
+    def to_meta(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        links = batch["links"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "title": batch["title"],
+            "n_links": pa.array([len(x) for x in links], pa.int64()),
+            "first_link": pa.array([x[0] if x else "" for x in links],
+                                   pa.string()),
+        })
+
+    return pa.Table.from_pylist(
+        read_wat_pages(wat_dir)
+        .map_batches(to_meta, batch_format="pyarrow")
+        .take_all()).sort_by("doc_id")
+
+
+SQL["w13_wat_metadata"] = """
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(2 + (doc_id * 7919) % 5 AS BIGINT) AS n_links,
+       'https://site' || CAST((doc_id * 1000003) % 100000 % 101 AS VARCHAR)
+         || '.example.th/l/'
+         || lpad(CAST((doc_id * 1000003) % 100000 AS VARCHAR), 8, '0')
+         AS first_link
+FROM documents ORDER BY doc_id
+"""

@@ -98,3 +98,27 @@ def test_robots_gate_stage_matches_kernel(ray_session):
             "/" + u.split("/", 3)[3]))
     assert got_urls == exp
     assert 0 < len(got_urls) < len(urls)
+
+
+def test_robots_sitemaps_directive():
+    """Sitemap: discovery — agent-independent, order kept, dupes dropped,
+    comments/empty values ignored, case-insensitive key."""
+    from meilisearch_thai_ray.kernel.robots import robots_sitemaps
+
+    text = (
+        "# Sitemap: https://decoy.ex/commented.xml\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "SITEMAP: https://a.ex/sitemap1.xml.gz\n"
+        "Sitemap:\n"
+        "sitemap: https://a.ex/sitemap2.xml\n"
+        "Sitemap: https://a.ex/sitemap1.xml.gz\n"
+        "User-agent: otherbot\n"
+        "Sitemap: https://a.ex/sitemap3.xml  # trailing comment\n"
+    )
+    assert robots_sitemaps(text) == [
+        "https://a.ex/sitemap1.xml.gz",
+        "https://a.ex/sitemap2.xml",
+        "https://a.ex/sitemap3.xml",
+    ]
+    assert robots_sitemaps(b"") == []
