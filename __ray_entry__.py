@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a7_sessionize": st.sessionize,
         "k4_suggest": st.suggest_terms,
         "k21_geo_radius": st.geo_radius,
+        "k21b_geo_bounding_box": st.geo_bounding_box,
         "k23_hybrid_search": st.hybrid_topk,
         "k23b_hybrid_semantic_heavy": st.hybrid_topk_semantic_heavy,
         "s9_percolate": st.percolate,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w11_recrawl_priority": webg.recrawl_priority,
         "w12_frontier_refresh": webg.frontier_refresh_schedule,
         "w13_wat_metadata": webg.wat_metadata,
+        "w14_sitemap_discovery": webg.sitemap_discovery,
         "w7_anchor_enrich": webg.anchor_enrich,
         "w8_main_content": webg.main_content,
         "w9_host_reputation": webg.host_reputation,

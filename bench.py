@@ -187,7 +187,8 @@ def run_bench() -> dict:
                  "k21_geo_radius", "g3_host_pagerank",
                  "k23_hybrid_search", "k25_prefix_topk", "s9_percolate",
                  "w11_recrawl_priority", "s11_warc_revisit", "s12_zipnum",
-                 "k26_similar_docs", "w13_wat_metadata"]:
+                 "k26_similar_docs", "w13_wat_metadata", "w14_sitemap_discovery",
+                 "k11b_facet_sorted"]:
         fn = qs[name]
         # min-of-N per query: this shared box shows sporadic 2-10x stalls on
         # SINGLE-SHOT timings (the round-3 "regression cluster" — p2 21.3 s

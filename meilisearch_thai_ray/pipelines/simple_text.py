@@ -3546,3 +3546,66 @@ ranked AS (
 )
 SELECT facet, value, cnt, rank FROM ranked WHERE rank <= {FACET_MAX_VALUES}
 """
+
+
+# --------------------------------- geosearch: _geoBoundingBox (K21b)
+
+# Meilisearch's second geo filter: _geoBoundingBox([trLat, trLng],
+# [blLat, blLng]) — inclusive box, and when trLng < blLng the box CROSSES
+# the antimeridian (the longitude test becomes a disjunction). The planted
+# box below crosses it on purpose: the wrap rule is the part worth
+# hash-verifying.
+GEO_BOX = ((50.0, -170.0), (10.0, 170.0))  # (topRight, bottomLeft)
+GEO_BOX_LIMIT = 30
+
+
+def geo_bounding_box(sf_dir: str, box: tuple = GEO_BOX,
+                     limit: int = GEO_BOX_LIMIT) -> pa.Table:
+    """K21b — _geoBoundingBox filter over the k21 planted coordinates,
+    stable doc_id pagination (the browse contract: per-batch partial
+    bottom-k, <= limit rows leave each task)."""
+    (tr_lat, tr_lng), (bl_lat, bl_lng) = box
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lat = (d * 7919 % 18000) / 100.0 - 90.0
+        lon = (d * 104729 % 36000) / 100.0 - 180.0
+        ok = (lat >= bl_lat) & (lat <= tr_lat)
+        if bl_lng <= tr_lng:
+            ok &= (lon >= bl_lng) & (lon <= tr_lng)
+        else:  # antimeridian crossing: east of blLng OR west of trLng
+            ok &= (lon >= bl_lng) | (lon <= tr_lng)
+        d, lat, lon = d[ok], lat[ok], lon[ok]
+        order = np.argsort(d)[:limit]
+        return pa.table({
+            "doc_id": pa.array(d[order], pa.int64()),
+            "lat": pa.array(np.round(lat[order], 6), pa.float64()),
+            "lon": pa.array(np.round(lon[order], 6), pa.float64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    rows = rows[:limit]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "lat": pa.array([r["lat"] for r in rows], pa.float64()),
+        "lon": pa.array([r["lon"] for r in rows], pa.float64()),
+    })
+
+
+SQL["k21b_geo_bounding_box"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM g
+WHERE lat BETWEEN {GEO_BOX[1][0]} AND {GEO_BOX[0][0]}
+  AND (lon >= {GEO_BOX[1][1]} OR lon <= {GEO_BOX[0][1]})
+ORDER BY doc_id LIMIT {GEO_BOX_LIMIT}
+"""

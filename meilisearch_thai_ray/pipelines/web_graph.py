@@ -679,6 +679,13 @@ def _planted_robots(h: int) -> str:
         parts.append("User-agent: *\nDisallow: /\nAllow: /p/\n\n")
     if h % 7 == 3:
         parts.append("User-agent: *\nDisallow: /p/*4$\n\n")
+    # extra sitemap shards for w14 discovery (h % 3 of them, mixed-case key
+    # + a commented decoy) — appended AFTER every group so they cannot
+    # perturb the UA-run grouping the w4 decision table verifies
+    parts.append("# sitemap: https://decoy.example.th/no.xml\n")
+    for i in range(1, h % 3 + 1):
+        parts.append(
+            f"sitemap: https://site{h}.example.th/sitemap{i}.xml.gz\n")
     return "".join(parts)
 
 
@@ -1147,4 +1154,67 @@ SELECT doc_id,
          || lpad(CAST((doc_id * 1000003) % 100000 AS VARCHAR), 8, '0')
          AS first_link
 FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------- W14: sitemap discovery from robots
+
+def sitemap_discovery(sf_dir: str) -> pa.Table:
+    """W14 — the sitemaps-protocol discovery mechanism: each host's
+    robots.txt names its sitemap shards via `Sitemap:` directives
+    (kernel/robots.robots_sitemaps), the step BEFORE w5's urlset parse in
+    a real crawl bootstrap. Planted rule: host h lists sitemap.xml plus
+    h%3 extra `sitemap{i}.xml.gz` shards (mixed-case keys + a commented
+    decoy the kernel must ignore).
+
+    Scale shape: the host set derives from the corpus with per-batch
+    unique partials (bounded by N_HOSTS rows per batch) and a driver
+    union; robots parsing fans out over the host-cardinality dataset —
+    control-plane-sized by definition (one robots.txt per HOST)."""
+    import os
+
+    from ..kernel.robots import robots_sitemaps
+    from .simple_text import read_parquet_clean
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": np.unique(ids % N_HOSTS).astype(np.int64)})
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(hpart, batch_format="pyarrow", batch_size=65536).take_all()
+    hosts = sorted({int(r["h"]) for r in parts})
+
+    def discover(batch: pa.Table) -> pa.Table:
+        hs, poss, urls = [], [], []
+        for h in batch["host_idx"].to_pylist():
+            for i, u in enumerate(robots_sitemaps(_planted_robots(h))):
+                hs.append(h)
+                poss.append(i)
+                urls.append(u)
+        return pa.table({"host_idx": pa.array(hs, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "sitemap_url": pa.array(urls, pa.string())})
+
+    rows = ray.data.from_items(
+        [{"host_idx": h} for h in hosts]
+    ).map_batches(discover, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(rows) if rows else pa.table(
+        {"host_idx": pa.array([], pa.int64()),
+         "pos": pa.array([], pa.int64()),
+         "sitemap_url": pa.array([], pa.string())})
+    return t.sort_by([("host_idx", "ascending"), ("pos", "ascending")])
+
+
+SQL["w14_sitemap_discovery"] = f"""
+WITH hosts AS (SELECT DISTINCT doc_id % {N_HOSTS} AS h FROM documents),
+maps AS (SELECT h, unnest(range(0, h % 3 + 1)) AS pos FROM hosts)
+SELECT h AS host_idx, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN pos = 0
+            THEN 'https://site' || CAST(h AS VARCHAR)
+                 || '.example.th/sitemap.xml'
+            ELSE 'https://site' || CAST(h AS VARCHAR)
+                 || '.example.th/sitemap' || CAST(pos AS VARCHAR)
+                 || '.xml.gz' END AS sitemap_url
+FROM maps ORDER BY host_idx, pos
 """
