@@ -107,6 +107,25 @@ def main() -> None:
     assert n_found == len(urls), (n_found, len(urls))
     out["zipnum_probe_ms_avg"] = round(1000 * t_probe / len(urls), 2)
 
+    # ---- WAT companion build over crawl 1 (one streaming task per
+    # archive: parse every response record with the index's link/title
+    # kernels, write the metadata sibling) + read-back row count
+    from meilisearch_thai_ray.sources.wat import build_wat, read_wat_pages
+
+    wat_dir = os.path.join(WORK, "wat")
+    t0 = time.perf_counter()
+    man_w = build_wat(dir_a, wat_dir)
+    t_wat = time.perf_counter() - t0
+    n_wat = sum(m["n_records"] for m in man_w)
+    assert n_wat == N_PAGES, (n_wat, N_PAGES)
+    out["wat_build_sec"] = round(t_wat, 3)
+    out["wat_pages_per_sec"] = round(N_PAGES / t_wat, 1)
+    out["wat_mb"] = round(sum(m["n_bytes"] for m in man_w) / 2 ** 20, 1)
+    t0 = time.perf_counter()
+    n_rows = read_wat_pages(wat_dir).count()
+    out["wat_read_sec"] = round(time.perf_counter() - t0, 3)
+    assert n_rows == N_PAGES
+
     # ---- crawl 2: ~10% of pages change (url-hash rule), revisit sink
     def mutate(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
