@@ -443,12 +443,27 @@ class SearchEngine:
         """Meilisearch matching strategies over our BM25:
         "all" — every term required; "any" — plain OR;
         "last" (Meilisearch default) — require all terms, then progressively
-        drop terms from the END of the query until something matches."""
+        drop terms from the END of the query until something matches;
+        "frequency" (Meilisearch v1.5+) — require all terms, then drop the
+        term with the HIGHEST document frequency first (the least
+        informative word). Terms absent from the corpus can never satisfy
+        the conjunction at any frequency, so they drop first; df ties drop
+        the later query position."""
         terms = self.query_terms(query)
         if strategy == "any":
             return self.score_topk(terms, k=k)
         if strategy == "all":
             return self.score_topk(terms, k=k, match="all")
+        if strategy == "frequency":
+            while terms:
+                hits = self.score_topk(terms, k=k, match="all")
+                if hits:
+                    return hits
+                dfs = [self.df(t) for t in terms]
+                drop = max(range(len(terms)),
+                           key=lambda i: (dfs[i] == 0, dfs[i], i))
+                terms = terms[:drop] + terms[drop + 1:]
+            return []
         while terms:
             hits = self.score_topk(terms, k=k, match="all")
             if hits:

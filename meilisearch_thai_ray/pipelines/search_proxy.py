@@ -128,7 +128,10 @@ class SearchOptions:
     highlight: bool = False              # M19/M20 span markup on hits
     crop_length: int = 200               # requests.py:19 (ge=10, le=1000)
     crop_marker: str = "..."             # requests.py:20
-    matching_strategy: str | None = None  # override per-variant strategy
+    # Meilisearch matchingStrategy override for every variant:
+    # "all" | "last" | "any" | "frequency" (v1.5 semantics: required words,
+    # highest-df word dropped first when the conjunction is empty)
+    matching_strategy: str | None = None
     enable_compound_search: bool = True  # requests.py:26
     boost_exact_matches: float | None = None  # requests.py:27
     boost_thai_matches: float | None = None   # requests.py:28
@@ -203,6 +206,11 @@ class SearchOptions:
     attributes_to_search_on: list[str] | None = None
 
     def __post_init__(self):
+        if self.matching_strategy is not None and self.matching_strategy \
+                not in ("all", "last", "any", "frequency"):
+            raise ValueError(
+                "matching_strategy must be one of "
+                "'all', 'last', 'any', 'frequency'")
         if self.attributes_to_search_on is not None:
             bad = set(self.attributes_to_search_on) - {"title", "content"}
             if bad or not self.attributes_to_search_on:
@@ -659,14 +667,13 @@ class SearchProxy:
 
         # per-variant matchingStrategy (search_executor.py:731-753):
         # original -> "all", tokenized/compound_split -> "last",
-        # fallback/mixed -> most flexible ("frequency" ~= our "any");
-        # a per-request matching_strategy overrides all variants
+        # fallback/mixed -> most flexible ("any"); a per-request
+        # matching_strategy ("all"|"last"|"any"|"frequency") overrides all
+        # variants — "frequency" gets true Meilisearch v1.5 semantics below
         strategies = {ORIGINAL: "all", TOKENIZED: "last", COMPOUND_SPLIT: "last"}
         if options and options.matching_strategy:
-            # reference "frequency" = most flexible -> our "any"
-            forced = {"frequency": "any"}.get(options.matching_strategy,
-                                              options.matching_strategy)
-            strategies = {v.variant_type: forced for v in variants}
+            strategies = {v.variant_type: options.matching_strategy
+                          for v in variants}
 
         candidates: list[tuple] = []  # (hit_dict, score, variant, position)
         for variant in variants:
@@ -684,6 +691,53 @@ class SearchProxy:
                     if hits:
                         break
                     tt = tt[:-1]
+            elif strat == "frequency":
+                # Meilisearch matchingStrategy="frequency" (v1.5+): every
+                # word is required — matching through its typo derivations
+                # when typo matching applies — and when the conjunction is
+                # empty the word with the HIGHEST document frequency drops
+                # first (the least informative one), unlike "last"'s
+                # positional drop. A word whose derivation group matches no
+                # document can never satisfy the conjunction at any
+                # frequency, so it drops first; df ties drop the later
+                # position. Scoring is OR BM25 over the surviving words'
+                # groups restricted to the conjunction set (cost bounded by
+                # the groups' postings, same class as the phrase path).
+                use_typo = (options.typo_tolerance if options is not None
+                            and options.typo_tolerance is not None
+                            else variant.variant_type == FALLBACK)
+                expand = getattr(self.engine, "expand_typo", None)
+                ts = (options.typo_settings or {}) if options else {}
+                mws = ts.get("minWordSizeForTypos") or {}
+                disabled = set(ts.get("disableOnWords") or ())
+                groups: dict[str, list[str]] = {}
+                for t in terms:
+                    g = [t]
+                    if use_typo and expand is not None and t not in disabled:
+                        g += [x for x in expand(t, 3,
+                                                one_typo=mws.get("oneTypo"),
+                                                two_typos=mws.get("twoTypos"))
+                              if x not in g]
+                    groups.setdefault(t, g)
+                word_docs = {
+                    t: {d for d, _ in self.engine.score_topk(g, k=1 << 62)}
+                    for t, g in groups.items()}
+                order = list(dict.fromkeys(terms))
+                hits = []
+                while order:
+                    allowed = set(word_docs[order[0]])
+                    for t in order[1:]:
+                        allowed &= word_docs[t]
+                    if allowed:
+                        flat = [x for t in order for x in groups[t]]
+                        hits = [(d, s) for d, s in
+                                self.engine.score_topk(flat, k=1 << 62)
+                                if d in allowed][:MAX_RESULTS_PER_VARIANT]
+                        break
+                    drop = max(range(len(order)),
+                               key=lambda i: (not word_docs[order[i]],
+                                              self.engine.df(order[i]), i))
+                    order.pop(drop)
             else:
                 # typo matching joins expansions to the OR term set (AND
                 # strategies are exempt: requiring a typo'd variant would

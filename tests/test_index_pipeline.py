@@ -223,6 +223,42 @@ def test_matching_strategy_all(built, oracle, tok):
     assert checked >= 5  # multi-term AND still matches somewhere in the corpus
 
 
+def test_matching_strategy_frequency(built):
+    """'frequency' drops the highest-df word; 'last' drops the trailing one.
+
+    Meilisearch matchingStrategy="frequency" (v1.5+) semantics: all words
+    required, the least informative (highest document frequency) word is
+    removed first when the conjunction is empty."""
+    _, out, _ = built
+    eng = SearchEngine(out)
+    terms, dfs, _, _ = eng._typo_vocabulary()
+    vocab = sorted(zip(terms.tolist(), dfs.tolist()), key=lambda x: -x[1])
+    found = None
+    for hi, dh in vocab[:40]:
+        for lo, dl in vocab[-200:]:
+            if dl <= 0 or dl >= dh:
+                continue
+            if eng.query_terms(f"{hi} {lo}") != [hi, lo]:
+                continue  # pair doesn't round-trip the query tokenizer
+            if eng.score_topk([hi, lo], 10, match="all"):
+                continue  # co-occurs somewhere: drop order unobservable
+            found = (hi, lo)
+            break
+        if found:
+            break
+    assert found, "no disjoint df-ordered term pair in fixture corpus"
+    hi, lo = found
+    freq = eng.search_matching(f"{hi} {lo}", strategy="frequency")
+    last = eng.search_matching(f"{hi} {lo}", strategy="last")
+    assert freq and freq == eng.score_topk([lo], 10, match="all")
+    assert last and last == eng.score_topk([hi], 10, match="all")
+    assert freq != last
+    # a word absent from the corpus can never satisfy the conjunction:
+    # it drops before any real word regardless of position
+    ghost = eng.search_matching(f"zzqqxxv {hi}", strategy="frequency")
+    assert ghost == eng.score_topk([hi], 10, match="all")
+
+
 def test_matching_strategy_last(built):
     """'last' drops trailing terms until something matches."""
     _, out, _ = built

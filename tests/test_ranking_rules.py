@@ -173,3 +173,32 @@ def test_bm25f_title_weight_lifts_title_hits(rules_index):
     boosted = [d for d, _ in eng.bm25f_topk(["salmon"], k=10,
                                             title_weight=8.0)]
     assert boosted.index(title_doc) < boosted.index(body_doc)
+
+
+def test_proxy_frequency_drops_highest_df_word(rules_index):
+    """matchingStrategy='frequency' (Meilisearch v1.5): all words required;
+    when the conjunction is empty the highest-df word drops first — unlike
+    'last', which drops the trailing word regardless of informativeness."""
+    out, urls = rules_index
+    proxy = SearchProxy(SearchEngine(out), docs_path=f"{out}/docs")
+    charcoal_doc = _doc_of("https://rules.ex/2")
+    salmon_docs = {_doc_of("https://rules.ex/0"), _doc_of("https://rules.ex/1")}
+
+    # 'salmon' df=2, 'charcoal' df=1, no doc has both
+    freq = {h["doc_id"] for h in proxy.search(
+        "salmon charcoal",
+        options=SearchOptions(limit=10, matching_strategy="frequency"))}
+    assert freq == {charcoal_doc}  # salmon (higher df) dropped first
+    last = {h["doc_id"] for h in proxy.search(
+        "salmon charcoal",
+        options=SearchOptions(limit=10, matching_strategy="last"))}
+    assert last == salmon_docs  # trailing word dropped instead
+
+    # a satisfiable conjunction drops nothing
+    both = {h["doc_id"] for h in proxy.search(
+        "salmon dishes",
+        options=SearchOptions(limit=10, matching_strategy="frequency"))}
+    assert both == salmon_docs
+
+    with pytest.raises(ValueError):
+        SearchOptions(matching_strategy="fuzzy")
