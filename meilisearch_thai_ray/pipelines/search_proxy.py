@@ -719,24 +719,40 @@ class SearchProxy:
                                                 two_typos=mws.get("twoTypos"))
                               if x not in g]
                     groups.setdefault(t, g)
-                word_docs = {
-                    t: {d for d, _ in self.engine.score_topk(g, k=1 << 62)}
-                    for t, g in groups.items()}
                 order = list(dict.fromkeys(terms))
                 hits = []
-                while order:
+                # Fast path: with no typo expansions every group is its own
+                # word, so the conjunction IS match="all" over the words —
+                # identical result set and OR-BM25 scores, without
+                # materializing each word's full postings as a Python set.
+                # The per-word doc sets are only needed to pick which word
+                # to drop, i.e. only when the conjunction comes back empty.
+                if all(len(groups[t]) == 1 for t in order):
+                    hits = self.engine.score_topk(
+                        order, k=MAX_RESULTS_PER_VARIANT, match="all")
+                if not hits:
+                    word_docs = {
+                        t: {d for d, _ in self.engine.score_topk(g, k=1 << 62)}
+                        for t, g in groups.items()}
+                while not hits and order:
                     allowed = set(word_docs[order[0]])
                     for t in order[1:]:
                         allowed &= word_docs[t]
                     if allowed:
-                        flat = [x for t in order for x in groups[t]]
+                        # dedupe: two words sharing a typo derivation must
+                        # not double-weight it in score_topk's Counter
+                        flat = list(dict.fromkeys(
+                            x for t in order for x in groups[t]))
                         hits = [(d, s) for d, s in
                                 self.engine.score_topk(flat, k=1 << 62)
                                 if d in allowed][:MAX_RESULTS_PER_VARIANT]
                         break
+                    # Meilisearch ranks removal by the word's RESOLVED match
+                    # set (typo derivations included), not raw-term df —
+                    # len(word_docs) is that set's size and is already built
                     drop = max(range(len(order)),
                                key=lambda i: (not word_docs[order[i]],
-                                              self.engine.df(order[i]), i))
+                                              len(word_docs[order[i]]), i))
                     order.pop(drop)
             else:
                 # typo matching joins expansions to the OR term set (AND

@@ -18,6 +18,11 @@ Stages (all existing, audited pipeline pieces):
      absorbed so the NEXT snapshot dedups against this one.
   2. (--cdx-out) CDX + ZipNum over the input archive, so the snapshot is
      randomly accessible the moment it is served.
+  3. (--revisit-out + --prior-archive) re-archive the snapshot THROUGH the
+     revisit sink: pages whose payload digest matches the prior crawl
+     store as header-only revisit records (the archive-size lever).
+     mode=auto shards the prior digest map by url_h above the documented
+     row threshold so no writer ever holds the whole map.
 
 This script OWNS its Ray session (guarded init); library code never
 calls ray.init. Prints ONE JSON metrics line on success.
@@ -52,6 +57,19 @@ def main() -> int:
     ap.add_argument("--preset", default="strict",
                     choices=["strict", "near"], help="MinHash band preset")
     ap.add_argument("--zipnum-lines", type=int, default=3000)
+    ap.add_argument("--revisit-out", default=None,
+                    help="also re-archive the snapshot's pages THROUGH the "
+                         "revisit sink (payload-digest dedup vs the prior "
+                         "crawl) into this dir")
+    ap.add_argument("--prior-archive", default=None,
+                    help="the PRIOR crawl's WARC dir; its CDX digest map "
+                         "drives --revisit-out dedup")
+    ap.add_argument("--revisit-mode", default="auto",
+                    choices=["auto", "broadcast", "sharded"],
+                    help="prior-map residency: auto picks sharded above "
+                         "the documented row threshold (fleet default)")
+    ap.add_argument("--revisit-shards", type=int, default=None,
+                    help="override url_h shard count in sharded mode")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -101,6 +119,23 @@ def main() -> int:
                              os.path.join(args.cdx_out, "cluster.parquet"))
         out["cdx_s"] = round(time.perf_counter() - t0, 2)
         out["cdx_blocks"] = summary.num_rows
+
+    if args.revisit_out:
+        from meilisearch_thai_ray.sources.warc import (
+            cdx_index_warc_dir, read_warc_pages, write_warc_pages_revisit)
+
+        t0 = time.perf_counter()
+        prior_cdx = (cdx_index_warc_dir(args.prior_archive)
+                     if args.prior_archive else None)
+        pages = read_warc_pages(args.archive)
+        man = write_warc_pages_revisit(
+            pages, args.revisit_out, prior_cdx, mode=args.revisit_mode,
+            num_shards=args.revisit_shards,
+            shard_work_dir=os.path.join(args.work, "prior_shards"))
+        out["revisit_s"] = round(time.perf_counter() - t0, 2)
+        out["revisit_records"] = sum(m["n_revisit"] for m in man)
+        out["response_records"] = sum(m["n_response"] for m in man)
+        out["revisit_bytes"] = sum(m["n_bytes"] for m in man)
 
     print(json.dumps(out))
     ray.shutdown()
