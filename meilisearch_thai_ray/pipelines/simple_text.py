@@ -3147,8 +3147,18 @@ def _ivfpq_res_code_store(sf_dir: str, m: int, nlist: int):
             concurrency=(1, pool_cap(2, fraction=0.25)))
          .sort("ivf_list")
          .write_parquet(os.path.join(tmp, "codes")))
+        # per-list row counts: let the query compute its probed-code count
+        # (hence the measured-safe refine shortlist floor) without a
+        # counting scan at query time; this read prunes to ONE int column
+        sizes = np.zeros(nlist, dtype=np.int64)
+        for b in ray.data.read_parquet(
+                os.path.join(tmp, "codes"),
+                columns=["ivf_list"]).iter_batches(batch_format="pyarrow"):
+            c = np.bincount(b["ivf_list"].to_numpy(zero_copy_only=False),
+                            minlength=nlist)
+            sizes[:c.size] += c
         np.savez(os.path.join(tmp, "codebooks.npz"),
-                 centroids=cents,
+                 centroids=cents, list_sizes=sizes,
                  **{f"c{i}": b for i, b in enumerate(books)})
         if os.path.exists(store):
             shutil.rmtree(tmp)
@@ -3156,13 +3166,26 @@ def _ivfpq_res_code_store(sf_dir: str, m: int, nlist: int):
             os.rename(tmp, store)
     with np.load(books_path) as z:
         cents = z["centroids"]
-        books = [z[f"c{i}"] for i in range(len(z.files) - 1)]
-    return os.path.join(store, "codes"), books, cents
+        nb = sum(1 for f in z.files if f not in ("centroids", "list_sizes"))
+        books = [z[f"c{i}"] for i in range(nb)]
+        # caches written before list_sizes existed fall back to a one-off
+        # pruned count (one int column) so refine="auto" still works
+        if "list_sizes" in z.files:
+            sizes = z["list_sizes"]
+        else:
+            sizes = np.zeros(len(cents), dtype=np.int64)
+            for b in ray.data.read_parquet(
+                    os.path.join(store, "codes"),
+                    columns=["ivf_list"]).iter_batches(batch_format="pyarrow"):
+                c = np.bincount(b["ivf_list"].to_numpy(zero_copy_only=False),
+                                minlength=len(cents))
+                sizes[:c.size] += c
+    return os.path.join(store, "codes"), books, cents, sizes
 
 
 def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
                        nlist: int = 16, nprobe: int = 4,
-                       refine: int = 0):
+                       refine: "int | str" = 0):
     """ANN with RESIDUAL IVF+PQ (Jégou et al. 2011 §IV-A — the faiss IVFPQ
     composition; rows-only, approximate by design). The PQ spends its m
     bytes on v - centroid instead of v, so the same code budget explains
@@ -3177,20 +3200,28 @@ def ann_ivfpq_res_topk(sf_dir: str, k: int = 10, m: int = 8,
     `refine`-sized shortlist and ONE pruned float read re-scores it with
     exact cosine — recall@10 through near-ties no m-byte code can order,
     at O(refine) float cost (the codes-only scan still does the heavy
-    pruning)."""
+    pruning). refine="auto" sizes the shortlist at the MEASURED safe
+    floor, adc_shortlist_floor(probed codes): a constant shortlist
+    silently degrades as the corpus grows because the near-tie set the
+    ADC cannot order grows linearly with it (the r4 shortlist cliff —
+    strict recall@10 was 0/10 at 800 and 10/10 at 1600 on 1M vectors);
+    the floor tracks 2% of probed, computed from the per-list sizes the
+    build stores, no counting scan at query time."""
     import pyarrow.dataset as pads
 
     from ..functions.resources import pool_cap
-    from ..stages.ann import IvfPqResidualTopK, merge_topk
+    from ..stages.ann import IvfPqResidualTopK, adc_shortlist_floor, merge_topk
 
     qv = pads.dataset(_doc_path(sf_dir, "embeddings")).to_table(
         columns=["embedding"], filter=pc.field("vec_id") == 0
     )["embedding"][0].as_py()
-    codes_dir, books, cents = _ivfpq_res_code_store(sf_dir, m, nlist)
+    codes_dir, books, cents, sizes = _ivfpq_res_code_store(sf_dir, m, nlist)
     q = np.asarray(qv, dtype=np.float64)
     q = q / np.linalg.norm(q)
     cd = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = [int(x) for x in np.sort(np.argsort(cd)[:nprobe])]
+    if refine == "auto":
+        refine = adc_shortlist_floor(int(sizes[probe].sum()), k)
     partials = ray.data.read_parquet(
         codes_dir, columns=["vec_id", "pq_code", "ivf_list"],
         filter=pc.field("ivf_list").isin(probe),

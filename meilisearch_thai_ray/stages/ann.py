@@ -66,6 +66,23 @@ class BruteForceCosineTopK:
         )
 
 
+def adc_shortlist_floor(n_probed: int, k: int = 10) -> int:
+    """Minimum safe refine-shortlist size for the residual IVF+PQ query:
+    max(10*k, 2% of the probed code count).
+
+    Derived from the MEASURED recall-vs-shortlist curve at 1M vectors
+    (scripts/scale_proof_ann.py ANN_SHORTLISTS sweep, BASELINE.md): strict
+    recall@10 is 0/10 up to ~0.6% of probed codes and 10/10 from ~1.3%,
+    because ADC error (std ~0.05 on residual d2) dwarfs the true-sim gap
+    inside a tight cluster — the true neighbors' ADC ranks spread across
+    the ~N/nlist near-tie set, which grows LINEARLY with corpus size. A
+    constant shortlist therefore silently degrades as the corpus grows;
+    2% of probed holds ~1.5x margin over the measured knee while keeping
+    the refine read O(probed/50). Diagnosed NOT to be codebook collapse
+    (256/256 codes used per subspace, ~7.8 bits entropy)."""
+    return int(max(10 * k, -(-n_probed * 2 // 100)))
+
+
 def merge_topk(partials: pa.Table, k: int = 10) -> pa.Table:
     """Driver-side exact merge of per-batch partials: (-sim, vec_id) order."""
     ids = partials["vec_id"].to_numpy(zero_copy_only=False)

@@ -131,10 +131,17 @@ def main() -> None:
     # shortlist sizing: PQ quantization error (~0.05 on residual d2) swamps
     # the sim gap between a true near-duplicate and the ~N/256 near-core
     # cluster members, so inside a tight cluster the ADC order is a draw —
-    # the shortlist must cover a meaningful fraction of the near-tie set.
-    # 1000 of ~125k probed codes (0.8%) recovers 10/10 planted dups at 1M;
-    # 100 recovers 0/10 (measured). The refine read stays O(shortlist).
-    def run_query(shortlist: int = 1000):
+    # the shortlist must cover a meaningful fraction of the near-tie set,
+    # which grows LINEARLY with the corpus. Measured at 1M (sweep below):
+    # strict recall@10 = 0/10 up to shortlist 800 (~0.6% of ~125k probed)
+    # and 10/10 from 1600 (~1.3%); the old fixed 1000 sat ON the knee.
+    # Default = adc_shortlist_floor (2% of probed, the library's "auto").
+    from meilisearch_thai_ray.stages.ann import adc_shortlist_floor
+
+    est_probed = N_VECS * nprobe // NLIST
+    default_shortlist = adc_shortlist_floor(est_probed)
+
+    def run_query(shortlist: int = default_shortlist):
         # stage 1: IVF-pruned ADC shortlist over codes only
         parts = rd.read_parquet(
             codes_dir, columns=["vec_id", "pq_code", "ivf_list"],
@@ -175,6 +182,15 @@ def main() -> None:
     top = run_query()
     q_warm = time.perf_counter() - t0
 
+    # optional recall-vs-shortlist sweep (ANN_SHORTLISTS=100,300,1000,...):
+    # because the refine step is EXACT over the shortlist, recall@10 ==
+    # |shortlist ∩ exact top-10| / 10 — the sweep measures how deep the
+    # ADC pre-ranking buries the true neighbors (VERDICT r4 item #3)
+    sweep_tops = {}
+    for sl in [int(x) for x in os.environ.get(
+            "ANN_SHORTLISTS", "").split(",") if x.strip()]:
+        sweep_tops[sl] = run_query(sl)
+
     # ---- exact brute-force top-10 for recall (streaming blocked matmul)
     def exact_partial(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].combine_chunks().values,
@@ -203,6 +219,10 @@ def main() -> None:
     # come from the true neighborhood") is the honest headline here
     recall_strict = len(got10 & exact10) / 10
     recall = len(got10 & exact100) / 10
+    sweep = {str(sl): {
+        "recall_at_10_strict": len(set(t["vec_id"].to_pylist()) & exact10) / 10,
+        "recall_10_at_100": len(set(t["vec_id"].to_pylist()) & exact100) / 10,
+    } for sl, t in sweep_tops.items()}
 
     print(json.dumps({
         "metric": f"ann_ivfpq_res_build_{N_VECS}_vecs",
@@ -218,6 +238,8 @@ def main() -> None:
         "query_exact_scan_sec": round(q_exact, 3),
         "recall_10_at_100": recall,
         "recall_at_10_strict": recall_strict,
+        "shortlist_auto_floor": default_shortlist,
+        "shortlist_sweep": sweep,
         "num_cpus": NUM_CPUS,
     }))
     ray.shutdown()

@@ -95,6 +95,72 @@ def main() -> None:
             lat[len(lat) // 2] * 1000, 2)
         svc.shutdown()
 
+    # ---- concurrent-load QPS (VERDICT r4 item #5): C client threads
+    # drive ONE gateway over the max-partition service with a mixed
+    # workload — 70% term queries, 20% quoted phrases, 10% proximity —
+    # for a fixed wall window. The partition curve above is single-client;
+    # this measures the service under contention (actors score in
+    # parallel across queries; the driver threads only merge O(k) rows).
+    import threading
+
+    clients = int(os.environ.get("SERVE_CLIENTS", "32"))
+    window_s = float(os.environ.get("SERVE_SECONDS", "20"))
+    svc = DocPartitionedSearchService(
+        INDEX_DIR, num_servers=min(8, NUM_SALTS))
+    svc.warm()
+    phrases = []
+    for q in queries:  # two-word windows of fixture tokens as phrases
+        ts = eng.query_terms(q)
+        if len(ts) >= 2:
+            phrases.append(" ".join(ts[:2]))
+    term_lists = [eng.query_terms(q) for q in queries]
+    # prewarm the df cache so the window measures steady state
+    for ts in term_lists:
+        svc.score_topk(ts, k=10)
+    stop_at = time.perf_counter() + window_s
+    lats: list[list[tuple[float, str]]] = [[] for _ in range(clients)]
+
+    def client(ci: int) -> None:
+        i = ci  # deterministic per-client interleave, no RNG
+        while time.perf_counter() < stop_at:
+            kind = ("phrase" if i % 10 in (7, 8) and phrases
+                    else "prox" if i % 10 == 9
+                    else "term")
+            t0 = time.perf_counter()
+            if kind == "term":
+                svc.score_topk(term_lists[i % len(term_lists)], k=10)
+            elif kind == "phrase":
+                svc.phrase_topk(phrases[i % len(phrases)], k=10)
+            else:
+                svc.proximity_topk(term_lists[i % len(term_lists)], k=10)
+            lats[ci].append((time.perf_counter() - t0, kind))
+            i += clients
+
+    threads = [threading.Thread(target=client, args=(ci,))
+               for ci in range(clients)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    elapsed = time.perf_counter() - t0
+    all_l = sorted(l for part in lats for l, _ in part)
+    n_q = len(all_l)
+    svc.shutdown()
+    load = {
+        "concurrent_clients": clients,
+        "load_window_sec": round(elapsed, 2),
+        "load_queries": n_q,
+        "load_qps": round(n_q / elapsed, 1),
+        "load_p50_ms": round(all_l[n_q // 2] * 1000, 2),
+        "load_p95_ms": round(all_l[int(n_q * 0.95)] * 1000, 2),
+        "load_p99_ms": round(all_l[min(n_q - 1, int(n_q * 0.99))] * 1000, 2),
+        "load_mix": dict(zip(
+            ("term", "phrase", "prox"),
+            [sum(1 for part in lats for _l, kk in part if kk == k2)
+             for k2 in ("term", "phrase", "prox")])),
+    }
+
     print(json.dumps({
         "metric": f"serving_partition_curve_{SCALE_DOCS}_docs",
         "unit": "ms", "docs": SCALE_DOCS, "num_salts": NUM_SALTS,
@@ -102,6 +168,7 @@ def main() -> None:
         "p50_ms_local_single_process": round(
             lat_local[len(lat_local) // 2] * 1000, 2),
         **points,
+        **load,
         "rank_identity": "asserted per point vs the local engine",
         "num_cpus": NUM_CPUS,
     }))

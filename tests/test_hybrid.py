@@ -268,3 +268,44 @@ def test_residual_ivfpq_refine_reaches_exact_topk(ray_session):
     assert out["vec_id"].to_pylist() == exact_ids
     assert out["sim"].to_pylist() == [round(float(s), 6)
                                       for s in sims[order]]
+
+
+def test_adc_shortlist_floor_rule():
+    """The auto refine floor tracks the MEASURED recall knee: strict
+    recall@10 at 1M vectors transitioned between 800 (~0.6% of ~125k
+    probed codes, 0/10) and 1600 (~1.3%, 10/10) — the floor must clear
+    the knee with margin at every scale, and never drop below 10*k."""
+    from meilisearch_thai_ray.stages.ann import adc_shortlist_floor
+
+    assert adc_shortlist_floor(0) == 100          # small-corpus floor
+    assert adc_shortlist_floor(1000) == 100
+    assert adc_shortlist_floor(125_000) == 2500   # 1M, nprobe/nlist=1/8
+    assert adc_shortlist_floor(125_000) > 1600    # clears the measured knee
+    # linear in probed count: 10x corpus -> 10x floor (the property the
+    # old fixed-1000 default lacked, which WAS the r4 cliff)
+    assert adc_shortlist_floor(1_250_000) == 10 * adc_shortlist_floor(125_000)
+    assert adc_shortlist_floor(50, k=3) == 30
+
+
+def test_residual_ivfpq_refine_auto(ray_session):
+    """refine='auto' picks the floor from the stored per-list sizes; at
+    driver-gate scale the floor covers every probed code, so the result
+    must equal the exact brute-force top-10 (plumbing + formula check)."""
+    import pyarrow.parquet as pq2
+
+    from meilisearch_thai_ray.pipelines.simple_text import ann_ivfpq_res_topk
+
+    emb = pq2.read_table(SF + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mat = np.asarray(emb["embedding"].combine_chunks().values,
+                     dtype=np.float64).reshape(emb.num_rows, -1)
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    q = mat[np.flatnonzero(vids == 0)[0]]
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ qn) / norms, 6)
+    order = np.lexsort((vids, -sims))[:10]
+
+    out = ann_ivfpq_res_topk(SF, nprobe=16, refine="auto")  # full probe
+    assert out["vec_id"].to_pylist() == vids[order].tolist()
