@@ -384,16 +384,26 @@ def _guard_shards_layout(out_dir: str, config: EngineConfig,
 
 def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, *,
                  num_salts: int = 1, batch_size: int = 4096,
-                 shuffle: str = "sort") -> list[dict]:
+                 shuffle: str = "auto") -> list[dict]:
     """Phase 'shards': the posting shuffle + encode.
 
-    shuffle="sort" (default): Ray-native groupby(part).map_groups — the
-    exchange rides the object store (fastest single-node; measured 9.4s vs
-    11.8s for spill on 100k docs / 16 CPUs). shuffle="spill": explicit
-    map-side-partitioned external shuffle through the filesystem
-    (_spill_postings_batch) — the shared-FS path for clusters where one
-    node's object store cannot hold the exchange. Outputs are byte-identical
-    either way (asserted in tests)."""
+    shuffle="sort": Ray-native groupby(part).map_groups — the exchange
+    rides the object store. shuffle="spill": explicit map-side-partitioned
+    external shuffle through the filesystem (_spill_postings_batch) — the
+    shared-FS path for clusters where one node's object store cannot hold
+    the exchange. Outputs are byte-identical either way (asserted in
+    tests), so the "auto" default picks by MEASURED crossover (BASELINE.md
+    r5, 200k docs with the consolidated read below): spill wins at every
+    parallelism level once reads are consolidated — 23.9 s vs sort's
+    26.8 s at 2 CPUs, 6.9 s vs 9.5 s at 8 — because the sort path
+    carries ~2.5x the serial sample/plan cost. Sort remains right for
+    SMALL corpora, where 64 spill part-dirs of tiny files cost more than
+    one in-store groupby — auto switches on docs size (64 MiB disk).
+
+    The docs read consolidates into ~3 blocks per CPU (override_num_blocks):
+    the docs phase writes O(tasks) files, and re-reading each as its own
+    1000-row task spent more wall on scheduling than on work (measured 11.2 s
+    operator time for 1.75 s of remote work at 200k docs)."""
     manifest = BuildManifest(out_dir)
     if manifest.phase_done("shards"):
         _guard_shards_layout(out_dir, config, num_salts)  # raises on mismatch
@@ -406,11 +416,23 @@ def build_shards(docs_dir: str, out_dir: str, config: EngineConfig, meta: dict, 
     t0 = time.time()
     import functools
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_files = sum(1 for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+    disk_b = sum(os.path.getsize(os.path.join(docs_dir, f))
+                 for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+    if shuffle == "auto":
+        shuffle = "spill" if disk_b > (64 << 20) else "sort"
     store_pos = getattr(config, "store_positions", False)
     cols = ["doc_id", "terms", "token_count"] + (
         ["term_positions"] if store_pos else []
     )
-    docs = ray.data.read_parquet(docs_dir, columns=cols)
+    # ~3 blocks/CPU for balance, but never above ~32 MiB decoded per block
+    # (decoded postings run ~4x the parquet bytes) or below one block per
+    # file-pair — the hint only coalesces, large corpora stay block-capped
+    blocks = max(ncpu * 3, int(disk_b * 4 // (32 << 20)) + 1)
+    docs = ray.data.read_parquet(docs_dir, columns=cols,
+                                 override_num_blocks=min(max(blocks, 1),
+                                                         max(n_files, 1) * 4))
     from ..stages.postings import postings_flat_fn
 
     postings = docs.map_batches(

@@ -146,7 +146,18 @@ class DocPartitionedSearchService:
     full score is computed in exactly one place with the same sorted-term
     float order as the local engine (equality asserted in tests)."""
 
-    def __init__(self, index_dir: str, num_servers: int = 4):
+    def __init__(self, index_dir: str, num_servers: int = 4,
+                 num_replicas: int = 1):
+        """num_servers partitions the docs (divides per-query LATENCY);
+        num_replicas duplicates every partition actor (multiplies
+        THROUGHPUT under concurrent clients — partition actors process one
+        call at a time, so without replicas every in-flight query queues
+        on the same num_servers actors: measured 34.9 QPS / p95 1.39 s
+        with 32 clients on 1M docs at 1 replica, see BASELINE.md r5).
+        Each query round-robins onto one replica set; replicas hold the
+        same partition, so results are bit-identical regardless of
+        placement (the df cache is shared and global)."""
+        import itertools
         import json
         import os
 
@@ -158,17 +169,28 @@ class DocPartitionedSearchService:
         groups: list[list[int]] = [[] for _ in range(num_servers)]
         for s in range(num_salts):
             groups[s % num_servers].append(s)
-        self.servers = [
-            DocPartitionServer.remote(index_dir, g) for g in groups
+        self.replica_sets = [
+            [DocPartitionServer.remote(index_dir, g) for g in groups]
+            for _ in range(max(1, num_replicas))
         ]
-        ray.get([s.ping.remote() for s in self.servers])
+        self.servers = self.replica_sets[0]  # back-compat: replica 0
+        ray.get([s.ping.remote()
+                 for rs in self.replica_sets for s in rs])
+        # next(itertools.count()) is atomic in CPython — safe under
+        # concurrent client threads without a lock
+        self._rr = itertools.count()
         self._df_cache: dict[str, int] = {}
         from ..index.maintenance import load_tombstones
 
         self._dead = load_tombstones(index_dir)
 
+    def _replica(self) -> list:
+        return self.replica_sets[next(self._rr) % len(self.replica_sets)]
+
     def warm(self) -> int:
-        return sum(ray.get([s.warm.remote() for s in self.servers]))
+        return sum(ray.get([s.warm.remote()
+                            for rs in self.replica_sets for s in rs]
+                           )) // max(1, len(self.replica_sets))
 
     def _weighted(self, terms: list[str]) -> list[tuple[str, float, float]]:
         """(term, weight, GLOBAL idf) rows, sorted by term — local dfs fan
@@ -181,7 +203,7 @@ class DocPartitionedSearchService:
         missing = [t for t in ordered if t not in self._df_cache]
         if missing:
             partials = ray.get(
-                [s.local_dfs.remote(missing) for s in self.servers]
+                [s.local_dfs.remote(missing) for s in self._replica()]
             )
             for t in missing:
                 self._df_cache[t] = sum(p.get(t, 0) for p in partials)
@@ -196,7 +218,7 @@ class DocPartitionedSearchService:
         if not weighted:
             return []
         locals_ = ray.get(
-            [s.topk_given_idf.remote(weighted, k) for s in self.servers]
+            [s.topk_given_idf.remote(weighted, k) for s in self._replica()]
         )
         merged = [
             (d, s) for hits in locals_ for d, s in hits if d not in self._dead
@@ -209,8 +231,9 @@ class DocPartitionedSearchService:
         its own docs' token adjacency locally (positions never leave the
         actor), the driver supplies global idfs and merges O(matches)
         scored rows — bit-identical to the local engine's phrase_topk."""
+        replica = self._replica()
         infos = ray.get(
-            [s.phrase_local.remote(phrase) for s in self.servers]
+            [s.phrase_local.remote(phrase) for s in replica]
         )
         seq = next((sq for sq, _m in infos if sq), [])
         if not seq:
@@ -221,7 +244,7 @@ class DocPartitionedSearchService:
         if not weighted:
             return []
         futs = []
-        for (sq, matched), srv in zip(infos, self.servers):
+        for (sq, matched), srv in zip(infos, replica):
             if matched:
                 futs.append(srv.score_docs_given_idf.remote(
                     weighted, matched))
@@ -252,7 +275,7 @@ class DocPartitionedSearchService:
         per_pool = pool or max(10 * k, 100)
         locals_ = ray.get([
             s.proximity_local.remote(weighted, uniq, k, per_pool)
-            for s in self.servers
+            for s in self._replica()
         ])
         merged = [
             t for part in locals_ for t in part if t[0] not in self._dead
@@ -261,8 +284,10 @@ class DocPartitionedSearchService:
         return merged[:k]
 
     def shutdown(self) -> None:
-        for s in self.servers:
-            ray.kill(s)
+        for rs in self.replica_sets:
+            for s in rs:
+                ray.kill(s)
+        self.replica_sets = []
         self.servers = []
 
 

@@ -30,7 +30,11 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--mode", choices=["phased", "fused"], default="phased",
                     help="phased = finest resume granularity; fused = throughput")
-    ap.add_argument("--shuffle", choices=["sort", "spill"], default="sort")
+    ap.add_argument("--shuffle", choices=["auto", "sort", "spill"],
+                    default="auto",
+                    help="posting exchange: auto = measured crossover "
+                         "(spill >= 8 CPUs, sort below); outputs are "
+                         "byte-identical either way")
     ap.add_argument("--store-positions", action="store_true",
                     help="store per-occurrence token positions (true phrase "
                          "search; ~+19%% shard bytes, ~-10%% throughput)")

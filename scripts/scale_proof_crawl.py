@@ -126,12 +126,31 @@ def main() -> None:
     out["wat_read_sec"] = round(time.perf_counter() - t0, 3)
     assert n_rows == N_PAGES
 
-    # ---- crawl 2: ~10% of pages change (url-hash rule), revisit sink
+    # ---- crawl 2: ~10% of pages change (high-bit url-hash rule — the
+    # LOW bits of fnv1a are position-biased on these urls), revisit sink.
+    # Changed pages get SUBSTANTIALLY new content (Jaccard << threshold vs
+    # the original) carrying a searchable marker, so the refresh stage
+    # below genuinely accepts them instead of near-dup-dropping them.
+    def _changed_url(u: str) -> bool:
+        return (fnv1a64(u) >> 17) % 10 == 0
+
     def mutate(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
-        new = [h + b"<!-- rev2 -->" if fnv1a64(u) % 10 == 0 else h
-               for u, h in zip(urls, htmls)]
+        new = []
+        for u, h in zip(urls, htmls):
+            if _changed_url(u):
+                h = fnv1a64(u)
+                # per-page-distinct tokens: changed pages must not near-dup
+                # each OTHER, or the refresh stage drops them as new-new dups
+                body = " ".join(
+                    f"fresh content tok{(h >> (i % 48)) % 9973}x{i} "
+                    f"for page {u[-8:]}" for i in range(30))
+                new.append(
+                    f"<html><body><p>rev2marker {body}</p>"
+                    f"</body></html>".encode())
+            else:
+                new.append(h)
         return pa.table({"url": pa.array(urls, pa.string()),
                          "html": pa.array(new, pa.binary())})
 
@@ -139,7 +158,7 @@ def main() -> None:
                                batch_size=1024)
     dir_b = os.path.join(WORK, "crawl2")
     t0 = time.perf_counter()
-    man_b = write_warc_pages_revisit(pages2, dir_b, cdx_a)
+    man_b = write_warc_pages_revisit(pages2, dir_b, cdx_a, mode="auto")
     t_rev = time.perf_counter() - t0
     n_resp = sum(m["n_response"] for m in man_b)
     n_rev = sum(m["n_revisit"] for m in man_b)
@@ -150,6 +169,91 @@ def main() -> None:
     out["recrawl_changed_fraction"] = round(n_resp / N_PAGES, 4)
     out["recrawl_mb"] = round(bytes_b / 2 ** 20, 1)
     out["recrawl_bytes_vs_full"] = round(bytes_b / bytes_a, 4)
+    # auto mode shards the prior digest map above the documented row
+    # threshold — at 1M prior rows this run IS the sharded fleet path
+    out["revisit_mode"] = ("sharded" if N_PAGES > 500_000 else "broadcast")
+    out["revisit_prior_shards"] = len(
+        os.listdir(os.path.join(dir_b, "_prior_shards"))
+    ) if os.path.isdir(os.path.join(dir_b, "_prior_shards")) else 0
+
+    # ---- staleness frontier from the two generations: the revisit sink
+    # already decided per-url change (record_type), so the frontier is ONE
+    # small keyed exchange over CDX rows — per-host change counts -> Poisson
+    # p_stale priority, no page bytes move
+    from urllib.parse import urlparse
+
+    from meilisearch_thai_ray.sources.warc import cdx_index_warc_dir as _cdx
+    from meilisearch_thai_ray.stages.runs import sum_by_int_key
+
+    t0 = time.perf_counter()
+    cdx_b = _cdx(dir_b)
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        # fnv1a64 is unsigned 64-bit; mask into int64 range for the keyed sum
+        hs = [fnv1a64(urlparse(u).netloc) & 0x7FFFFFFFFFFFFFFF
+              for u in batch["url"].to_pylist()]
+        ch = [int(rt == "response")
+              for rt in batch["record_type"].to_pylist()]
+        import numpy as _np
+        h = _np.asarray(hs, dtype=_np.int64)
+        c = _np.asarray(ch, dtype=_np.int64)
+        # pack (changed, total) into one value: total in low 32 bits
+        return pa.table({"host_h": pa.array(_np.concatenate([h, h])),
+                         "v": pa.array(_np.concatenate(
+                             [c << 32, _np.ones_like(c)]))})
+
+    agg = sum_by_int_key(
+        cdx_b.map_batches(host_rows, batch_format="pyarrow",
+                          batch_size=65536),
+        "host_h", "v", out_col="packed").materialize()
+    import numpy as np2
+
+    packed = np2.concatenate(
+        [b["packed"].to_numpy(zero_copy_only=False)
+         for b in agg.iter_batches(batch_format="pyarrow")])
+    n_changed = int((packed >> 32).sum())
+    n_total = int((packed & 0xFFFFFFFF).sum())
+    t_frontier = time.perf_counter() - t0
+    assert n_changed == n_resp, (n_changed, n_resp)
+    assert n_total == N_PAGES
+    rates = (packed >> 32) / (packed & 0xFFFFFFFF)
+    out["frontier_sec"] = round(t_frontier, 3)
+    out["frontier_hosts"] = int(packed.size)
+    out["frontier_changed_urls"] = n_changed
+    out["frontier_host_rate_max"] = round(float(rates.max()), 4)
+
+    # ---- continuous-crawl composite: cold index from crawl 1 + corpus
+    # sketch, then refresh_index_from_archive over crawl 2 — unchanged
+    # pages drop as exact dups, changed pages land in a delta generation,
+    # and the SERVED engine must find their new content
+    from meilisearch_thai_ray.config import EngineConfig
+    from meilisearch_thai_ray.index.build import build_index
+    from meilisearch_thai_ray.index.incremental import GenerationalEngine
+    from meilisearch_thai_ray.pipelines.crawl_refresh import (
+        init_corpus_sketch, refresh_index_from_archive)
+
+    idx_dir = os.path.join(WORK, "index")
+    mh_dir = os.path.join(WORK, "mh")
+    t0 = time.perf_counter()
+    build_index(pages_dir, idx_dir, EngineConfig(num_shards=32),
+                num_salts=2, batch_size=512)
+    init_corpus_sketch(idx_dir, mh_dir)
+    t_cold = time.perf_counter() - t0
+    out["cold_index_plus_sketch_sec"] = round(t_cold, 3)
+
+    t0 = time.perf_counter()
+    metrics = refresh_index_from_archive(
+        idx_dir, dir_b, mh_dir, os.path.join(WORK, "refresh_work"))
+    t_refresh = time.perf_counter() - t0
+    out["refresh_sec"] = round(t_refresh, 3)
+    out["refresh_pages_per_sec"] = round(N_PAGES / t_refresh, 1)
+    out["refresh_accepted"] = metrics["accepted"]
+
+    ge = GenerationalEngine(idx_dir)
+    hits = ge.search("rev2marker", k=10)
+    assert hits, "served generation must surface re-crawled content"
+    out["served_generation_hits"] = len(hits)
+    out["served_generation_check"] = "rev2marker query hits accepted docs"
 
     print(json.dumps(out))
     ray.shutdown()

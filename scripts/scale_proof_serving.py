@@ -105,8 +105,13 @@ def main() -> None:
 
     clients = int(os.environ.get("SERVE_CLIENTS", "32"))
     window_s = float(os.environ.get("SERVE_SECONDS", "20"))
+    # replicas multiply throughput (partition actors serve one call at a
+    # time — 1 replica measured 34.9 QPS / p95 1.39 s under 32 clients at
+    # 1M docs); default sizes replicas to the session CPUs
+    replicas = int(os.environ.get(
+        "SERVE_REPLICAS", str(max(1, NUM_CPUS // min(8, NUM_SALTS)))))
     svc = DocPartitionedSearchService(
-        INDEX_DIR, num_servers=min(8, NUM_SALTS))
+        INDEX_DIR, num_servers=min(8, NUM_SALTS), num_replicas=replicas)
     svc.warm()
     phrases = []
     for q in queries:  # two-word windows of fixture tokens as phrases
@@ -117,48 +122,67 @@ def main() -> None:
     # prewarm the df cache so the window measures steady state
     for ts in term_lists:
         svc.score_topk(ts, k=10)
-    stop_at = time.perf_counter() + window_s
-    lats: list[list[tuple[float, str]]] = [[] for _ in range(clients)]
 
-    def client(ci: int) -> None:
-        i = ci  # deterministic per-client interleave, no RNG
-        while time.perf_counter() < stop_at:
-            kind = ("phrase" if i % 10 in (7, 8) and phrases
-                    else "prox" if i % 10 == 9
-                    else "term")
-            t0 = time.perf_counter()
-            if kind == "term":
-                svc.score_topk(term_lists[i % len(term_lists)], k=10)
-            elif kind == "phrase":
-                svc.phrase_topk(phrases[i % len(phrases)], k=10)
-            else:
-                svc.proximity_topk(term_lists[i % len(term_lists)], k=10)
-            lats[ci].append((time.perf_counter() - t0, kind))
-            i += clients
+    def run_load(n_clients: int) -> dict:
+        stop_at = time.perf_counter() + window_s
+        lats: list[list[tuple[float, str]]] = [[] for _ in range(n_clients)]
 
-    threads = [threading.Thread(target=client, args=(ci,))
-               for ci in range(clients)]
-    t0 = time.perf_counter()
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    elapsed = time.perf_counter() - t0
-    all_l = sorted(l for part in lats for l, _ in part)
-    n_q = len(all_l)
+        def client(ci: int) -> None:
+            i = ci  # deterministic per-client interleave, no RNG
+            while time.perf_counter() < stop_at:
+                kind = ("phrase" if i % 10 in (7, 8) and phrases
+                        else "prox" if i % 10 == 9
+                        else "term")
+                t0 = time.perf_counter()
+                if kind == "term":
+                    svc.score_topk(term_lists[i % len(term_lists)], k=10)
+                elif kind == "phrase":
+                    svc.phrase_topk(phrases[i % len(phrases)], k=10)
+                else:
+                    svc.proximity_topk(term_lists[i % len(term_lists)], k=10)
+                lats[ci].append((time.perf_counter() - t0, kind))
+                i += n_clients
+
+        threads = [threading.Thread(target=client, args=(ci,))
+                   for ci in range(n_clients)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        elapsed = time.perf_counter() - t0
+        all_l = sorted(l for part in lats for l, _ in part)
+        n_q = len(all_l)
+        return {
+            "clients": n_clients,
+            "qps": round(n_q / elapsed, 1),
+            "p50_ms": round(all_l[n_q // 2] * 1000, 2),
+            "p95_ms": round(all_l[int(n_q * 0.95)] * 1000, 2),
+            "p99_ms": round(all_l[min(n_q - 1, int(n_q * 0.99))] * 1000, 2),
+            "queries": n_q,
+        }
+
+    # sweep the offered load: QPS rises to the box's core ceiling, then
+    # added clients only add queueing — the report is the whole curve plus
+    # the best operating point under the 100 ms p95 target
+    sweep_clients = [int(x) for x in os.environ.get(
+        "SERVE_CLIENT_SWEEP", "4,8,16,32").split(",") if x.strip()]
+    curve = [run_load(c) for c in sweep_clients]
+    under = [pt for pt in curve if pt["p95_ms"] <= 100.0]
+    best = max(under, key=lambda p: p["qps"]) if under else None
+    at32 = next((p for p in curve if p["clients"] == clients), curve[-1])
     svc.shutdown()
     load = {
         "concurrent_clients": clients,
-        "load_window_sec": round(elapsed, 2),
-        "load_queries": n_q,
-        "load_qps": round(n_q / elapsed, 1),
-        "load_p50_ms": round(all_l[n_q // 2] * 1000, 2),
-        "load_p95_ms": round(all_l[int(n_q * 0.95)] * 1000, 2),
-        "load_p99_ms": round(all_l[min(n_q - 1, int(n_q * 0.99))] * 1000, 2),
-        "load_mix": dict(zip(
-            ("term", "phrase", "prox"),
-            [sum(1 for part in lats for _l, kk in part if kk == k2)
-             for k2 in ("term", "phrase", "prox")])),
+        "num_replicas": replicas,
+        "load_window_sec": window_s,
+        "load_qps": at32["qps"],
+        "load_p50_ms": at32["p50_ms"],
+        "load_p95_ms": at32["p95_ms"],
+        "load_p99_ms": at32["p99_ms"],
+        "load_curve": curve,
+        "qps_at_p95_under_100ms": (best["qps"] if best else 0.0),
+        "clients_at_p95_under_100ms": (best["clients"] if best else 0),
     }
 
     print(json.dumps({

@@ -886,6 +886,71 @@ def test_doc_partitioned_phrase_and_proximity_equal_local(pos_index):
         svc.shutdown()
 
 
+def test_phrase_trigram_and_slot_boundaries(pos_index):
+    """Longer phrases through the vectorized key-intersection matcher:
+    3- and 4-slot phrases, plus the slot-boundary edge (a later slot's
+    term occurring at a token position EARLIER than its slot index must
+    not alias another candidate's keys)."""
+    from meilisearch_thai_ray.functions.hashing import doc_id_from_url
+
+    out, texts, urls = pos_index
+    eng = SearchEngine(out)
+
+    def expect_ids(phrase):
+        return {doc_id_from_url(urls[i]) for i, t in enumerate(texts)
+                if f" {phrase} " in f" {t} "}
+
+    for phrase in ["red fox jumps", "quick red fox", "the quick red fox",
+                   "fox jumps over the", "jumps over the fence",
+                   "fox red jumps", "red fox again"]:
+        got = {d for d, _ in eng.phrase_topk(phrase, k=20)}
+        assert got == expect_ids(phrase), phrase
+    # doc 2 ("the quick red fox red fox again"): 'fox' occurs at slot
+    # index < its phrase slot for "red fox again" — the alignment filter,
+    # not key wraparound, must decide the match
+    assert {d for d, _ in eng.phrase_topk("red fox again", k=20)} == \
+        {doc_id_from_url(urls[2])}
+
+
+def test_doc_partitioned_replicas_identical_and_concurrent(pos_index):
+    """num_replicas multiplies throughput but must never change results:
+    every query answered identically across many round-robined calls, and
+    concurrent client threads (the serving-load shape) see exact results."""
+    import threading
+
+    from meilisearch_thai_ray.index.serving import (
+        DocPartitionedSearchService)
+
+    out, _texts, _urls = pos_index
+    eng = SearchEngine(out)
+    svc = DocPartitionedSearchService(out, num_servers=2, num_replicas=3)
+    try:
+        assert len(svc.replica_sets) == 3
+        terms = eng.query_terms("red fox")
+        want = eng.search("red fox", k=10, mode="auto")
+        for _ in range(6):  # cycles every replica twice
+            assert svc.score_topk(terms, k=10) == want
+        errs: list = []
+
+        def hammer():
+            try:
+                for _ in range(10):
+                    assert svc.score_topk(terms, k=10) == want
+                    assert svc.phrase_topk("red fox", k=10) == \
+                        eng.phrase_topk("red fox", k=10)
+            except Exception as e:  # surfaced after join
+                errs.append(e)
+
+        threads = [threading.Thread(target=hammer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+    finally:
+        svc.shutdown()
+
+
 def test_wet_source_reads_conversion_records(ray_session, tmp_path):
     """WET archives (WARC framing, conversion records, plain-text payload)
     read through read_wet_pages: conversion records only, text verbatim,
