@@ -179,6 +179,70 @@ def test_typodict_path_identical_to_inmemory(typo_engine, tmp_path):
         assert via_dict == via_mem, q
 
 
+def test_typodict_serves_custom_thresholds(typo_engine, tmp_path):
+    """The max-budget typodict (every term's full 2-deletion
+    neighborhood) must serve CUSTOM minWordSizeForTypos identically to
+    the vocabulary-scan path — the r4 gap where custom settings silently
+    fell back to the O(vocab) scan (VERDICT item #6)."""
+    from meilisearch_thai_ray.index.build import build_typo_index
+
+    build_typo_index(typo_engine.index_dir)
+    with_dict = SearchEngine(typo_engine.index_dir)
+    # the freshly-built dict carries the max-budget marker and is USED
+    # for custom thresholds (None would mean vocabulary fallback)
+    assert with_dict._typodict_candidates(
+        ["anything"], require_max_budget=True) is not None
+    assert with_dict._typodict_budget == "max"
+
+    vocab = sorted(typo_engine._typo_vocabulary()[0])
+    probes = []
+    for t in vocab:
+        if len(t) >= 3:
+            probes.append(t)
+            probes.append(t[:1] + "ß" + t[2:] if len(t) > 2 else t)
+        if len(probes) >= 60:
+            break
+    assert probes
+    # lowered thresholds: 3+ chars get one typo, 5+ get two — exactly the
+    # regime the legacy per-length dict could not serve
+    for o, tw in [(3, 5), (1, 4), (4, 6)]:
+        for q in probes:
+            via_dict = with_dict.expand_typo(q, limit=20,
+                                             one_typo=o, two_typos=tw)
+            typo_engine._typodict_ok = False
+            via_mem = typo_engine.expand_typo(q, limit=20,
+                                              one_typo=o, two_typos=tw)
+            assert via_dict == via_mem, (o, tw, q)
+
+
+def test_legacy_typodict_refused_for_custom_thresholds(typo_engine):
+    """A dict whose done-marker lacks the max-budget tag must NOT be used
+    for custom thresholds (it could silently miss short-word candidates);
+    default thresholds still use it."""
+    import json as _json
+    import os as _os
+
+    from meilisearch_thai_ray.index.build import build_typo_index
+
+    build_typo_index(typo_engine.index_dir)
+    done = _os.path.join(typo_engine.index_dir, "_manifest",
+                         "typodict.done")
+    with open(done) as f:
+        meta = _json.load(f)
+    legacy = dict(meta)
+    legacy.pop("budget", None)
+    try:
+        with open(done, "w") as f:
+            _json.dump(legacy, f)
+        eng = SearchEngine(typo_engine.index_dir)
+        assert eng._typodict_candidates(["x"]) is not None  # defaults: used
+        assert eng._typodict_candidates(
+            ["x"], require_max_budget=True) is None  # custom: refused
+    finally:
+        with open(done, "w") as f:
+            _json.dump(meta, f)
+
+
 def test_proxy_typo_tolerance_option(typo_engine):
     """typo_tolerance=True widens typo matching to every OR-matching
     variant: a misspelled latin query recovers the exact query's docs.
