@@ -440,7 +440,8 @@ class SearchEngine:
         return [(int(uniq[i]), float(acc[i])) for i in order[:k]]
 
     def search_matching(self, query: str, k: int = 10,
-                        strategy: str = "last") -> list[tuple[int, float]]:
+                        strategy: str = "last",
+                        backfill: bool = False) -> list[tuple[int, float]]:
         """Meilisearch matching strategies over our BM25:
         "all" — every term required; "any" — plain OR;
         "last" (Meilisearch default) — require all terms, then progressively
@@ -449,28 +450,47 @@ class SearchEngine:
         term with the HIGHEST document frequency first (the least
         informative word). Terms absent from the corpus can never satisfy
         the conjunction at any frequency, so they drop first; df ties drop
-        the later query position."""
+        the later query position.
+
+        backfill=False (default) stops at the first non-empty conjunction
+        (the repo's long-standing approximation, pinned by the oracle
+        surface). backfill=True reproduces Meilisearch's full relaxation:
+        keep dropping words and ACCUMULATE lower buckets until k hits —
+        docs matching more words always rank above docs matching fewer
+        (the "words" ranking rule), ties within a bucket by BM25."""
         terms = self.query_terms(query)
         if strategy == "any":
             return self.score_topk(terms, k=k)
         if strategy == "all":
             return self.score_topk(terms, k=k, match="all")
-        if strategy == "frequency":
+
+        def next_terms(ts: list[str]) -> list[str]:
+            if strategy == "frequency":
+                dfs = [self.df(t) for t in ts]
+                drop = max(range(len(ts)),
+                           key=lambda i: (dfs[i] == 0, dfs[i], i))
+                return ts[:drop] + ts[drop + 1:]
+            return ts[:-1]
+
+        if not backfill:
             while terms:
                 hits = self.score_topk(terms, k=k, match="all")
                 if hits:
                     return hits
-                dfs = [self.df(t) for t in terms]
-                drop = max(range(len(terms)),
-                           key=lambda i: (dfs[i] == 0, dfs[i], i))
-                terms = terms[:drop] + terms[drop + 1:]
+                terms = next_terms(terms)
             return []
-        while terms:
-            hits = self.score_topk(terms, k=k, match="all")
-            if hits:
-                return hits
-            terms = terms[:-1]
-        return []
+        out: list[tuple[int, float]] = []
+        taken: set[int] = set()
+        while terms and len(out) < k:
+            for d, s in self.score_topk(terms, k=k + len(taken),
+                                        match="all"):
+                if d not in taken:
+                    taken.add(d)
+                    out.append((d, s))
+                    if len(out) >= k:
+                        break
+            terms = next_terms(terms)
+        return out[:k]
 
     def _score_exhaustive(self, loaded, k: int, *,
                           require_all_terms: int | None = None

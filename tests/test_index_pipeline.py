@@ -259,6 +259,50 @@ def test_matching_strategy_frequency(built):
     assert ghost == eng.score_topk([hi], 10, match="all")
 
 
+def test_matching_strategy_backfill(built):
+    """backfill=True reproduces Meilisearch's full relaxation: buckets
+    accumulate until k hits, docs matching MORE words always rank above
+    docs matching fewer, earlier-bucket docs are never re-emitted."""
+    _, out, _ = built
+    eng = SearchEngine(out)
+    terms, dfs, _, _ = eng._typo_vocabulary()
+    vocab = sorted(zip(terms.tolist(), dfs.tolist()), key=lambda x: -x[1])
+    # a two-word query whose conjunction is NON-empty but smaller than k:
+    # backfill must append the relaxed bucket's docs after it
+    found = None
+    for hi, _dh in vocab[:60]:
+        for lo, dl in vocab:
+            if lo == hi or dl <= 0:
+                continue
+            if eng.query_terms(f"{hi} {lo}") != [hi, lo]:
+                continue
+            both = eng.score_topk([hi, lo], 50, match="all")
+            only = eng.score_topk([hi], 50, match="all")
+            if 0 < len(both) < 10 and len(only) > len(both):
+                found = (hi, lo, both, only)
+                break
+        if found:
+            break
+    assert found, "need a partial-overlap pair in the fixture corpus"
+    hi, lo, both, only = found
+    got = eng.search_matching(f"{hi} {lo}", strategy="last", k=10,
+                              backfill=True)
+    # prefix = the full conjunction bucket, order intact
+    assert got[:len(both)] == both[:10]
+    # the rest come from the relaxed bucket ({hi} alone), no duplicates
+    taken = {d for d, _ in both}
+    tail_expect = [(d, s) for d, s in only if d not in taken]
+    assert got[len(both):] == tail_expect[:10 - len(both)]
+    assert len({d for d, _ in got}) == len(got)
+    # default (no backfill) is unchanged: first non-empty bucket only
+    assert eng.search_matching(f"{hi} {lo}", strategy="last", k=10) == \
+        both[:10]
+    # frequency + backfill also accumulates (ghost word drops first)
+    gotf = eng.search_matching(f"zzqqxxv {hi}", strategy="frequency",
+                               k=10, backfill=True)
+    assert gotf == eng.score_topk([hi], 10, match="all")
+
+
 def test_matching_strategy_last(built):
     """'last' drops trailing terms until something matches."""
     _, out, _ = built
