@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w6_crawl_frontier": webg.crawl_frontier,
         "w10_frontier_timed": webg.frontier_timed_schedule,
         "w11_recrawl_priority": webg.recrawl_priority,
+        "w15_host_staleness": webg.host_staleness,
         "w12_frontier_refresh": webg.frontier_refresh_schedule,
         "w13_wat_metadata": webg.wat_metadata,
         "w14_sitemap_discovery": webg.sitemap_discovery,

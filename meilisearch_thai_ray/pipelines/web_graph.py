@@ -921,13 +921,11 @@ def _history_digests(ids: np.ndarray, s: int) -> np.ndarray:
     return ids * 1000003 + cc
 
 
-def recrawl_priority(sf_dir: str) -> ray.data.Dataset:
-    """W11 -> (doc_id, n_changes, lambda_hat, p_stale), ordered by doc_id.
-
-    p_stale = 1 - exp(-lambda_hat * age) is the Poisson probability the
-    page changed since its last fetch — the recrawl priority that feeds
-    the w10 frontier. Floats rounded 6 dp on both sides; the SQL mirrors
-    the float expression term for term."""
+def _doc_change_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_changes) over the planted k-snapshot history: per-pair
+    digest diff rows -> ONE keyed sum detects changes -> ONE keyed sum
+    counts them per doc. Shared by w11 (per-doc Poisson priority) and
+    w15 (per-host staleness rollup)."""
     import os
 
     from ..stages.runs import sum_by_int_key
@@ -965,10 +963,21 @@ def recrawl_priority(sf_dir: str) -> ray.data.Dataset:
             "changed": pa.array((dd != 0).astype(np.int64)),
         })
 
-    n_changes = sum_by_int_key(
+    return sum_by_int_key(
         diff.map_batches(_changed, batch_format="pyarrow",
                          batch_size=65536),
         "doc_id", "changed", out_col="n_changes")
+
+
+def recrawl_priority(sf_dir: str) -> ray.data.Dataset:
+    """W11 -> (doc_id, n_changes, lambda_hat, p_stale), ordered by doc_id.
+
+    p_stale = 1 - exp(-lambda_hat * age) is the Poisson probability the
+    page changed since its last fetch — the recrawl priority that feeds
+    the w10 frontier. Floats rounded 6 dp on both sides; the SQL mirrors
+    the float expression term for term."""
+    k = RECRAWL_SNAPSHOTS
+    n_changes = _doc_change_counts(sf_dir)
 
     def _score(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1004,6 +1013,76 @@ SELECT doc_id, n_changes,
                        * (doc_id % 5 + 1)), 6) AS p_stale
 FROM ch
 ORDER BY doc_id
+"""
+
+
+def host_staleness(sf_dir: str) -> ray.data.Dataset:
+    """W15 -> (host_id, n_docs, n_changes, stale_rate), ordered by host_id.
+
+    The per-HOST staleness rollup the continuous-crawl scheduler consumes
+    (hosts that churn get recrawled often; static hosts back off) — the
+    same shape the 1M-page proof derives from two real CDX generations
+    (scripts/scale_proof_crawl.py frontier stage: per-host change rates,
+    changed-url count reconciling exactly with the revisit manifest).
+    Here the change history is w11's planted k-snapshot digest rule and
+    host_id = doc_id % 101 (the fixture host fan-out), so DuckDB can
+    regenerate it arithmetically and hash-verify.
+
+    Shape: w11's per-doc change counts (shared _doc_change_counts — two
+    keyed sums) -> (n_changes, 1) packed into disjoint int64 lanes ->
+    ONE more keyed sum over <= 101 host keys -> vectorized rate. Counts
+    are bounded by k-1 per doc, so the high lane never carries."""
+    from ..stages.runs import sum_by_int_key
+
+    k = RECRAWL_SNAPSHOTS
+    n_changes = _doc_change_counts(sf_dir)
+
+    def _lanes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ch = batch["n_changes"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host_id": pa.array((ids % 101).astype(np.int64)),
+            "v": pa.array((ch.astype(np.int64) << 32) + 1),
+        })
+
+    agg = sum_by_int_key(
+        n_changes.map_batches(_lanes, batch_format="pyarrow",
+                              batch_size=65536),
+        "host_id", "v", out_col="packed")
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy(zero_copy_only=False)
+        docs = (packed & 0xFFFFFFFF).astype(np.int64)
+        changes = (packed >> 32).astype(np.int64)
+        return pa.table({
+            "host_id": batch["host_id"],
+            "n_docs": pa.array(docs),
+            "n_changes": pa.array(changes),
+            "stale_rate": pa.array(
+                np.round(changes / ((k - 1.0) * docs), 6), pa.float64()),
+        })
+
+    return (agg.map_batches(_rate, batch_format="pyarrow",
+                            batch_size=65536)
+            .sort("host_id"))
+
+
+SQL["w15_host_staleness"] = """
+WITH ch AS (
+  SELECT doc_id,
+         CAST((CASE WHEN (doc_id * 2) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 3) % 7 < 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 5) % 7 < 3 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_changes
+  FROM documents
+)
+SELECT doc_id % 101 AS host_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_changes) AS BIGINT) AS n_changes,
+       round(SUM(n_changes) / (3.0 * COUNT(*)), 6) AS stale_rate
+FROM ch
+GROUP BY doc_id % 101
+ORDER BY host_id
 """
 
 

@@ -182,6 +182,25 @@ def test_recrawl_priority_change_count_is_from_digests(ray_session):
         assert rows[d]["p_stale"] > 0.8
 
 
+def test_host_staleness_matches_python_oracle(ray_session):
+    """W15 per-host rollup: counts and rates equal a plain python group-by
+    of the w11 per-doc change counts; covers all 101 fixture hosts."""
+    import pyarrow.parquet as pq
+
+    got = wg.host_staleness(SF).take_all()
+    ids = pq.read_table(SF + "/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    by_host: dict[int, list[int]] = {}
+    for d in ids:
+        x = sum(1 for p in (2, 3, 5) if (d * p) % 7 < 3)
+        by_host.setdefault(d % 101, []).append(x)
+    want = [(h, len(xs), sum(xs), round(sum(xs) / (3.0 * len(xs)), 6))
+            for h, xs in sorted(by_host.items())]
+    assert [(r["host_id"], r["n_docs"], r["n_changes"], r["stale_rate"])
+            for r in got] == want
+    assert len(got) == 101
+
+
 def test_frontier_refresh_schedule_invariants(ray_session):
     """w12 = w11 priority x w10 politeness: per-host spacing equals the
     host's Crawl-delay, and within a host higher p_stale fetches first."""
