@@ -761,9 +761,11 @@ class SearchEngine:
         encoded as (candidate_rank << 21 | pos - j + 1) keys; the phrase
         matches exactly where the sorted key sets of ALL slots intersect.
         Ranks index the sorted candidate array (doc ids themselves are
-        64-bit url hashes, too wide to pack); pos is capped at 2^21-2
-        tokens per doc and seq at 2^21 slots (validated), far above any
-        real document."""
+        64-bit url hashes, too wide to pack). Positions up to 2^21-2 pack
+        into the fast keys — far above any real document — and a corpus
+        that DOES exceed it (a multi-million-token concatenation) falls
+        back to the per-doc verification loop for that query instead of
+        failing it (identical results, asserted in tests)."""
         uniq_terms = sorted(set(seq))
         doc_sets = []
         for t in uniq_terms:
@@ -778,7 +780,7 @@ class SearchEngine:
             if cand.size == 0:
                 return []
         if len(seq) >= (1 << 21):
-            raise ValueError("phrase too long")
+            return self._phrase_match_docs_perdoc(seq, cand)
         POS_BITS = 21
         cand_sorted = np.sort(cand)
         keys: np.ndarray | None = None
@@ -801,7 +803,9 @@ class SearchEngine:
                         + np.repeat(starts, counts))
                 pos = seg.pos_flat[flat].astype(np.int64)
                 if pos.size and int(pos.max()) >= (1 << POS_BITS) - 1:
-                    raise ValueError("document too long for phrase keys")
+                    # a candidate doc too long for the packed keys: verify
+                    # per doc (rare; correctness over speed)
+                    return self._phrase_match_docs_perdoc(seq, cand)
                 ranks_rep = np.repeat(
                     np.searchsorted(cand_sorted,
                                     seg.doc_ids[hidx]).astype(np.int64),
@@ -822,6 +826,28 @@ class SearchEngine:
                 return []
         matched = cand_sorted[np.unique(keys >> POS_BITS)]
         return [int(d) for d in matched]
+
+    def _phrase_match_docs_perdoc(self, seq: list[str],
+                                  cand: np.ndarray) -> list[int]:
+        """Per-candidate verification fallback (the pre-r5 loop): used
+        when a candidate doc's positions exceed the packed-key range.
+        Same results as the vectorized path, sorted by doc_id."""
+        matched: list[int] = []
+        for d in np.sort(cand).tolist():
+            base: np.ndarray | None = None
+            for j, t in enumerate(seq):
+                pos = self._doc_positions(t, d)
+                if pos is None:
+                    base = None
+                    break
+                shifted = pos.astype(np.int64) - j
+                base = (shifted if base is None
+                        else np.intersect1d(base, shifted))
+                if base.size == 0:
+                    break
+            if base is not None and base.size:
+                matched.append(int(d))
+        return matched
 
     def score_docs_given_idf(self, weighted_terms: list[tuple[str, float, float]],
                              doc_ids: list[int]) -> dict[int, float]:

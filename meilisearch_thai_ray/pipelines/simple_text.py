@@ -3168,18 +3168,22 @@ def _ivfpq_res_code_store(sf_dir: str, m: int, nlist: int):
         cents = z["centroids"]
         nb = sum(1 for f in z.files if f not in ("centroids", "list_sizes"))
         books = [z[f"c{i}"] for i in range(nb)]
-        # caches written before list_sizes existed fall back to a one-off
-        # pruned count (one int column) so refine="auto" still works
-        if "list_sizes" in z.files:
-            sizes = z["list_sizes"]
-        else:
-            sizes = np.zeros(len(cents), dtype=np.int64)
-            for b in ray.data.read_parquet(
-                    os.path.join(store, "codes"),
-                    columns=["ivf_list"]).iter_batches(batch_format="pyarrow"):
-                c = np.bincount(b["ivf_list"].to_numpy(zero_copy_only=False),
-                                minlength=len(cents))
-                sizes[:c.size] += c
+        sizes = z["list_sizes"] if "list_sizes" in z.files else None
+    if sizes is None:
+        # cache written before list_sizes existed: count once (one pruned
+        # int column) and PERSIST back into the npz, so this scan never
+        # repeats on later calls — refine="auto" stays metadata-only
+        sizes = np.zeros(len(cents), dtype=np.int64)
+        for b in ray.data.read_parquet(
+                os.path.join(store, "codes"),
+                columns=["ivf_list"]).iter_batches(batch_format="pyarrow"):
+            c = np.bincount(b["ivf_list"].to_numpy(zero_copy_only=False),
+                            minlength=len(cents))
+            sizes[:c.size] += c
+        tmp_npz = books_path + ".tmp.npz"
+        np.savez(tmp_npz, centroids=cents, list_sizes=sizes,
+                 **{f"c{i}": b for i, b in enumerate(books)})
+        os.replace(tmp_npz, books_path)
     return os.path.join(store, "codes"), books, cents, sizes
 
 

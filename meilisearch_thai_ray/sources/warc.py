@@ -596,10 +596,16 @@ def shard_prior_cdx(prior_cdx: "ray.data.Dataset", shard_dir: str,
     as spill-friendly parquet slices on shared storage, and each writer
     actor loads ONLY the slices its url_h range needs (VERDICT r4 item #1
     — nothing broadcasts the whole map anymore)."""
+    import shutil
     import uuid
 
     import pyarrow.parquet as pq
 
+    # a previous run's uuid-named shard files would otherwise accumulate
+    # and poison lookups with stale prior-generation digests (and sit in
+    # wrong dirs entirely if num_shards changed) — the shard layout is
+    # derived state, always rebuilt whole
+    shutil.rmtree(shard_dir, ignore_errors=True)
     os.makedirs(shard_dir, exist_ok=True)
 
     def _write(batch: pa.Table) -> pa.Table:
@@ -768,6 +774,10 @@ def write_warc_pages_revisit(ds: "ray.data.Dataset", out_dir: str,
             concurrency=(1, 8))
         return man.take_all()
 
+    # the CDX pipeline behind prior_cdx is lazy (decompress + parse + sort
+    # of the whole prior archive): count() would execute it once and the
+    # broadcast/shard consumption would execute it AGAIN — bind the result
+    prior_cdx = prior_cdx.materialize()
     n_prior = None
     if mode == "auto":
         n_prior = prior_cdx.count()

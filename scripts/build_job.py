@@ -33,8 +33,9 @@ def main() -> int:
     ap.add_argument("--shuffle", choices=["auto", "sort", "spill"],
                     default="auto",
                     help="posting exchange: auto = measured crossover "
-                         "(spill >= 8 CPUs, sort below); outputs are "
-                         "byte-identical either way")
+                         "(spill when the docs table exceeds 64 MiB on "
+                         "disk, sort below); outputs byte-identical "
+                         "either way")
     ap.add_argument("--store-positions", action="store_true",
                     help="store per-occurrence token positions (true phrase "
                          "search; ~+19%% shard bytes, ~-10%% throughput)")

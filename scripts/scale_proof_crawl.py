@@ -170,11 +170,13 @@ def main() -> None:
     out["recrawl_mb"] = round(bytes_b / 2 ** 20, 1)
     out["recrawl_bytes_vs_full"] = round(bytes_b / bytes_a, 4)
     # auto mode shards the prior digest map above the documented row
-    # threshold — at 1M prior rows this run IS the sharded fleet path
-    out["revisit_mode"] = ("sharded" if N_PAGES > 500_000 else "broadcast")
-    out["revisit_prior_shards"] = len(
-        os.listdir(os.path.join(dir_b, "_prior_shards"))
-    ) if os.path.isdir(os.path.join(dir_b, "_prior_shards")) else 0
+    # threshold — report the mode the sink ACTUALLY took (shard layout on
+    # disk), not a re-derivation of its threshold rule
+    shards_dir = os.path.join(dir_b, "_prior_shards")
+    out["revisit_mode"] = ("sharded" if os.path.isdir(shards_dir)
+                           else "broadcast")
+    out["revisit_prior_shards"] = (len(os.listdir(shards_dir))
+                                   if os.path.isdir(shards_dir) else 0)
 
     # ---- staleness frontier from the two generations: the revisit sink
     # already decided per-url change (record_type), so the frontier is ONE

@@ -153,6 +153,9 @@ def main() -> None:
         elapsed = time.perf_counter() - t0
         all_l = sorted(l for part in lats for l, _ in part)
         n_q = len(all_l)
+        if n_q == 0:  # window too short / box stall: degenerate point,
+            return {"clients": n_clients, "qps": 0.0, "p50_ms": 0.0,
+                    "p95_ms": 0.0, "p99_ms": 0.0, "queries": 0}
         return {
             "clients": n_clients,
             "qps": round(n_q / elapsed, 1),

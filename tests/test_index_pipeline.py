@@ -956,6 +956,44 @@ def test_phrase_trigram_and_slot_boundaries(pos_index):
         {doc_id_from_url(urls[2])}
 
 
+def test_phrase_perdoc_fallback_parity(pos_index):
+    """The per-doc verification fallback (taken when a candidate doc's
+    positions exceed the packed-key range) must return exactly the fast
+    path's matches for every probe phrase."""
+    import numpy as np
+
+    out, texts, _urls = pos_index
+    eng = SearchEngine(out)
+    vocab = sorted({w for t in texts for w in t.split()})
+    probes = [f"{a} {b}" for a in vocab[:6] for b in vocab[:6]]
+    probes += ["red fox jumps", "the quick red fox", "fox red"]
+    checked = 0
+    for phrase in probes:
+        seq = eng.phrase_seq(phrase)
+        if len(seq) < 2:
+            continue
+        doc_sets = []
+        for t in sorted(set(seq)):
+            segs = eng.segments(t)
+            if not segs:
+                doc_sets = None
+                break
+            doc_sets.append(np.concatenate([s.doc_ids for s in segs]))
+        if doc_sets is None:
+            continue
+        doc_sets.sort(key=len)
+        cand = doc_sets[0]
+        for ds_ in doc_sets[1:]:
+            cand = cand[np.isin(cand, ds_)]
+        if cand.size == 0:
+            continue
+        fast = eng.phrase_match_docs(seq)
+        slow = eng._phrase_match_docs_perdoc(seq, cand)
+        assert sorted(fast) == slow, phrase
+        checked += 1
+    assert checked >= 5
+
+
 def test_doc_partitioned_replicas_identical_and_concurrent(pos_index):
     """num_replicas multiplies throughput but must never change results:
     every query answered identically across many round-robined calls, and

@@ -315,6 +315,34 @@ def test_revisit_sharded_matches_broadcast(pages_dir, tmp_path):
     assert records_of(dir_auto) == records_of(dir_bc)
 
 
+def test_shard_prior_cdx_clears_stale_layout(pages_dir, tmp_path):
+    """Re-sharding into the same dir (new prior generation, possibly a
+    different shard count) must fully replace the old layout — stale
+    uuid-named files would poison lookups with old-generation digests."""
+    import ray.data
+
+    from meilisearch_thai_ray.sources.warc import (
+        cdx_index_warc_dir, shard_prior_cdx)
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "warc_ts"])
+    dir_a = str(tmp_path / "a")
+    write_warc_pages(ds, dir_a)
+    cdx = cdx_index_warc_dir(dir_a).materialize()
+    shard_dir = str(tmp_path / "shards")
+    shard_prior_cdx(cdx, shard_dir, 16)
+    n_files_16 = sum(len(fs) for _r, _d, fs in os.walk(shard_dir))
+    # second generation with a DIFFERENT shard count into the same dir
+    shard_prior_cdx(cdx, shard_dir, 4)
+    dirs = sorted(os.listdir(shard_dir))
+    assert all(d.startswith("shard=") and int(d.split("=")[1]) < 4
+               for d in dirs), dirs
+    import pyarrow.dataset as pads2
+
+    total = pads2.dataset(shard_dir).count_rows()
+    assert total == 80  # exactly one generation's rows, no accumulation
+    assert sum(len(fs) for _r, _d, fs in os.walk(shard_dir)) <= n_files_16
+
+
 def test_revisit_shard_lru_bounded(pages_dir, tmp_path):
     """A sharded sink actor's resident prior slice stays <= cache_shards
     regardless of how many shards its batches touch."""
